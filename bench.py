@@ -1,0 +1,175 @@
+"""Headline benchmark: decode tokens/sec/chip on the BASELINE.json config
+(Qwen2-7B-shaped, UINT4 weight-only + INT8 KV cache, continuous-batch decode).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the reference's flagship published absolute
+throughput (Llama-3-8B bs=1 on 48-core EMR = 16.37 tok/s total,
+docs/EN/performance.md:32-56 — the only absolute number it publishes; the
+GPU story is relative claims only, see BASELINE.md).
+
+Weights are random (no checkpoint egress in this environment); throughput is
+shape-faithful: Qwen2-7B dims, real paged-attention + sampler path.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_TOKS = 16.37
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_qwen2_7b_params(cfg, rng_seed=0):
+    """Random UINT4 group-quantized weights directly on device."""
+    import jax
+    import jax.numpy as jnp
+
+    L = cfg.num_layers
+    D = cfg.head_dim
+    H, KH = cfg.num_heads, cfg.num_kv_heads
+    hid, inter, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    gs = 128
+    key = jax.random.PRNGKey(rng_seed)
+
+    def qlin(kin, kout, layers=True, bias=False):
+        nonlocal key
+        key, k1, k2 = jax.random.split(key, 3)
+        shape = (L, kin, kout // 2) if layers else (kin, kout // 2)
+        w_q = jax.random.randint(k1, shape, 0, 255, jnp.int32).astype(jnp.uint8)
+        gshape = (L, kin // gs, kout) if layers else (kin // gs, kout)
+        scale = (jax.random.uniform(k2, gshape, jnp.float32) * 0.002 + 1e-4
+                 ).astype(jnp.float32)
+        zero = -scale * 8.0
+        d = {"w_q": w_q, "scale": scale, "zero": zero}
+        if bias:
+            d["b"] = jnp.zeros((L, kout) if layers else (kout,), jnp.bfloat16)
+        return d
+
+    def emb(n, m):
+        nonlocal key
+        key, k = jax.random.split(key)
+        return (jax.random.normal(k, (n, m), jnp.float32) * 0.02
+                ).astype(jnp.bfloat16)
+
+    params = {
+        "embed_tokens": {"w": emb(V, hid)},
+        "norm": jnp.ones((hid,), jnp.bfloat16),
+        "lm_head": {"w": emb(hid, V)},
+        "layers": {
+            "input_layernorm": jnp.ones((L, hid), jnp.bfloat16),
+            "post_attention_layernorm": jnp.ones((L, hid), jnp.bfloat16),
+            "q_proj": qlin(hid, H * D, bias=True),
+            "k_proj": qlin(hid, KH * D, bias=True),
+            "v_proj": qlin(hid, KH * D, bias=True),
+            "o_proj": qlin(H * D, hid),
+            "gate_proj": qlin(hid, inter),
+            "up_proj": qlin(hid, inter),
+            "down_proj": qlin(inter, hid),
+        },
+    }
+    return params
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from dashinfer_tpu.config import (CacheConfig, CacheMode, ModelConfig,
+                                      RuntimeConfig)
+    from dashinfer_tpu.engine import steps as steps_mod
+    from dashinfer_tpu.runtime.batch_state import make_decode_state
+    from dashinfer_tpu.runtime.kv_cache import create_kv_cache
+
+    on_tpu = jax.default_backend() == "tpu"
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    if on_tpu:
+        cfg = ModelConfig(
+            arch="qwen2", vocab_size=152064, hidden_size=3584,
+            intermediate_size=18944, num_layers=28, num_heads=28,
+            num_kv_heads=4, head_dim=128, qkv_bias=True,
+            rope_theta=1000000.0)
+        B, ctx_len, steps, warm = 8, 1024, 64, 8
+        num_logical_pages = 256
+        page_size = 64
+    else:  # smoke mode off-TPU
+        cfg = ModelConfig(
+            arch="qwen2", vocab_size=2048, hidden_size=256,
+            intermediate_size=512, num_layers=2, num_heads=8,
+            num_kv_heads=4, head_dim=32, qkv_bias=True)
+        B, ctx_len, steps, warm = 4, 48, 8, 2
+        num_logical_pages = 64
+        page_size = 16
+
+    rt = RuntimeConfig(
+        model_name="bench", max_length=max(ctx_len + steps + warm + 64, 256),
+        max_batch=B,
+        cache=CacheConfig(page_size=page_size, mode=CacheMode.INT8,
+                          num_pages=num_logical_pages),
+        dtype="bfloat16")
+
+    t0 = time.time()
+    params = build_qwen2_7b_params(cfg)
+    jax.block_until_ready(params)
+    log(f"params built in {time.time()-t0:.1f}s")
+
+    L = cfg.num_layers
+    cache = create_kv_cache(cfg, rt.cache, num_logical_pages * L,
+                            model_dtype=jnp.bfloat16)
+    state = make_decode_state(cfg, rt)
+
+    # seed slots: ctx_len tokens already "cached" (pages allocated; contents
+    # are zeros — bandwidth-faithful, attention reads every page)
+    ps = rt.cache.page_size
+    maxP = rt.max_pages_per_seq
+    pages_per_seq = (ctx_len + ps - 1) // ps
+    pt = np.zeros((B, L, maxP), np.int32)
+    g = 0
+    free_pages = []
+    for b in range(B):
+        for j in range(pages_per_seq + 2):
+            pt[b, :, j] = g * L + np.arange(L)
+            g += 1
+    import dataclasses
+    state = dataclasses.replace(
+        state,
+        token_ids=jnp.arange(B, dtype=jnp.int32) + 7,
+        context_lens=jnp.full((B,), ctx_len, jnp.int32),
+        prompt_lens=jnp.full((B,), ctx_len, jnp.int32),
+        gen_lens=jnp.ones((B,), jnp.int32),
+        page_tables=jnp.asarray(pt),
+        active=jnp.ones((B,), bool),
+    )
+
+    decode = steps_mod.build_decode_step(cfg, rt, use_kernel=on_tpu)
+    no_new = jnp.full((B, L), -1, jnp.int32)
+
+    t0 = time.time()
+    for i in range(warm):
+        toks, _, cache, state = decode(params, cache, state, no_new)
+    np.asarray(toks)
+    log(f"compile+warmup ({warm} steps) in {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    for i in range(steps):
+        toks, _, cache, state = decode(params, cache, state, no_new)
+        _ = np.asarray(toks)  # per-step host sync, serving-faithful
+    dt = time.time() - t0
+    toks_per_s = B * steps / dt
+    log(f"{steps} steps, batch {B}: {dt:.3f}s -> {toks_per_s:.1f} tok/s")
+
+    print(json.dumps({
+        "metric": "decode tokens/sec/chip (Qwen2-7B-shape UINT4 weights, "
+                  "INT8 KV, paged attention, bs=8, ctx=1024)",
+        "value": round(toks_per_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(toks_per_s / BASELINE_TOKS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""Engine runtime configuration.
+
+Equivalent of the reference's `AsModelConfig` (csrc/interface/allspark.h:167-265)
+and its fluent Python builder `AsModelRuntimeConfigBuilder`
+(python/pyhie/allspark/runtime_config.py:21-257), re-shaped for TPU:
+device lists / NUMA knobs become a mesh shape; prefill-mode enum becomes a
+kernel choice; BFC ratios become an HBM plan.
+"""
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+
+class CacheMode(str, enum.Enum):
+    """KV-cache storage mode (reference AsCacheMode, allspark.h:73-77)."""
+
+    DEFAULT = "default"  # model dtype (bf16)
+    INT8 = "int8"        # asymmetric per-token-per-head int8
+    UINT4 = "uint4"      # asymmetric per-token-per-head uint4 (packed)
+
+
+class EvictionStrategy(str, enum.Enum):
+    """Victim choice on cache OOM (reference as_engine_decode.cpp:112-169)."""
+
+    MAX_LENGTH = "max_length"
+    RANDOM = "random"
+
+
+class SchedulingStrategy(str, enum.Enum):
+    """Prefill scheduling (reference as_engine_prefill.cpp:149-186)."""
+
+    CONTEXT_PRIORITY = "context_priority"  # prefill until nothing fits
+    BALANCE = "balance"                    # one prefill per engine turn
+
+
+@dataclasses.dataclass(frozen=True)
+class CacheConfig:
+    """Paged ("span") KV-cache config (reference SpanCacheConfig,
+    csrc/common/engine_runtime.h:42-318; span size {16,32,64,128} default 128,
+    allspark.h:176,199)."""
+
+    page_size: int = 64          # tokens per page; TPU tiling prefers >=16
+    mode: CacheMode = CacheMode.DEFAULT
+    # total pages in the pool; 0 = size from HBM plan at warmup
+    num_pages: int = 0
+
+    def __post_init__(self):
+        assert self.page_size in (8, 16, 32, 64, 128), self.page_size
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """Weight quantization settings (reference python quantization.py:13-80:
+    InstantQuant / GPTQ; modes A16W8, A16W4, A8W8)."""
+
+    mode: str = "none"           # none | a16w8 | a16w4 | a8w8
+    group_size: int = -1          # -1 = per-channel; else sub-channel group
+    # which weights to quantize, regex on param path (reference GroupSettings)
+    include: str = r".*(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj).*"
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    model_name: str = "model"
+    # engine limits (reference AsModelConfig engine_max_length/engine_max_batch)
+    max_length: int = 2048
+    max_batch: int = 16
+    # max prompt tokens prefilled per step (0 = no chunking, like reference
+    # which rejects chunked prefill: as_engine.cpp:439-443). When >0 we DO
+    # support chunked prefill (improvement over reference).
+    max_prefill_chunk: int = 0
+
+    dtype: str = "bfloat16"
+    cache: CacheConfig = CacheConfig()
+    quant: QuantConfig = QuantConfig()
+
+    eviction_strategy: EvictionStrategy = EvictionStrategy.MAX_LENGTH
+    scheduling_strategy: SchedulingStrategy = SchedulingStrategy.CONTEXT_PRIORITY
+
+    enable_prefix_cache: bool = False
+    prefix_cache_ttl_s: float = 300.0   # reference default (allspark.h:201,255)
+    # host-RAM prefix-cache tier capacity in bytes (0 = disabled)
+    prefix_cache_host_bytes: int = 0
+
+    # parallelism: data-parallel x model(tensor)-parallel mesh
+    mesh_shape: Tuple[int, int] = (1, 1)  # (data, model)
+
+    # prefill length buckets are powers of two between these bounds
+    min_prefill_bucket: int = 32
+
+    # sampler static limits
+    sampler_max_top_k: int = 128   # reference caps k at 1024 (generate_op.cpp:383-391)
+    max_top_logprobs: int = 10     # reference max 10 (device_context.h:182)
+    max_stop_token_ids: int = 8
+
+    # LoRA serving limits (reference lora_max_num/lora_max_rank)
+    enable_lora: bool = False
+    lora_max_num: int = 4
+    lora_max_rank: int = 16
+
+    # memory planning
+    hbm_bytes: int = 0             # 0 = probe / assume 16 GiB per chip
+    kv_pool_bytes: int = 0         # explicit KV pool override
+
+    # json/guided decoding vocabulary (token string map) set by loader
+    enable_json_mode: bool = False
+
+    def __post_init__(self):
+        assert self.max_batch >= 1
+        assert self.max_length >= 2
+
+    @property
+    def max_pages_per_seq(self) -> int:
+        ps = self.cache.page_size
+        return (self.max_length + ps - 1) // ps
+
+
+class RuntimeConfigBuilder:
+    """Fluent builder mirroring AsModelRuntimeConfigBuilder
+    (python/pyhie/allspark/runtime_config.py:21-257)."""
+
+    def __init__(self, model_name: str = "model"):
+        self._kw = {"model_name": model_name}
+        self._cache_kw = {}
+        self._quant_kw = {}
+
+    def model_name(self, name: str) -> "RuntimeConfigBuilder":
+        self._kw["model_name"] = name
+        return self
+
+    def max_length(self, n: int) -> "RuntimeConfigBuilder":
+        self._kw["max_length"] = n
+        return self
+
+    def max_batch(self, n: int) -> "RuntimeConfigBuilder":
+        self._kw["max_batch"] = n
+        return self
+
+    def dtype(self, dt: str) -> "RuntimeConfigBuilder":
+        self._kw["dtype"] = dt
+        return self
+
+    def kv_cache_mode(self, mode: CacheMode) -> "RuntimeConfigBuilder":
+        self._cache_kw["mode"] = mode
+        return self
+
+    def kv_cache_page_size(self, n: int) -> "RuntimeConfigBuilder":
+        self._cache_kw["page_size"] = n
+        return self
+
+    def kv_cache_num_pages(self, n: int) -> "RuntimeConfigBuilder":
+        self._cache_kw["num_pages"] = n
+        return self
+
+    def prefix_cache(self, enable: bool = True, ttl_s: float = 300.0,
+                     host_bytes: int = 0) -> "RuntimeConfigBuilder":
+        self._kw["enable_prefix_cache"] = enable
+        self._kw["prefix_cache_ttl_s"] = ttl_s
+        self._kw["prefix_cache_host_bytes"] = host_bytes
+        return self
+
+    def weight_quant(self, mode: str, group_size: int = -1) -> "RuntimeConfigBuilder":
+        self._quant_kw["mode"] = mode
+        self._quant_kw["group_size"] = group_size
+        return self
+
+    def mesh(self, data: int = 1, model: int = 1) -> "RuntimeConfigBuilder":
+        self._kw["mesh_shape"] = (data, model)
+        return self
+
+    def eviction_strategy(self, s: EvictionStrategy) -> "RuntimeConfigBuilder":
+        self._kw["eviction_strategy"] = s
+        return self
+
+    def scheduling_strategy(self, s: SchedulingStrategy) -> "RuntimeConfigBuilder":
+        self._kw["scheduling_strategy"] = s
+        return self
+
+    def lora(self, enable: bool = True, max_num: int = 4,
+             max_rank: int = 16) -> "RuntimeConfigBuilder":
+        self._kw["enable_lora"] = enable
+        self._kw["lora_max_num"] = max_num
+        self._kw["lora_max_rank"] = max_rank
+        return self
+
+    def update(self, d: dict) -> "RuntimeConfigBuilder":
+        self._kw.update(d)
+        return self
+
+    def build(self) -> RuntimeConfig:
+        kw = dict(self._kw)
+        if self._cache_kw:
+            kw["cache"] = CacheConfig(**self._cache_kw)
+        if self._quant_kw:
+            kw["quant"] = QuantConfig(**self._quant_kw)
+        return RuntimeConfig(**kw)

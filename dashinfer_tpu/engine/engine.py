@@ -1,0 +1,329 @@
+"""Engine: the public serving API + control loop.
+
+Equivalent of the reference `AsEngine`/`AsEngineImpl`
+(csrc/interface/allspark.h:331-670, csrc/common/as_engine.cpp): install/
+start/stop models, start/stop/release requests, streaming ResultQueues,
+engine stats.
+
+TPU re-design of the reactor: the reference runs 3 threads per model
+(control / prefill / decode, as_engine.cpp:1310-1326) because each CUDA rank
+needs host threads to feed it. JAX dispatch is async on a single logical
+device stream, so ONE scheduler thread per model suffices: it drains control
+messages, admits prefills by scheduling strategy, and runs batched decode
+ticks — compute overlap comes from XLA's async dispatch, not host threads.
+"""
+
+import queue
+import threading
+import time
+from typing import Dict, List, Optional, Tuple, Union
+
+from dashinfer_tpu.config import (GenerationConfig, RuntimeConfig,
+                                  SchedulingStrategy)
+from dashinfer_tpu.engine.model_runtime import ModelRuntime
+from dashinfer_tpu.runtime.request import (GenerateRequestStatus, Request,
+                                           RequestHandle, new_uuid)
+from dashinfer_tpu.runtime.result_queue import ResultQueue
+from dashinfer_tpu.utils import EnvConfig, get_logger
+
+logger = get_logger("engine")
+
+
+class _ModelLoop:
+    """Scheduler loop for one model (reference ModelControlState +
+    Prefill/Decode threads collapsed into one)."""
+
+    def __init__(self, runtime: ModelRuntime):
+        self.rt = runtime
+        self.msgs: "queue.Queue" = queue.Queue()
+        self.wake = threading.Event()
+        self.stop_flag = False
+        self.thread: Optional[threading.Thread] = None
+        self.last_stat_log = time.monotonic()
+
+    def start(self):
+        self.thread = threading.Thread(target=self._run, daemon=True,
+                                       name=f"di-loop-{self.rt.name}")
+        self.thread.start()
+
+    def submit(self, fn, *args):
+        self.msgs.put((fn, args))
+        self.wake.set()
+
+    def _run(self):
+        rt = self.rt
+        strategy = rt.rt.scheduling_strategy
+        while not self.stop_flag:
+            # 1. control messages
+            try:
+                while True:
+                    fn, args = self.msgs.get_nowait()
+                    try:
+                        fn(*args)
+                    except Exception:
+                        logger.exception("control message failed")
+            except queue.Empty:
+                pass
+
+            did_work = False
+            # 2. prefill admission (reference scheduling strategies,
+            #    as_engine_prefill.cpp:149-186)
+            try:
+                if strategy == SchedulingStrategy.CONTEXT_PRIORITY:
+                    while rt.try_prefill_one():
+                        did_work = True
+                else:  # BALANCE: one prefill per turn
+                    did_work |= rt.try_prefill_one()
+            except Exception:
+                logger.exception("prefill scheduling failed")
+                self._fail_head()
+
+            # 3. decode tick
+            try:
+                did_work |= rt.decode_tick() > 0
+            except Exception:
+                logger.exception("decode tick failed; interrupting batch")
+                for r in rt.active_requests():
+                    rt.release_request(r.uuid)
+
+            # 4. periodic stats
+            now = time.monotonic()
+            if now - self.last_stat_log > EnvConfig.log_status_interval_s():
+                rt.update_stats()
+                rt.stat.tick_throughput()
+                logger.info("stat: %s", rt.stat.as_dict())
+                self.last_stat_log = now
+
+            if not did_work:
+                self.wake.wait(timeout=0.005)
+                self.wake.clear()
+
+    def _fail_head(self):
+        rt = self.rt
+        if rt.pending:
+            req = rt.pending.popleft()
+            rt.stat.pendings -= 1
+            req.status = GenerateRequestStatus.InternalError
+            q = rt.queues.get(req.uuid)
+            if q:
+                q.set_status(GenerateRequestStatus.InternalError)
+
+    def shutdown(self, graceful: bool = True):
+        if graceful:
+            # let running requests finish is the reference GracefulStop; here
+            # we simply stop issuing new work and interrupt the rest
+            pass
+        self.stop_flag = True
+        self.wake.set()
+        if self.thread:
+            self.thread.join(timeout=10)
+
+
+class Engine:
+    """Public API (mirrors the canonical user flow, SURVEY.md §8.17)."""
+
+    def __init__(self):
+        self._models: Dict[str, ModelRuntime] = {}
+        self._loops: Dict[str, _ModelLoop] = {}
+        self._lock = threading.Lock()
+
+    # -- model lifecycle ------------------------------------------------------
+    def install_model(self, model, runtime_config: RuntimeConfig,
+                      params=None, model_config=None, tokenizer=None):
+        """model: a HF checkpoint dir path, or a name when (model_config,
+        params) are given directly (reference BuildModelFromConfigStruct,
+        as_engine.cpp:385). `tokenizer` enables guided (JSON) decoding
+        (the reference's JSON-mode vocab plumbing, engine.py:218-243)."""
+        name = runtime_config.model_name
+        if params is None:
+            from dashinfer_tpu.loader import build_from_hf
+            model_config, params = build_from_hf(str(model),
+                                                 runtime_config.dtype)
+        if runtime_config.quant.mode not in ("none", ""):
+            from dashinfer_tpu.loader.quantize import quantize_params
+            params = quantize_params(params, runtime_config.quant)
+        with self._lock:
+            if name in self._models:
+                raise ValueError(f"model {name} already installed")
+            runtime = ModelRuntime(name, model_config, params, runtime_config,
+                                   tokenizer=tokenizer)
+            if runtime_config.enable_prefix_cache:
+                from dashinfer_tpu.runtime.prefix_cache import PrefixCacheManager
+                runtime.prefix_cache = PrefixCacheManager(
+                    runtime.cfg, runtime_config, runtime.allocator)
+            self._models[name] = runtime
+        return self
+
+    def start_model(self, name: str):
+        with self._lock:
+            if name in self._loops:
+                return self
+            runtime = self._models[name]
+            loop = _ModelLoop(runtime)
+            self._loops[name] = loop
+            loop.start()
+        return self
+
+    def stop_model(self, name: str):
+        with self._lock:
+            loop = self._loops.pop(name, None)
+        if loop:
+            loop.shutdown()
+        return self
+
+    def release_model(self, name: str):
+        self.stop_model(name)
+        with self._lock:
+            self._models.pop(name, None)
+        return self
+
+    # -- requests -------------------------------------------------------------
+    def start_request(self, name: str, input_ids: List[int],
+                      gen_cfg: Optional[GenerationConfig] = None
+                      ) -> Tuple[GenerateRequestStatus, RequestHandle,
+                                 ResultQueue]:
+        gen_cfg = gen_cfg or GenerationConfig()
+        runtime = self._models[name]
+        loop = self._loops.get(name)
+        if loop is None:
+            raise RuntimeError(f"model {name} not started")
+        gen_cfg.validate(runtime.cfg.vocab_size, runtime.rt.max_length)
+        if gen_cfg.lora_name is not None:
+            if runtime.lora_manager is None:
+                raise ValueError("lora_name given but LoRA is not enabled")
+            runtime.lora_manager.index_of(gen_cfg.lora_name)  # raises if unknown
+        if len(input_ids) >= gen_cfg.max_length:
+            raise ValueError(
+                f"prompt length {len(input_ids)} >= max_length "
+                f"{gen_cfg.max_length}")
+        uuid = new_uuid()
+        req = Request(uuid=uuid, input_ids=list(map(int, input_ids)),
+                      gen_cfg=gen_cfg)
+        req.stat.arrival_time = time.monotonic()
+        rq = ResultQueue(uuid)
+        runtime.register(req, rq)
+        loop.submit(runtime.enqueue, req, rq)
+        handle = RequestHandle(uuid, name)
+        return GenerateRequestStatus.Init, handle, rq
+
+    def stop_request(self, name: str, handle: RequestHandle):
+        runtime = self._models[name]
+        loop = self._loops[name]
+        done = threading.Event()
+        loop.submit(lambda: (runtime.stop_request(handle.uuid), done.set()))
+        done.wait(timeout=30)
+        return self
+
+    def release_request(self, name: str, handle: RequestHandle):
+        runtime = self._models[name]
+        loop = self._loops.get(name)
+        if loop is None:
+            runtime.release_request(handle.uuid)
+            return self
+        done = threading.Event()
+        loop.submit(lambda: (runtime.release_request(handle.uuid), done.set()))
+        done.wait(timeout=30)
+        return self
+
+    def sync_request(self, name: str, handle: RequestHandle,
+                     timeout_s: Optional[float] = None):
+        """Block until the request reaches a final state (reference
+        SyncRequest, allspark.h:606)."""
+        q = self._models[name].queues.get(handle.uuid)
+        if q is None:
+            return self
+        deadline = None if timeout_s is None else time.monotonic() + timeout_s
+        while q.GenerateStatus() not in (
+                GenerateRequestStatus.GenerateFinished,
+                GenerateRequestStatus.GenerateInterrupted,
+                GenerateRequestStatus.InternalError):
+            if deadline and time.monotonic() > deadline:
+                raise TimeoutError(f"sync_request {handle.uuid[:8]}")
+            time.sleep(0.002)
+        return self
+
+    # -- LoRA (reference LoadLoraByName/UnloadLoraByName, allspark.h:625-627)
+    def load_lora(self, name: str, lora_name: str, adapter_path_or_tensors,
+                  alpha: float = None, rank: int = None):
+        runtime = self._models[name]
+        if runtime.lora_manager is None:
+            raise RuntimeError("LoRA not enabled in RuntimeConfig")
+        loop = self._loops.get(name)
+        if loop is None:
+            runtime.lora_manager.load(lora_name, adapter_path_or_tensors,
+                                      alpha, rank)
+            return self
+        done = threading.Event()
+        err = []
+
+        def do():
+            try:
+                runtime.lora_manager.load(lora_name, adapter_path_or_tensors,
+                                          alpha, rank)
+            except Exception as e:
+                err.append(e)
+            done.set()
+
+        loop.submit(do)
+        done.wait(timeout=120)
+        if err:
+            raise err[0]
+        return self
+
+    def unload_lora(self, name: str, lora_name: str):
+        runtime = self._models[name]
+        if runtime.lora_manager is None:
+            return self
+        loop = self._loops.get(name)
+        if loop is None:
+            runtime.lora_manager.unload(lora_name)
+            return self
+        done = threading.Event()
+        loop.submit(lambda: (runtime.lora_manager.unload(lora_name),
+                             done.set()))
+        done.wait(timeout=120)
+        return self
+
+    # -- text convenience (reference start_request_text, engine.py:379-416) --
+    def start_request_text(self, name: str, tokenizer, prompt: str,
+                           gen_cfg: Optional[GenerationConfig] = None):
+        ids = tokenizer.encode(prompt)
+        if gen_cfg is not None and gen_cfg.eos_token_id < 0 and \
+                tokenizer.eos_token_id is not None:
+            gen_cfg.eos_token_id = int(tokenizer.eos_token_id)
+        return self.start_request(name, ids, gen_cfg)
+
+    # -- weight swap (reference UnloadModelFromDeviceMemory, allspark.h:542) --
+    def unload_model_from_device_memory(self, name: str):
+        runtime = self._models[name]
+        loop = self._loops.get(name)
+        if loop is not None and (runtime.active_requests() or runtime.pending):
+            raise RuntimeError("stop requests before unloading weights")
+        if loop is None:
+            runtime.unload_weights_to_host()
+            return self
+        done = threading.Event()
+        loop.submit(lambda: (runtime.unload_weights_to_host(), done.set()))
+        done.wait(timeout=600)
+        return self
+
+    def reload_model_to_device_memory(self, name: str):
+        runtime = self._models[name]
+        loop = self._loops.get(name)
+        if loop is None:
+            runtime.reload_weights_to_device()
+            return self
+        done = threading.Event()
+        loop.submit(lambda: (runtime.reload_weights_to_device(), done.set()))
+        done.wait(timeout=600)
+        return self
+
+    # -- stats ------------------------------------------------------------
+    def get_op_profiling_info(self, name: str) -> Dict:
+        """Reference GetOpProfilingInfo (allspark.h:642); enable DI_PROFILE."""
+        return self._models[name].profiler.report()
+
+    def get_engine_stat(self, name: str) -> Dict:
+        runtime = self._models[name]
+        runtime.update_stats()
+        return runtime.stat.as_dict()

@@ -1,0 +1,531 @@
+"""Per-model runtime: device state + synchronous scheduling primitives.
+
+The Engine's control loop (engine/engine.py) calls into this; keeping the
+logic synchronous makes scheduler behavior unit-testable without threads
+(the reference interleaves it across 3 threads, as_engine.cpp:1310-1326).
+
+Page accounting: the allocator hands out LOGICAL pages; logical page `g`
+owns physical pages `g*L + l` for each layer l — so one allocation covers
+all layers, mirroring the reference's per-layer span batch
+(model.cpp:1480-1521 reserve = 2*layers*crossings).
+"""
+
+import dataclasses
+import math
+import time
+from collections import deque
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dashinfer_tpu.config import (CacheMode, EvictionStrategy, GenerationConfig,
+                                  ModelConfig, RuntimeConfig,
+                                  SchedulingStrategy)
+from dashinfer_tpu.engine import steps as steps_mod
+from dashinfer_tpu.engine.stats import EngineStat
+from dashinfer_tpu.runtime.batch_state import make_decode_state
+from dashinfer_tpu.runtime.kv_cache import (create_kv_cache,
+                                            logical_page_bytes)
+from dashinfer_tpu.runtime.page_allocator import NoFreePages, PageAllocator
+from dashinfer_tpu.runtime.request import (GenerateRequestStatus, Request,
+                                           StatInfo)
+from dashinfer_tpu.runtime.result_queue import ResultQueue
+from dashinfer_tpu.utils import EnvConfig, get_logger
+from dashinfer_tpu.utils.profiler import PhaseProfiler
+
+logger = get_logger("model_runtime")
+
+_DEFAULT_HBM = 16 * 1024**3  # v5e per-chip
+
+
+def _weight_bytes(params) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+
+
+class ModelRuntime:
+    def __init__(self, name: str, cfg: ModelConfig, params, rt: RuntimeConfig,
+                 use_kernel: Optional[bool] = None, tokenizer=None):
+        self.name = name
+        self.cfg = cfg
+        self.rt = rt
+        self.tokenizer = tokenizer
+        if use_kernel is None:
+            use_kernel = jax.default_backend() == "tpu"
+        self.use_kernel = use_kernel
+        self.dtype = jnp.bfloat16 if rt.dtype == "bfloat16" else jnp.dtype(rt.dtype)
+
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.num_logical_pages = self._plan_pool()
+        self.cache = create_kv_cache(
+            cfg, rt.cache, self.num_logical_pages * cfg.num_layers,
+            model_dtype=self.dtype)
+        self.state = make_decode_state(cfg, rt)
+        self.allocator = PageAllocator(self.num_logical_pages)
+
+        self._decode_step = steps_mod.build_decode_step(
+            cfg, rt, use_kernel=use_kernel)
+        self._decode_step_lp = None     # built on demand
+        self._decode_step_guided = None
+        self._prefill_steps: Dict[Tuple, Callable] = {}
+        self._deactivate = steps_mod.build_deactivate(cfg, rt)
+
+        self.buckets = self._make_buckets()
+        self.pending: deque = deque()           # Requests awaiting prefill
+        self.requests: Dict[str, Request] = {}  # uuid -> Request (all live)
+        self.slots: List[Optional[Request]] = [None] * rt.max_batch
+        self.queues: Dict[str, ResultQueue] = {}
+        self.stat = EngineStat(model_name=name)
+        self.prefix_cache = None                # installed by engine if enabled
+        self.lora_manager = None
+        if rt.enable_lora:
+            from dashinfer_tpu.lora import LoraManager
+            self.lora_manager = LoraManager(cfg, rt, self.dtype)
+        self.profiler = PhaseProfiler(name)
+        self._params_host = None   # set while weights are swapped out
+        # slot-level host mirrors
+        self._cached_len: Dict[str, int] = {}
+
+    # -- planning ------------------------------------------------------------
+    def _plan_pool(self) -> int:
+        rt, cfg = self.rt, self.cfg
+        if rt.cache.num_pages:
+            return rt.cache.num_pages
+        lpb = logical_page_bytes(cfg, rt.cache, self.dtype)
+        kv_bytes = rt.kv_pool_bytes or EnvConfig.kv_pool_bytes()
+        if not kv_bytes:
+            hbm = rt.hbm_bytes or _DEFAULT_HBM
+            w = _weight_bytes(self.params)
+            # activation headroom: scales with the largest prefill bucket
+            act = min(2 * 1024**3, max(512 * 1024**2, w // 4))
+            kv_bytes = int(hbm * EnvConfig.hbm_mem_ratio()) - w - act
+        n = max(kv_bytes // lpb, 2 * rt.max_batch)
+        # never exceed what max_batch sequences can use
+        n = min(n, rt.max_batch * rt.max_pages_per_seq)
+        logger.info("KV pool: %d logical pages (%.2f GiB)", n,
+                    n * lpb / 1024**3)
+        return int(n)
+
+    def _make_buckets(self) -> List[int]:
+        rt = self.rt
+        b, out = rt.min_prefill_bucket, []
+        while b < rt.max_length:
+            out.append(b)
+            b *= 2
+        out.append(rt.max_length)
+        return out
+
+    def bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"length {n} exceeds max_length {self.rt.max_length}")
+
+    def _prefill_fn(self, bucket: int, with_logprobs: bool,
+                    with_guided: bool = False,
+                    with_lora: bool = False) -> Callable:
+        key = (bucket, with_logprobs, with_guided, with_lora)
+        if key not in self._prefill_steps:
+            self._prefill_steps[key] = steps_mod.build_prefill_step(
+                self.cfg, self.rt, bucket, use_kernel=self.use_kernel,
+                with_logprobs=with_logprobs, with_guided=with_guided,
+                with_lora=with_lora)
+        return self._prefill_steps[key]
+
+    def _decode_fn(self, with_logprobs: bool, with_guided: bool,
+                   with_lora: bool = False) -> Callable:
+        if not (with_logprobs or with_guided or with_lora):
+            return self._decode_step
+        key = ("dec", with_logprobs, with_guided, with_lora)
+        if key not in self._prefill_steps:
+            self._prefill_steps[key] = steps_mod.build_decode_step(
+                self.cfg, self.rt, use_kernel=self.use_kernel,
+                with_logprobs=with_logprobs, with_guided=with_guided,
+                with_lora=with_lora)
+        return self._prefill_steps[key]
+
+    def _make_enforcer(self, req: Request):
+        fmt = req.gen_cfg.response_format or {}
+        if fmt.get("type") not in ("json_object", "json"):
+            return None
+        if self.tokenizer is None:
+            logger.warning("json response_format requested but no tokenizer "
+                           "installed; ignoring")
+            return None
+        from dashinfer_tpu.engine.guided import JsonFormatEnforcer
+        return JsonFormatEnforcer(self.tokenizer, req.gen_cfg.eos_token_id,
+                                  self.cfg.vocab_size)
+
+    # -- request entry -------------------------------------------------------
+    def register(self, req: Request, queue: ResultQueue):
+        """Called on the USER thread before the enqueue message is submitted,
+        so sync_request/Get observe the request immediately (GIL-atomic dict
+        writes)."""
+        self.requests[req.uuid] = req
+        self.queues[req.uuid] = queue
+
+    def enqueue(self, req: Request, queue: ResultQueue = None):
+        if req.release_requested:   # released before the loop saw it
+            return
+        self.pending.append(req)
+        self.stat.pendings += 1
+
+    def free_slot_index(self) -> int:
+        for i, r in enumerate(self.slots):
+            if r is None:
+                return i
+        return -1
+
+    # -- prefill admission ---------------------------------------------------
+    def try_prefill_one(self) -> bool:
+        """Admit + prefill the head of the pending queue. Returns True if a
+        request was prefilled (reference RunTextGenerationContext,
+        as_engine_prefill.cpp:188)."""
+        if not self.pending or self.params is None:
+            return False
+        slot = self.free_slot_index()
+        if slot < 0:
+            return False
+        req: Request = self.pending[0]
+
+        prefix_len = 0
+        prefix_pages: List[int] = []
+        if self.prefix_cache is not None:
+            prefix_len, prefix_pages, nodes = self.prefix_cache.lookup(
+                req.input_ids)
+            req.prefix_nodes = nodes
+            req.stat.prefix_cache_hit_len = prefix_len
+
+        total_len = req.prompt_len
+        new_tokens = req.input_ids[prefix_len:]
+        if not new_tokens:
+            # full hit: recompute the last token so there are fresh logits
+            prefix_len -= 1
+            if req.prefix_nodes:
+                # keep node refs; the last page is still valid to reuse
+                pass
+            new_tokens = req.input_ids[prefix_len:]
+
+        need_pages = math.ceil(total_len / self.rt.cache.page_size) - len(prefix_pages)
+        if need_pages > 0 and not self.allocator.reserve(req.uuid, need_pages):
+            # pressure-release unreferenced prefix-cache pages, then retry
+            if self.prefix_cache is not None:
+                self.prefix_cache.evict(need_pages - self.allocator.num_free)
+            if not self.allocator.reserve(req.uuid, need_pages):
+                if self.prefix_cache is not None:
+                    for node in req.prefix_nodes:
+                        node.ref_count = max(node.ref_count - 1, 0)
+                    req.prefix_nodes = []
+                return False  # no memory; stay pending (caller may evict/stop)
+
+        try:
+            pages = (list(prefix_pages) +
+                     self.allocator.commit(req.uuid, max(need_pages, 0)))
+        finally:
+            self.allocator.release_reservation(req.uuid)
+
+        req.logical_pages = [[p] for p in pages]
+        req.slot = slot
+        self.slots[slot] = req
+        self.pending.popleft()
+        self.stat.pendings -= 1
+        self.stat.runnings += 1
+
+        bucket = self.bucket_for(len(new_tokens) + prefix_len)
+        maxPb = (bucket + self.rt.cache.page_size - 1) // self.rt.cache.page_size
+        L = self.cfg.num_layers
+
+        page_row = np.zeros((L, maxPb), np.int32)
+        for j, g in enumerate(pages[:maxPb]):
+            page_row[:, j] = g * L + np.arange(L)
+
+        tok_buf = np.zeros((bucket,), np.int32)
+        tok_buf[:len(new_tokens)] = new_tokens
+
+        gen = req.gen_cfg
+        with_lp = bool(gen.logprobs)
+        req.format_enforcer = self._make_enforcer(req)
+        with_lora = (self.lora_manager is not None and
+                     gen.lora_name is not None)
+        init = self._slot_init(req, slot)
+        fn = self._prefill_fn(bucket, with_lp,
+                              with_guided=req.format_enforcer is not None,
+                              with_lora=with_lora)
+        t0 = time.monotonic()
+        try:
+            kwargs = {}
+            if req.format_enforcer is not None:
+                kwargs["allowed"] = jnp.asarray(
+                    req.format_enforcer.allowed_mask())
+            if with_lora:
+                kwargs["lora_pool"] = self.lora_manager.pool
+            with self.profiler.phase(f"prefill[{bucket}]"):
+                tok, lp, self.cache, self.state = fn(
+                    self.params, self.cache, self.state,
+                    jnp.asarray(tok_buf), jnp.asarray(page_row),
+                    jnp.int32(prefix_len), jnp.int32(total_len), init,
+                    **kwargs)
+                tok = int(tok)
+        except Exception:
+            # fail THIS request atomically (reference converts per-rank
+            # exceptions to request status, as_engine_prefill.cpp:216-232)
+            logger.exception("prefill failed for %s", req.uuid[:8])
+            self.slots[slot] = None
+            req.slot = -1
+            self.stat.runnings -= 1
+            self._release_pages(req)
+            req.status = GenerateRequestStatus.InternalError
+            q = self.queues.get(req.uuid)
+            if q is not None:
+                q.set_status(GenerateRequestStatus.InternalError)
+            return True
+        t1 = time.monotonic()
+
+        self._cached_len[req.uuid] = total_len
+        req.prefilled_len = total_len
+        req.status = GenerateRequestStatus.Generating
+        req.stat.first_token_time = t1
+        req.stat.time_to_first_token = t1 - req.enqueue_time
+        req.stat.time_in_queue = t0 - req.enqueue_time
+        req.stat.context_tps = total_len / max(t1 - t0, 1e-9)
+
+        if self.prefix_cache is not None:
+            self.prefix_cache.insert(req.input_ids, pages, req)
+
+        if req.format_enforcer is not None:
+            req.format_enforcer.advance(tok)
+        self._emit(req, [tok], lp, 0)
+        self._maybe_finish(req, tok)
+        self.stat.total_prefill_tokens += total_len
+        return True
+
+    def _slot_init(self, req: Request, slot: int) -> steps_mod.SlotInit:
+        g = req.gen_cfg
+        max_stop = self.rt.max_stop_token_ids
+        stop_ids = []
+        if g.eos_token_id >= 0 and g.early_stopping:
+            stop_ids.append(g.eos_token_id)
+        for w in g.stop_words_ids:
+            if len(w) == 1:
+                stop_ids.append(int(w[0]))
+        stop_ids = (stop_ids + [-1] * max_stop)[:max_stop]
+        top_k = g.top_k if g.do_sample else 1
+        lora_idx = -1
+        if self.lora_manager is not None and g.lora_name is not None:
+            lora_idx = self.lora_manager.index_of(g.lora_name)
+        return steps_mod.SlotInit(
+            slot=jnp.int32(slot),
+            temperature=jnp.float32(g.temperature),
+            top_k=jnp.int32(top_k),
+            top_p=jnp.float32(g.top_p),
+            repetition_penalty=jnp.float32(g.repetition_penalty),
+            presence_penalty=jnp.float32(g.presence_penalty),
+            frequency_penalty=jnp.float32(g.frequency_penalty),
+            seed=jnp.uint32(g.seed & 0xFFFFFFFF),
+            min_gen_len=jnp.int32(g.min_length),
+            stop_token_ids=jnp.asarray(stop_ids, jnp.int32),
+            lora_idx=jnp.int32(lora_idx),
+        )
+
+    # -- decode --------------------------------------------------------------
+    def active_requests(self) -> List[Request]:
+        return [r for r in self.slots if r is not None]
+
+    def decode_tick(self) -> int:
+        """One batched decode step over all active slots. Returns number of
+        active requests stepped (reference RunTextGenerationContinue,
+        as_engine_decode.cpp:183)."""
+        act = self.active_requests()
+        if not act or self.params is None:
+            return 0
+        B, L, ps = self.rt.max_batch, self.cfg.num_layers, self.rt.cache.page_size
+        new_page_ids = np.full((B, L), -1, np.int32)
+
+        # allocate pages for slots whose incoming token starts a new page
+        for req in list(act):
+            clen = self._cached_len.get(req.uuid)
+            if clen is None:  # defensive: orphaned slot
+                logger.error("slot %d holds unknown request %s; clearing",
+                             req.slot, req.uuid[:8])
+                self._finish(req, GenerateRequestStatus.InternalError)
+                continue
+            if clen % ps == 0:
+                while True:
+                    try:
+                        g = self.allocator.alloc(1)[0]
+                        break
+                    except NoFreePages:
+                        if (self.prefix_cache is not None and
+                                self.prefix_cache.evict(1) > 0):
+                            continue
+                        if not self._evict_victim(exclude=req.uuid):
+                            # evicting even this request is allowed in the
+                            # reference; interrupt it too
+                            self._interrupt(req)
+                            g = None
+                            break
+                if g is None:
+                    continue
+                req.logical_pages.append([g])
+                new_page_ids[req.slot] = g * L + np.arange(L)
+
+        act = self.active_requests()
+        if not act:
+            return 0
+
+        with_lp = any(r.gen_cfg.logprobs for r in act)
+        guided = [r for r in act if r.format_enforcer is not None]
+        with_lora = (self.lora_manager is not None and
+                     any(r.gen_cfg.lora_name is not None for r in act))
+        fn = self._decode_fn(with_lp, bool(guided), with_lora)
+        kwargs = {}
+        if guided:
+            allowed = np.ones((B, self.cfg.vocab_size), bool)
+            for r in guided:
+                allowed[r.slot] = r.format_enforcer.allowed_mask()
+            kwargs["allowed"] = jnp.asarray(allowed)
+        if with_lora:
+            kwargs["lora_pool"] = self.lora_manager.pool
+        with self.profiler.phase("decode"):
+            tokens, lp, self.cache, self.state = fn(
+                self.params, self.cache, self.state,
+                jnp.asarray(new_page_ids), **kwargs)
+            tokens = np.asarray(tokens)
+
+        for req in act:
+            tok = int(tokens[req.slot])
+            self._cached_len[req.uuid] += 1
+            if req.format_enforcer is not None:
+                req.format_enforcer.advance(tok)
+            self._emit(req, [tok], lp, req.slot)
+            self._maybe_finish(req, tok)
+        self.stat.total_gen_tokens += len(act)
+        return len(act)
+
+    # -- token emission & finish ---------------------------------------------
+    def _emit(self, req: Request, toks: List[int], lp, row: int):
+        req.generated_ids.extend(toks)
+        q = self.queues.get(req.uuid)
+        if q is None:
+            return
+        if lp is not None and req.gen_cfg.logprobs:
+            token_lp, top_ids, top_lp = lp
+            n = req.gen_cfg.top_logprobs or 1
+            pairs = [list(zip(np.asarray(top_ids)[row][:n].tolist(),
+                              np.asarray(top_lp)[row][:n].tolist()))]
+            q.append(toks, logprobs=pairs,
+                     token_logprobs=[float(np.asarray(token_lp)[row])])
+        else:
+            q.append(toks)
+
+    def _maybe_finish(self, req: Request, last_tok: int):
+        g = req.gen_cfg
+        finished = False
+        if req.format_enforcer is not None and req.format_enforcer.complete:
+            finished = True
+        if g.early_stopping and g.eos_token_id >= 0 and last_tok == g.eos_token_id:
+            finished = True
+        if not finished and req.prompt_len + len(req.generated_ids) >= g.max_length:
+            finished = True
+        if not finished and g.stop_words_ids:
+            gen = req.generated_ids
+            for w in g.stop_words_ids:
+                w = list(w)
+                if len(w) <= len(gen) and gen[-len(w):] == w:
+                    finished = True
+                    break
+        if finished:
+            self._finish(req, GenerateRequestStatus.GenerateFinished)
+
+    def _finish(self, req: Request, status: GenerateRequestStatus):
+        req.status = status
+        if req.slot >= 0:
+            mask = np.zeros((self.rt.max_batch,), bool)
+            mask[req.slot] = True
+            self.state = self._deactivate(self.state, jnp.asarray(mask))
+            self.slots[req.slot] = None
+            req.slot = -1
+            self.stat.runnings -= 1
+        self._release_pages(req)
+        gen_time = time.monotonic() - (req.stat.first_token_time or
+                                       time.monotonic())
+        if len(req.generated_ids) > 1 and gen_time > 0:
+            req.stat.generate_tps = (len(req.generated_ids) - 1) / gen_time
+        q = self.queues.get(req.uuid)
+        if q is not None:
+            q.set_stat(req.stat)
+            q.set_status(status)
+
+    def _release_pages(self, req: Request):
+        pages = [g for grp in req.logical_pages for g in grp]
+        if self.prefix_cache is not None:
+            pages = self.prefix_cache.unref(req, pages)
+        if pages:
+            self.allocator.free(pages)
+        req.logical_pages = []
+
+    # -- eviction (reference ChooseVictimRequest, as_engine_decode.cpp) ------
+    def _evict_victim(self, exclude: Optional[str] = None) -> bool:
+        cands = [r for r in self.active_requests() if r.uuid != exclude]
+        if not cands:
+            return False
+        if self.rt.eviction_strategy == EvictionStrategy.MAX_LENGTH:
+            victim = max(cands, key=lambda r: self._cached_len[r.uuid])
+        else:
+            import random
+            victim = random.choice(cands)
+        logger.warning("cache OOM: interrupting request %s (len %d)",
+                       victim.uuid[:8], self._cached_len[victim.uuid])
+        self._interrupt(victim)
+        return True
+
+    def _interrupt(self, req: Request):
+        req.interrupted = True
+        self.stat.interrupted += 1
+        self._finish(req, GenerateRequestStatus.GenerateInterrupted)
+
+    def stop_request(self, uuid: str) -> bool:
+        req = self.requests.get(uuid)
+        if req is None:
+            return False
+        if req in self.pending:
+            self.pending.remove(req)
+            self.stat.pendings -= 1
+            self._finish(req, GenerateRequestStatus.GenerateInterrupted)
+            return True
+        if req.status in (GenerateRequestStatus.Generating,
+                          GenerateRequestStatus.ContextFinished):
+            self._finish(req, GenerateRequestStatus.GenerateInterrupted)
+        return True
+
+    def release_request(self, uuid: str):
+        self.stop_request(uuid)
+        self.requests.pop(uuid, None)
+        self.queues.pop(uuid, None)
+        self._cached_len.pop(uuid, None)
+
+    # -- weight swap (reference UnloadModelFromDeviceMemory /
+    #    ReloadModelToDeviceMemory, allspark.h:542-549; weight_manager.h:108-120)
+    def unload_weights_to_host(self):
+        if self._params_host is not None:
+            return
+        self._params_host = jax.device_get(self.params)
+        self.params = None
+        logger.info("weights swapped to host RAM")
+
+    def reload_weights_to_device(self):
+        if self._params_host is None:
+            return
+        self.params = jax.tree.map(jnp.asarray, self._params_host)
+        self._params_host = None
+        logger.info("weights reloaded to device")
+
+    # -- stats ----------------------------------------------------------------
+    def update_stats(self):
+        s = self.stat
+        s.total_span = self.allocator.num_pages
+        s.free_span = self.allocator.num_free
+        s.used_span = s.total_span - s.free_span
+        if self.prefix_cache is not None:
+            s.prefix_cache_hit_rate = self.prefix_cache.hit_rate()

@@ -1,0 +1,222 @@
+"""Jitted engine step functions.
+
+The reference walks op lists per phase (runDecoderContext for prefill,
+GenerateContinueDecoder for decode — model.cpp:488-743, 1212-1431) with
+per-batch Reshape before every step. On TPU the whole phase is ONE jitted
+program with fixed shapes:
+
+  prefill_step[bucket S]: model prefill + KV page writes + first-token
+      sampling + slot-state initialization (the reference's StartRequest +
+      runDecoderContext + gen_graph + UpdateId in one program).
+  decode_step: page-table growth scatter + batched model decode + sampler +
+      state bookkeeping (the reference's decode tick incl. GenerateOp and
+      UpdateId/PostProcessId, SURVEY.md §8.9).
+
+KV cache and DecodeState buffers are donated, so XLA updates them in place
+across steps — the pool is allocated once and never copied.
+"""
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dashinfer_tpu.config import CacheMode, ModelConfig, RuntimeConfig
+from dashinfer_tpu.models import transformer
+from dashinfer_tpu.ops import sampling as sampling_ops
+from dashinfer_tpu.runtime.batch_state import DecodeState, SamplingParams
+from dashinfer_tpu.runtime.kv_cache import KVCache
+
+
+class SlotInit(NamedTuple):
+    """Per-request scalars written into a slot at admission (device-side
+    mirror of GenerateConfig -> BatchGencfg, generate_op.cpp:238)."""
+
+    slot: jnp.ndarray            # i32 scalar
+    temperature: jnp.ndarray     # f32 scalar
+    top_k: jnp.ndarray           # i32
+    top_p: jnp.ndarray           # f32
+    repetition_penalty: jnp.ndarray
+    presence_penalty: jnp.ndarray
+    frequency_penalty: jnp.ndarray
+    seed: jnp.ndarray            # u32
+    min_gen_len: jnp.ndarray     # i32
+    stop_token_ids: jnp.ndarray  # [MAX_STOP] i32
+    lora_idx: jnp.ndarray        # i32; adapter pool slot, -1 = none
+
+
+def _write_slot_sampling(sp: SamplingParams, init: SlotInit) -> SamplingParams:
+    s = init.slot
+    return SamplingParams(
+        temperature=sp.temperature.at[s].set(init.temperature),
+        top_k=sp.top_k.at[s].set(init.top_k),
+        top_p=sp.top_p.at[s].set(init.top_p),
+        repetition_penalty=sp.repetition_penalty.at[s].set(
+            init.repetition_penalty),
+        presence_penalty=sp.presence_penalty.at[s].set(init.presence_penalty),
+        frequency_penalty=sp.frequency_penalty.at[s].set(
+            init.frequency_penalty),
+        seed=sp.seed.at[s].set(init.seed),
+        min_gen_len=sp.min_gen_len.at[s].set(init.min_gen_len),
+        stop_token_ids=sp.stop_token_ids.at[s].set(init.stop_token_ids),
+    )
+
+
+def _slot_sampling_params(init: SlotInit) -> SamplingParams:
+    """1-row SamplingParams for first-token sampling."""
+    def one(x, dt):
+        return jnp.asarray(x, dt)[None]
+    return SamplingParams(
+        temperature=one(init.temperature, jnp.float32),
+        top_k=one(init.top_k, jnp.int32),
+        top_p=one(init.top_p, jnp.float32),
+        repetition_penalty=one(init.repetition_penalty, jnp.float32),
+        presence_penalty=one(init.presence_penalty, jnp.float32),
+        frequency_penalty=one(init.frequency_penalty, jnp.float32),
+        seed=one(init.seed, jnp.uint32),
+        min_gen_len=one(init.min_gen_len, jnp.int32),
+        stop_token_ids=init.stop_token_ids[None],
+    )
+
+
+def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
+                       *, use_kernel: bool, with_logprobs: bool = False,
+                       with_guided: bool = False,
+                       with_lora: bool = False) -> Callable:
+    """Returns jitted fn(params, cache, state, tokens[S], page_row[L, maxPb],
+    prefix_len, total_len, init: SlotInit[, allowed [V] bool]) ->
+    (token, lp, cache, state)."""
+    mode = rt.cache.mode
+    V = cfg.vocab_size
+    n_lp = rt.max_top_logprobs if with_logprobs else 0
+
+    def step(params, cache: KVCache, state: DecodeState, tokens, page_row,
+             prefix_len, total_len, init: SlotInit, allowed=None,
+             lora_pool=None):
+        logits, cache = transformer.prefill_forward(
+            cfg, params, tokens, cache, page_row, prefix_len, total_len,
+            mode=mode, use_kernel=use_kernel,
+            lora=lora_pool if with_lora else None,
+            lora_idx=init.lora_idx if with_lora else None)
+        if with_guided:
+            logits = jnp.where(allowed, logits, -1e30)
+
+        # prompt token occurrence counts (penalties run over prompt+generated,
+        # like the reference's max_dec_ids accounting, SURVEY.md §8.9)
+        S = tokens.shape[0]
+        num_new = total_len - prefix_len
+        valid = jnp.arange(S, dtype=jnp.int32) < num_new
+        counts = jnp.zeros((V,), jnp.int32).at[
+            jnp.clip(tokens, 0, V - 1)].add(valid.astype(jnp.int32))
+
+        sp1 = _slot_sampling_params(init)
+        out = sampling_ops.sample(
+            logits[None], sp1, counts[None], jnp.zeros((1,), jnp.int32),
+            total_len[None], max_top_k=rt.sampler_max_top_k,
+            top_logprobs=n_lp)
+        tok = out.tokens[0]
+        counts = counts.at[tok].add(1)
+
+        s = init.slot
+        maxP = state.page_tables.shape[2]
+        row_padded = jnp.zeros((cfg.num_layers, maxP), jnp.int32)
+        row_padded = jax.lax.dynamic_update_slice(
+            row_padded, page_row, (0, 0))
+
+        state = DecodeState(
+            token_ids=state.token_ids.at[s].set(tok),
+            context_lens=state.context_lens.at[s].set(total_len),
+            prompt_lens=state.prompt_lens.at[s].set(total_len),
+            gen_lens=state.gen_lens.at[s].set(1),
+            page_tables=state.page_tables.at[s].set(row_padded),
+            active=state.active.at[s].set(True),
+            token_counts=state.token_counts.at[s].set(counts),
+            lora_idx=state.lora_idx.at[s].set(init.lora_idx),
+            sampling=_write_slot_sampling(state.sampling, init),
+        )
+        lp = (out.token_logprobs, out.top_ids, out.top_logprobs) \
+            if with_logprobs else None
+        return tok, lp, cache, state
+
+    return jax.jit(step, donate_argnums=(1, 2))
+
+
+def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
+                      *, use_kernel: bool, with_logprobs: bool = False,
+                      with_guided: bool = False,
+                      with_lora: bool = False) -> Callable:
+    """Returns jitted fn(params, cache, state, new_page_ids [B, L]
+    [, allowed [B, V] bool]) -> (tokens [B], lp, cache, state).
+
+    new_page_ids[b, l] >= 0 installs a fresh physical page for slot b layer l
+    at the page-table column the incoming token starts (host allocates when a
+    slot crosses a page boundary; reference model.cpp:1480-1521).
+    The guided variant masks logits to the host-computed allowed token sets
+    (JSON mode; reference format_enforcer.cpp:334-357)."""
+    mode = rt.cache.mode
+    ps = rt.cache.page_size
+    n_lp = rt.max_top_logprobs if with_logprobs else 0
+
+    def step(params, cache: KVCache, state: DecodeState, new_page_ids,
+             allowed=None, lora_pool=None):
+        B = state.max_batch
+        L = cfg.num_layers
+        lens = state.context_lens
+        col = lens // ps
+
+        b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+        l_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+        old = state.page_tables[b_idx, l_idx, col[:, None]]
+        vals = jnp.where(new_page_ids >= 0, new_page_ids, old)
+        page_tables = state.page_tables.at[b_idx, l_idx, col[:, None]].set(vals)
+
+        if with_lora:
+            onehot = jax.nn.one_hot(state.lora_idx,
+                                    lora_pool["scale"].shape[0],
+                                    dtype=jnp.float32)
+        logits, cache = transformer.decode_forward(
+            cfg, params, state.token_ids, cache, page_tables, lens,
+            state.active, mode=mode, use_kernel=use_kernel,
+            lora=lora_pool if with_lora else None,
+            lora_onehot=onehot if with_lora else None)
+        if with_guided:
+            logits = jnp.where(allowed, logits, -1e30)
+
+        out = sampling_ops.sample(
+            logits, state.sampling, state.token_counts, state.gen_lens,
+            lens, max_top_k=rt.sampler_max_top_k, top_logprobs=n_lp)
+
+        active = state.active
+        tok = jnp.where(active, out.tokens, state.token_ids)
+        inc = active.astype(jnp.int32)
+        counts = state.token_counts.at[
+            jnp.arange(B), jnp.clip(tok, 0, cfg.vocab_size - 1)].add(inc)
+
+        state = DecodeState(
+            token_ids=tok,
+            context_lens=lens + inc,
+            prompt_lens=state.prompt_lens,
+            gen_lens=state.gen_lens + inc,
+            page_tables=page_tables,
+            active=active,
+            token_counts=counts,
+            lora_idx=state.lora_idx,
+            sampling=state.sampling,
+        )
+        lp = (out.token_logprobs, out.top_ids, out.top_logprobs) \
+            if with_logprobs else None
+        return tok, lp, cache, state
+
+    return jax.jit(step, donate_argnums=(1, 2))
+
+
+def build_deactivate(cfg: ModelConfig, rt: RuntimeConfig) -> Callable:
+    """jitted fn(state, slot_mask [B] bool) -> state with slots released."""
+
+    def fn(state: DecodeState, slot_mask):
+        return dataclasses.replace(
+            state, active=jnp.where(slot_mask, False, state.active))
+
+    return jax.jit(fn, donate_argnums=(0,))

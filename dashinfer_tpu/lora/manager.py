@@ -1,0 +1,191 @@
+"""Multi-LoRA adapter serving.
+
+Reference: `LoraManager` (csrc/runtime/weight/weight_manager_lora.h:11) — a
+per-rank pool of <= lora_max_num adapters with rank <= lora_max_rank, loaded/
+unloaded by name (allspark.h:625-627), selected per request via
+GenerateConfig.lora_name, executed by SGMV segmented batch matmuls
+(sgmv_lora_op_gpu.cpp) inside a GemmLoraCapsule micro-graph (SURVEY.md §8.10).
+
+TPU design: the pool IS the device layout — all adapters live stacked in
+fixed-shape arrays `[L, max_num, in, r_max]` / `[L, max_num, r_max, out]`
+(layer-leading for the layer scan, rank-padded with zeros), so loading an
+adapter is a functional slot update
+and NO recompilation happens when adapters come and go (the reference's
+"fake lora" warmup exists to pin this memory; here the shapes are static by
+construction). Batched decode applies all adapters via a one-hot combine —
+the MXU-native equivalent of SGMV's segmented gather:
+
+    h[b, n, r] = sum_i x[b, i] A[n, l, i, r]        (tiny: r <= max_rank)
+    y[b, o]   += sum_n onehot[b, n] * sum_r h[b, n, r] B[n, l, r, o]
+"""
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dashinfer_tpu.config import ModelConfig, RuntimeConfig
+from dashinfer_tpu.utils import get_logger
+
+logger = get_logger("lora")
+
+# target module name -> (in_dim_fn, out_dim_fn)
+TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
+           "down_proj")
+
+
+def _dims(cfg: ModelConfig, target: str):
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    hid, inter = cfg.hidden_size, cfg.intermediate_size
+    return {
+        "q_proj": (hid, H * D), "k_proj": (hid, KH * D),
+        "v_proj": (hid, KH * D), "o_proj": (H * D, hid),
+        "gate_proj": (hid, inter), "up_proj": (hid, inter),
+        "down_proj": (inter, hid),
+    }[target]
+
+
+class LoraManager:
+    def __init__(self, cfg: ModelConfig, rt: RuntimeConfig,
+                 dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.max_num = rt.lora_max_num
+        self.max_rank = rt.lora_max_rank
+        self.dtype = dtype
+        self.names: List[Optional[str]] = [None] * self.max_num
+        self.pool = self._empty_pool()
+
+    def _empty_pool(self) -> Dict:
+        L, N, R = self.cfg.num_layers, self.max_num, self.max_rank
+        pool = {"A": {}, "B": {}, "scale": jnp.zeros((N,), jnp.float32)}
+        for t in TARGETS:
+            i, o = _dims(self.cfg, t)
+            pool["A"][t] = jnp.zeros((L, N, i, R), self.dtype)
+            pool["B"][t] = jnp.zeros((L, N, R, o), self.dtype)
+        return pool
+
+    # -- load/unload (reference LoadLoraByName/UnloadLoraByName) -------------
+    def load(self, name: str, adapter_path_or_tensors, alpha: float = None,
+             rank: int = None) -> int:
+        if name in self.names:
+            raise ValueError(f"lora '{name}' already loaded")  # reference
+            # requires unload before replace (tainted-name tracking)
+        try:
+            slot = self.names.index(None)
+        except ValueError:
+            raise RuntimeError(
+                f"lora pool full ({self.max_num}); unload one first")
+
+        if isinstance(adapter_path_or_tensors, (str, os.PathLike)):
+            tensors, alpha, rank = self._read_peft(str(adapter_path_or_tensors))
+        else:
+            tensors = adapter_path_or_tensors
+            assert alpha is not None and rank is not None
+        if rank > self.max_rank:
+            raise ValueError(f"lora rank {rank} > lora_max_rank {self.max_rank}")
+
+        L, R = self.cfg.num_layers, self.max_rank
+        for t in TARGETS:
+            i, o = _dims(self.cfg, t)
+            A = np.zeros((L, i, R), np.float32)
+            B = np.zeros((L, R, o), np.float32)
+            for l in range(L):
+                a_t = tensors.get((l, t, "A"))
+                b_t = tensors.get((l, t, "B"))
+                if a_t is None:
+                    continue
+                r = a_t.shape[0]  # peft layout: lora_A [r, in], lora_B [out, r]
+                A[l, :, :r] = np.asarray(a_t, np.float32).T
+                B[l, :r, :] = np.asarray(b_t, np.float32).T
+            self.pool["A"][t] = self.pool["A"][t].at[:, slot].set(
+                jnp.asarray(A, self.dtype))
+            self.pool["B"][t] = self.pool["B"][t].at[:, slot].set(
+                jnp.asarray(B, self.dtype))
+        self.pool["scale"] = self.pool["scale"].at[slot].set(alpha / rank)
+        self.names[slot] = name
+        logger.info("loaded lora '%s' (rank %d, alpha %.1f) into slot %d",
+                    name, rank, alpha, slot)
+        return slot
+
+    def unload(self, name: str) -> bool:
+        if name not in self.names:
+            return False
+        slot = self.names.index(name)
+        self.names[slot] = None
+        for t in TARGETS:
+            self.pool["A"][t] = self.pool["A"][t].at[:, slot].set(0.0)
+            self.pool["B"][t] = self.pool["B"][t].at[:, slot].set(0.0)
+        self.pool["scale"] = self.pool["scale"].at[slot].set(0.0)
+        return True
+
+    def index_of(self, name: Optional[str]) -> int:
+        if name is None:
+            return -1
+        if name not in self.names:
+            raise KeyError(f"lora '{name}' not loaded")
+        return self.names.index(name)
+
+    # -- HF PEFT checkpoint ingestion -----------------------------------------
+    def _read_peft(self, path: str):
+        """Read adapter_model.safetensors + adapter_config.json."""
+        cfg_file = os.path.join(path, "adapter_config.json")
+        with open(cfg_file) as f:
+            acfg = json.load(f)
+        alpha = float(acfg.get("lora_alpha", 16))
+        rank = int(acfg.get("r", 8))
+        import glob
+        files = (glob.glob(os.path.join(path, "adapter_model.safetensors")) or
+                 glob.glob(os.path.join(path, "adapter_model.bin")))
+        if not files:
+            raise FileNotFoundError(f"no adapter weights under {path}")
+        if files[0].endswith(".safetensors"):
+            from safetensors import safe_open
+            raw = {}
+            with safe_open(files[0], framework="pt") as f:
+                for k in f.keys():
+                    raw[k] = f.get_tensor(k).float().numpy()
+        else:
+            import torch
+            raw = {k: v.float().numpy()
+                   for k, v in torch.load(files[0], map_location="cpu").items()}
+        tensors = {}
+        for k, v in raw.items():
+            # e.g. base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight
+            parts = k.split(".")
+            if "layers" not in parts:
+                continue
+            l = int(parts[parts.index("layers") + 1])
+            target = next((t for t in TARGETS if t in parts), None)
+            if target is None:
+                continue
+            ab = "A" if "lora_A" in parts else "B"
+            tensors[(l, target, ab)] = v
+        return tensors, alpha, rank
+
+
+def apply_lora_batch(x: jnp.ndarray, A_l: jnp.ndarray, B_l: jnp.ndarray,
+                     scale: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
+    """Batched multi-adapter delta for decode (SGMV equivalent).
+
+    x: [B, in]; A_l: [N, in, R]; B_l: [N, R, out]; scale: [N];
+    onehot: [B, N] (all-zero row = no adapter). Returns [B, out].
+    """
+    h = jnp.einsum("bi,nir->bnr", x.astype(jnp.float32),
+                   A_l.astype(jnp.float32))
+    h = h * (onehot * scale[None, :])[..., None]
+    y = jnp.einsum("bnr,nro->bo", h, B_l.astype(jnp.float32))
+    return y.astype(x.dtype)
+
+
+def apply_lora_single(x: jnp.ndarray, A_l: jnp.ndarray, B_l: jnp.ndarray,
+                      scale: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Single-adapter delta for prefill. x: [T, in]; idx scalar (-1 = none)."""
+    safe = jnp.maximum(idx, 0)
+    A = A_l[safe]                                  # [in, R]
+    B = B_l[safe]                                  # [R, out]
+    s = jnp.where(idx >= 0, scale[safe], 0.0)
+    h = jnp.dot(x.astype(jnp.float32), A.astype(jnp.float32)) * s
+    return jnp.dot(h, B.astype(jnp.float32)).astype(x.dtype)

@@ -1,0 +1,96 @@
+"""ChatGLM2/3/GLM-4 (reference converters chatglm_v2-v4; registry
+csrc/core/model/chatglm/chatglm.cpp:24-27).
+
+Architecture: MQA/GQA with fused query_key_value, rotary over head_dim/2 with
+interleaved pairs, SwiGLU with fused dense_h_to_4h. Conversion splits the
+fused tensors into the generic layout. (No offline golden test possible —
+ChatGLM HF repos need remote code; validated structurally.)"""
+
+from typing import Dict
+
+import numpy as np
+
+from dashinfer_tpu.config import ModelConfig
+from dashinfer_tpu.models.common import _cast, _to_np
+from dashinfer_tpu.models.registry import register_model
+
+
+def _model_config(hf: dict) -> ModelConfig:
+    hidden = hf["hidden_size"]
+    heads = hf["num_attention_heads"]
+    kv = hf.get("multi_query_group_num", heads) if hf.get(
+        "multi_query_attention", False) else heads
+    return ModelConfig(
+        arch="chatglm",
+        vocab_size=hf.get("padded_vocab_size", hf.get("vocab_size")),
+        hidden_size=hidden,
+        intermediate_size=hf["ffn_hidden_size"],
+        num_layers=hf["num_layers"],
+        num_heads=heads,
+        num_kv_heads=kv,
+        head_dim=hf.get("kv_channels", hidden // heads),
+        rms_norm_eps=hf.get("layernorm_epsilon", 1e-5),
+        rope_theta=10000.0 * hf.get("rope_ratio", 1.0),
+        max_position_embeddings=hf.get("seq_length", 32768),
+        rotary_dim=hf.get("kv_channels", hidden // heads) // 2,
+        rope_interleaved=True,
+        qkv_bias=hf.get("add_qkv_bias", False),
+        tie_word_embeddings=False,
+    )
+
+
+class _ChatGLMConverter:
+    def convert(self, tensors: Dict, cfg: ModelConfig, dtype) -> Dict:
+        t = tensors
+        H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+        def get(name):
+            return _to_np(t[name])
+
+        def layer(i):
+            base = f"transformer.encoder.layers.{i}"
+            qkv_w = get(f"{base}.self_attention.query_key_value.weight")
+            q_w, k_w, v_w = np.split(qkv_w, [H * D, H * D + KH * D], axis=0)
+            lp = {
+                "input_layernorm": _cast(get(f"{base}.input_layernorm.weight"), dtype),
+                "post_attention_layernorm": _cast(
+                    get(f"{base}.post_attention_layernorm.weight"), dtype),
+                "q_proj": {"w": _cast(q_w.T, dtype)},
+                "k_proj": {"w": _cast(k_w.T, dtype)},
+                "v_proj": {"w": _cast(v_w.T, dtype)},
+                "o_proj": {"w": _cast(get(f"{base}.self_attention.dense.weight").T, dtype)},
+            }
+            if cfg.qkv_bias:
+                qkv_b = get(f"{base}.self_attention.query_key_value.bias")
+                q_b, k_b, v_b = np.split(qkv_b, [H * D, H * D + KH * D])
+                lp["q_proj"]["b"] = _cast(q_b, dtype)
+                lp["k_proj"]["b"] = _cast(k_b, dtype)
+                lp["v_proj"]["b"] = _cast(v_b, dtype)
+            # dense_h_to_4h is fused [2*ffn, hidden]: first half gate, second up
+            h4 = get(f"{base}.mlp.dense_h_to_4h.weight")
+            gate_w, up_w = np.split(h4, 2, axis=0)
+            lp["gate_proj"] = {"w": _cast(gate_w.T, dtype)}
+            lp["up_proj"] = {"w": _cast(up_w.T, dtype)}
+            lp["down_proj"] = {"w": _cast(get(f"{base}.mlp.dense_4h_to_h.weight").T, dtype)}
+            return lp
+
+        layers = [layer(i) for i in range(cfg.num_layers)]
+        stacked = {}
+        for key in layers[0]:
+            if isinstance(layers[0][key], dict):
+                stacked[key] = {s: np.stack([l[key][s] for l in layers])
+                                for s in layers[0][key]}
+            else:
+                stacked[key] = np.stack([l[key] for l in layers])
+        return {
+            "embed_tokens": {"w": _cast(
+                get("transformer.embedding.word_embeddings.weight"), dtype)},
+            "norm": _cast(get("transformer.encoder.final_layernorm.weight"), dtype),
+            "lm_head": {"w": _cast(get("transformer.output_layer.weight").T, dtype)},
+            "layers": stacked,
+        }
+
+
+@register_model("ChatGLMModel", "ChatGLMForConditionalGeneration", "chatglm")
+def build_chatglm():
+    return _model_config, _ChatGLMConverter()

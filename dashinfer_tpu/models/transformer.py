@@ -1,0 +1,245 @@
+"""Generic decoder-only transformer over the paged KV cache.
+
+This module replaces the reference's protobuf graph IR + C++ op-walking
+executor (csrc/core/model/model.cpp:488-743 runDecoderContext,
+:1212-1431 GenerateContinueDecoder): the per-layer op chain
+(RMSNorm -> QKV Gemm -> Rotary -> attention -> o-proj -> AllReduce ->
+RMSNorm -> gate/up Gemm -> SWiGLU -> down Gemm -> AllReduce) becomes a pure
+function scanned over stacked layer weights. Collectives are NOT explicit
+ops: tensor parallelism comes from NamedSharding on the weight pytree
+(parallel/sharding.py) and XLA inserts the all-reduces.
+
+Layer params are STACKED (leading dim = num_layers) and consumed via
+`jax.lax.scan` — one compiled layer body regardless of depth. The KV pool is
+carried through the scan and scatter-updated in place.
+
+Two entry points:
+  decode_forward : [B] one token per slot, paged attention over the pool.
+  prefill_forward: [S] one request's (chunk of) prompt; writes pages, attends
+                   causally over (cached prefix + chunk) via page gather.
+"""
+
+import dataclasses
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dashinfer_tpu.config import Activation, CacheMode, ModelConfig, PositionEmbedding
+from dashinfer_tpu.ops import attention as attn_ops
+from dashinfer_tpu.ops import kv_ops
+from dashinfer_tpu.ops.linear import linear
+from dashinfer_tpu.ops.moe import moe_block
+from dashinfer_tpu.ops.norms import rms_norm
+from dashinfer_tpu.ops.rotary import (apply_rope, compute_inv_freq,
+                                      rope_cos_sin, _mscale)
+from dashinfer_tpu.runtime.kv_cache import KVCache
+
+
+def _activation(cfg: ModelConfig, x):
+    if cfg.activation == Activation.SILU:
+        return jax.nn.silu(x)
+    if cfg.activation == Activation.GELU:
+        return jax.nn.gelu(x, approximate=False)
+    if cfg.activation == Activation.GELU_TANH:
+        return jax.nn.gelu(x, approximate=True)
+    return jax.nn.relu(x)
+
+
+def _qkv(cfg: ModelConfig, lp: Dict, x: jnp.ndarray, delta=None):
+    """x: [T, hidden] -> q [T,H,D], k/v [T,KH,D] with optional QK-RMSNorm
+    (Qwen3 QKLayerNormNoBeta, reference qwen_v30.py:228-319). `delta` is the
+    LoRA hook: delta(target_name, x) -> [T, out] adapter contribution
+    (reference GemmLora/GemmLoraCapsule, SURVEY.md §8.10)."""
+    T = x.shape[0]
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def lin(name):
+        y = linear(x, lp[name])
+        if delta is not None:
+            y = y + delta(name, x)
+        return y
+
+    q = lin("q_proj").reshape(T, H, D)
+    k = lin("k_proj").reshape(T, KH, D)
+    v = lin("v_proj").reshape(T, KH, D)
+    if cfg.qk_norm:
+        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+    return q, k, v
+
+
+def _mlp(cfg: ModelConfig, lp: Dict, x: jnp.ndarray, delta=None) -> jnp.ndarray:
+    if cfg.moe is not None:
+        return moe_block(cfg, x, lp)
+    g = linear(x, lp["gate_proj"])
+    u = linear(x, lp["up_proj"])
+    if delta is not None:
+        g = g + delta("gate_proj", x)
+        u = u + delta("up_proj", x)
+    h = _activation(cfg, g) * u
+    y = linear(h, lp["down_proj"])
+    if delta is not None:
+        y = y + delta("down_proj", h)
+    return y
+
+
+def _attn_scale(cfg: ModelConfig) -> float:
+    return 1.0 / math.sqrt(cfg.head_dim)
+
+
+def _lm_logits(cfg: ModelConfig, params: Dict, hidden: jnp.ndarray) -> jnp.ndarray:
+    """hidden: [T, hidden] -> f32 logits [T, vocab] (reference GetLastLine +
+    lm_head Gemm)."""
+    hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings:
+        w = params["embed_tokens"]["w"].T
+        logits = jnp.dot(hidden, w.astype(hidden.dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = linear(hidden, params["lm_head"], out_dtype=jnp.float32)
+    if cfg.final_logit_softcap:
+        c = cfg.final_logit_softcap
+        logits = jnp.tanh(logits / c) * c
+    return logits.astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# decode: one token per active slot
+# --------------------------------------------------------------------------
+
+def decode_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
+                   cache: KVCache, page_tables: jnp.ndarray,
+                   lens_before: jnp.ndarray, active: jnp.ndarray,
+                   *, mode: CacheMode, use_kernel: bool = True,
+                   lora: Optional[Dict] = None,
+                   lora_onehot: Optional[jnp.ndarray] = None
+                   ) -> Tuple[jnp.ndarray, KVCache]:
+    """tokens: [B] int32; page_tables: [B, L, maxP]; lens_before: [B] tokens
+    already cached (the new token's position). Returns (logits [B, vocab]
+    f32, cache)."""
+    B = tokens.shape[0]
+    ps = cache.page_size
+    hidden = params["embed_tokens"]["w"][tokens].astype(params_dtype(params))
+
+    pos = lens_before
+    inv_freq = compute_inv_freq(cfg)
+    cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
+
+    lens_after = jnp.where(active, lens_before + 1, 0)
+    page_col = pos // ps
+    offsets = pos % ps
+    pt_by_layer = jnp.transpose(page_tables, (1, 0, 2))  # [L, B, maxP]
+    scale = _attn_scale(cfg)
+
+    def body(carry, xs):
+        hidden, cache = carry
+        if lora is not None:
+            lp, pt_l, la, lb = xs
+            from dashinfer_tpu.lora.manager import apply_lora_batch
+            delta = lambda t, x_: apply_lora_batch(
+                x_, la[t], lb[t], lora["scale"], lora_onehot)
+        else:
+            lp, pt_l = xs  # pt_l: [B, maxP]
+            delta = None
+        x = rms_norm(hidden, lp["input_layernorm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, lp, x, delta)
+        q = apply_rope(q, cos, sin, cfg.rope_interleaved)
+        k = apply_rope(k, cos, sin, cfg.rope_interleaved)
+        page_ids = jnp.take_along_axis(pt_l, page_col[:, None], axis=1)[:, 0]
+        cache2 = kv_ops.append_decode_kv(cache, mode, k, v, page_ids, offsets,
+                                         active)
+        attn = attn_ops.paged_attention(q, cache2, mode, pt_l, lens_after,
+                                        scale, use_kernel=use_kernel)
+        attn_flat = attn.reshape(B, -1)
+        attn_out = linear(attn_flat, lp["o_proj"])
+        if delta is not None:
+            attn_out = attn_out + delta("o_proj", attn_flat)
+        hidden = hidden + attn_out
+        x2 = rms_norm(hidden, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        hidden = hidden + _mlp(cfg, lp, x2, delta)
+        return (hidden, cache2), None
+
+    xs = (params["layers"], pt_by_layer)
+    if lora is not None:
+        xs = xs + (lora["A"], lora["B"])
+    (hidden, cache), _ = jax.lax.scan(body, (hidden, cache), xs)
+    logits = _lm_logits(cfg, params, hidden)
+    return logits, cache
+
+
+# --------------------------------------------------------------------------
+# prefill: one request's (chunk of) prompt
+# --------------------------------------------------------------------------
+
+def prefill_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
+                    cache: KVCache, page_table: jnp.ndarray,
+                    prefix_len: jnp.ndarray, total_len: jnp.ndarray,
+                    *, mode: CacheMode, use_kernel: bool = True,
+                    embeds: Optional[jnp.ndarray] = None,
+                    lora: Optional[Dict] = None,
+                    lora_idx: Optional[jnp.ndarray] = None
+                    ) -> Tuple[jnp.ndarray, KVCache]:
+    """tokens: [S] the uncached suffix (padded to the bucket size S);
+    page_table: [L, maxP_bucket] physical pages covering positions
+    [0, S_kv); prefix_len: scalar cached-prefix length (prefix-cache hit or
+    previous chunks); total_len: prefix_len + actual new tokens.
+
+    Returns (last-token logits [vocab] f32, cache). `embeds` optionally
+    overrides the token embeddings (multimodal RichEmbedding path,
+    reference rich_embedding_op.cpp).
+    """
+    S = tokens.shape[0]
+    num_new = total_len - prefix_len
+    if embeds is None:
+        hidden = params["embed_tokens"]["w"][tokens].astype(params_dtype(params))
+    else:
+        hidden = embeds
+
+    pos = prefix_len + jnp.arange(S, dtype=jnp.int32)
+    inv_freq = compute_inv_freq(cfg)
+    cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
+    scale = _attn_scale(cfg)
+
+    def body(carry, xs):
+        hidden, cache = carry
+        if lora is not None:
+            lp, pt_l, la, lb = xs
+            from dashinfer_tpu.lora.manager import apply_lora_single
+            delta = lambda t, x_: apply_lora_single(
+                x_, la[t], lb[t], lora["scale"], lora_idx)
+        else:
+            lp, pt_l = xs  # pt_l: [maxP_bucket]
+            delta = None
+        x = rms_norm(hidden, lp["input_layernorm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, lp, x, delta)
+        q = apply_rope(q, cos, sin, cfg.rope_interleaved)
+        k = apply_rope(k, cos, sin, cfg.rope_interleaved)
+        cache2 = kv_ops.append_prefill_kv(cache, mode, k, v, pt_l,
+                                          prefix_len, num_new)
+        k_full, v_full = kv_ops.gather_kv_pages(cache2, mode, pt_l,
+                                                jnp.float32)
+        attn = attn_ops.prefill_attention(q, k_full, v_full, prefix_len,
+                                          total_len, scale)
+        attn_flat = attn.reshape(S, -1)
+        attn_out = linear(attn_flat, lp["o_proj"])
+        if delta is not None:
+            attn_out = attn_out + delta("o_proj", attn_flat)
+        hidden = hidden + attn_out
+        x2 = rms_norm(hidden, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        hidden = hidden + _mlp(cfg, lp, x2, delta)
+        return (hidden, cache2), None
+
+    xs = (params["layers"], page_table)
+    if lora is not None:
+        xs = xs + (lora["A"], lora["B"])
+    (hidden, cache), _ = jax.lax.scan(body, (hidden, cache), xs)
+    last = jnp.clip(num_new - 1, 0, S - 1)
+    last_hidden = jax.lax.dynamic_slice_in_dim(hidden, last, 1, axis=0)
+    logits = _lm_logits(cfg, params, last_hidden)[0]
+    return logits, cache
+
+
+def params_dtype(params: Dict):
+    return params["embed_tokens"]["w"].dtype

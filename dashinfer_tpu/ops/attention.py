@@ -1,0 +1,94 @@
+"""Attention paths: paged decode attention + prefill attention.
+
+Decode = the reference's SpanAttention library (span-attention/, SURVEY.md
+§2.5): GQA attention reading K/V from non-contiguous pages. On TPU that is a
+Pallas kernel (ops/pallas/paged_attention.py) with a jnp gather-based
+reference implementation here for tests/CPU.
+
+Prefill = full-context attention (reference uses flash-v2/xformers above a
+threshold, span_attn_op_cuda.cpp). Here: jnp causal attention (XLA already
+emits a fused attention on TPU) with an optional page-table prefix for
+prefix-cache hits / chunked prefill.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dashinfer_tpu.config import CacheMode
+from dashinfer_tpu.ops import kv_ops
+from dashinfer_tpu.ops.pallas import paged_attention as _pa_kernel
+from dashinfer_tpu.runtime.kv_cache import KVCache
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def paged_attention_ref(q: jnp.ndarray, cache: KVCache, mode: CacheMode,
+                        page_tables: jnp.ndarray, lens: jnp.ndarray,
+                        scale: float) -> jnp.ndarray:
+    """Reference paged decode attention (one layer).
+
+    q: [B, H, D]; page_tables: [B, maxP] (this layer's physical page ids);
+    lens: [B] tokens to attend over (incl. the just-appended one).
+    Returns [B, H, D] in q.dtype.
+    """
+    B, H, D = q.shape
+    KH = cache.k.shape[0]
+    G = H // KH
+    maxP = page_tables.shape[1]
+    ps = cache.page_size
+    S = maxP * ps
+
+    k, v = jax.vmap(
+        lambda row: kv_ops.gather_kv_pages(cache, mode, row, jnp.float32)
+    )(page_tables)  # [B, S, KH, D]
+
+    qf = q.astype(jnp.float32).reshape(B, KH, G, D)
+    kf = jnp.transpose(k, (0, 2, 1, 3))  # [B, KH, S, D]
+    vf = jnp.transpose(v, (0, 2, 1, 3))
+    scores = jnp.einsum("bhgd,bhsd->bhgs", qf, kf) * scale
+    pos = jnp.arange(S, dtype=jnp.int32)
+    mask = pos[None, :] < lens[:, None]  # [B, S]
+    scores = jnp.where(mask[:, None, None, :], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgs,bhsd->bhgd", probs, vf)
+    return out.reshape(B, H, D).astype(q.dtype)
+
+
+def paged_attention(q: jnp.ndarray, cache: KVCache, mode: CacheMode,
+                    page_tables: jnp.ndarray, lens: jnp.ndarray,
+                    scale: float, use_kernel: bool = True) -> jnp.ndarray:
+    """Dispatch decode attention to the Pallas kernel or the jnp reference."""
+    if use_kernel:
+        return _pa_kernel.paged_attention(q, cache, mode, page_tables, lens,
+                                          scale)
+    return paged_attention_ref(q, cache, mode, page_tables, lens, scale)
+
+
+def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      q_start: jnp.ndarray, kv_valid: jnp.ndarray,
+                      scale: float,
+                      sinks: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Causal attention for a prefill chunk over a (prefix + chunk) KV.
+
+    q: [T, H, D] — queries at sequence positions q_start + t
+    k/v: [S, KH, D] — keys at sequence positions 0..S-1 (prefix + chunk
+         already merged by the caller); entries >= kv_valid are padding.
+    Causal rule: query t sees keys with pos <= q_start + t and pos < kv_valid.
+    """
+    T, H, D = q.shape
+    S, KH, _ = k.shape
+    G = H // KH
+    qf = q.astype(jnp.float32).reshape(T, KH, G, D)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    scores = jnp.einsum("thgd,shd->hgts", qf, kf) * scale  # [KH, G, T, S]
+    kpos = jnp.arange(S, dtype=jnp.int32)
+    qpos = q_start + jnp.arange(T, dtype=jnp.int32)
+    mask = (kpos[None, :] <= qpos[:, None]) & (kpos[None, :] < kv_valid)
+    scores = jnp.where(mask[None, None, :, :], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("hgts,shd->thgd", probs, vf)
+    return out.reshape(T, H, D).astype(q.dtype)

@@ -1,0 +1,73 @@
+"""Linear layers over plain or quantized weight pytrees.
+
+A weight leaf is a dict:
+  {"w": [in, out] bf16}                                  plain
+  {"w_q": int8 ([..,in,out]) or uint8 (packed u4, [..,in,out/2]),
+   "scale": ..., "zero": ...}   (bits inferred from payload dtype)
+                                                         weight-only quantized
+plus optional {"b": [out]}.
+
+Quantized matmul dispatch mirrors the reference's M-regime split
+(gemm_a16w8_kernel.h:163-281 SelectKernel): tiny M (decode GEMV) wants a
+fused dequant kernel at HBM speed-of-light; large M (prefill) dequantizes
+into the MXU's bf16 path. Here the default path is dequant-then-dot — XLA
+fuses the dequant into the matmul's operand read; a Pallas fused GEMV
+(ops/pallas/quant_matmul.py) takes over for small M on TPU.
+"""
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dashinfer_tpu.ops.pallas import quant_matmul as _qmm
+
+
+def weight_bits(wd: Dict) -> int:
+    """int8 payload = 8-bit; uint8 payload = packed uint4."""
+    import numpy as np
+    return 8 if wd["w_q"].dtype == jnp.int8 else 4
+
+
+def dequantize_weight(wd: Dict, out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Materialize the bf16 weight from a quantized leaf.
+
+    Group-wise (sub-channel) layout: w_q [in, out], scale/zero [groups, out],
+    group g covers input rows [g*gs, (g+1)*gs) (reference InstantQuant
+    SubChannel, quantization.py:72-80). Per-channel: scale/zero [1, out].
+    """
+    w_q, scale, zero = wd["w_q"], wd["scale"], wd["zero"]
+    bits = weight_bits(wd)
+    if bits == 4:
+        from dashinfer_tpu.ops.u4pack import unpack_u4_weight_np_like
+        q = unpack_u4_weight_np_like(w_q, jnp).astype(jnp.float32)
+    else:
+        q = w_q.astype(jnp.float32)
+    in_dim = q.shape[0]
+    groups = scale.shape[0]
+    gs = in_dim // groups
+    qg = q.reshape(groups, gs, -1)
+    w = qg * scale[:, None, :] + zero[:, None, :]
+    return w.reshape(in_dim, -1).astype(out_dtype)
+
+
+def linear(x: jnp.ndarray, wd: Dict, out_dtype=None) -> jnp.ndarray:
+    """x: [..., in] @ w [in, out] (+ b)."""
+    out_dtype = out_dtype or x.dtype
+    if "w_q" in wd:
+        m = 1
+        for s in x.shape[:-1]:
+            m *= s
+        if _qmm.use_fused_gemv(m, wd):
+            out = _qmm.quant_matmul(x, wd, out_dtype)
+        else:
+            w = dequantize_weight(wd, jnp.bfloat16)
+            out = jnp.dot(x.astype(jnp.bfloat16), w,
+                          preferred_element_type=jnp.float32).astype(out_dtype)
+    else:
+        out = jnp.dot(x, wd["w"],
+                      preferred_element_type=jnp.float32).astype(out_dtype)
+    b = wd.get("b")
+    if b is not None:
+        out = out + b.astype(out_dtype)
+    return out

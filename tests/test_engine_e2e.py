@@ -1,0 +1,146 @@
+"""End-to-end engine tests: continuous batching, streaming, greedy parity
+with HF, eviction on cache OOM (reference model-level tests,
+tests/cpp/model/cuda/model_cuda_test.cpp:205+ incl. interrupted-request)."""
+
+import time
+
+import numpy as np
+import pytest
+
+import tests.hf_util as hf_util
+
+
+@pytest.fixture(scope="module")
+def engine_setup():
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.loader import build_from_torch_model
+
+    hf_cfg = hf_util.tiny_qwen2_config()
+    model = hf_util.make_torch_model(hf_cfg)
+    cfg, params = build_from_torch_model(model, hf_cfg.to_dict(), "float32")
+
+    rt = (RuntimeConfigBuilder("tiny")
+          .max_length(128).max_batch(4)
+          .kv_cache_page_size(16).kv_cache_num_pages(64)
+          .dtype("float32")
+          .update({"min_prefill_bucket": 16})
+          .build())
+    eng = Engine()
+    eng.install_model("tiny", rt, params=params, model_config=cfg)
+    eng.start_model("tiny")
+    yield eng, model, hf_cfg
+    eng.release_model("tiny")
+
+
+def test_single_request_greedy_matches_hf(engine_setup):
+    from dashinfer_tpu import GenerationConfig
+    from dashinfer_tpu.runtime.request import GenerateRequestStatus
+
+    eng, model, hf_cfg = engine_setup
+    rng = np.random.RandomState(5)
+    prompt = rng.randint(1, hf_cfg.vocab_size, size=11).tolist()
+    n_new = 6
+    golden = hf_util.hf_greedy_tokens(model, prompt, n_new)
+
+    gen = GenerationConfig(max_length=len(prompt) + n_new, do_sample=False,
+                           top_k=1, eos_token_id=-1)
+    status, handle, q = eng.start_request("tiny", prompt, gen)
+    eng.sync_request("tiny", handle, timeout_s=300)
+    assert q.GenerateStatus() == GenerateRequestStatus.GenerateFinished
+    got = q.GetAllGeneratedTokens()
+    eng.release_request("tiny", handle)
+    assert got == golden
+
+
+def test_concurrent_requests_stream_and_match(engine_setup):
+    from dashinfer_tpu import GenerationConfig
+    from dashinfer_tpu.runtime.request import GenerateRequestStatus
+
+    eng, model, hf_cfg = engine_setup
+    rng = np.random.RandomState(7)
+    prompts = [rng.randint(1, hf_cfg.vocab_size,
+                           size=rng.randint(4, 14)).tolist()
+               for _ in range(5)]  # 5 requests > max_batch=4: queueing
+    n_new = 5
+    goldens = [hf_util.hf_greedy_tokens(model, p, n_new) for p in prompts]
+
+    handles = []
+    for p in prompts:
+        gen = GenerationConfig(max_length=len(p) + n_new, do_sample=False,
+                               top_k=1, eos_token_id=-1)
+        handles.append(eng.start_request("tiny", p, gen))
+
+    for (status, h, q), golden in zip(handles, goldens):
+        eng.sync_request("tiny", h, timeout_s=600)
+        assert q.GenerateStatus() == GenerateRequestStatus.GenerateFinished
+        assert q.GetAllGeneratedTokens() == golden
+        eng.release_request("tiny", h)
+
+    stats = eng.get_engine_stat("tiny")
+    assert stats["runnings"] == 0 and stats["pendings"] == 0
+
+
+def test_stop_words_and_max_length(engine_setup):
+    from dashinfer_tpu import GenerationConfig
+    from dashinfer_tpu.runtime.request import GenerateRequestStatus
+
+    eng, model, hf_cfg = engine_setup
+    rng = np.random.RandomState(9)
+    prompt = rng.randint(1, hf_cfg.vocab_size, size=8).tolist()
+    golden = hf_util.hf_greedy_tokens(model, prompt, 8)
+
+    # stop at the 3rd golden token (single-token stop word)
+    gen = GenerationConfig(max_length=64, do_sample=False, top_k=1,
+                           eos_token_id=-1,
+                           stop_words_ids=[[golden[2]]])
+    _, h, q = eng.start_request("tiny", prompt, gen)
+    eng.sync_request("tiny", h, timeout_s=300)
+    got = q.GetAllGeneratedTokens()
+    eng.release_request("tiny", h)
+    assert got == golden[:3]
+
+    # max_length cap
+    gen2 = GenerationConfig(max_length=len(prompt) + 2, do_sample=False,
+                            top_k=1, eos_token_id=-1)
+    _, h2, q2 = eng.start_request("tiny", prompt, gen2)
+    eng.sync_request("tiny", h2, timeout_s=300)
+    assert len(q2.GetAllGeneratedTokens()) == 2
+    eng.release_request("tiny", h2)
+
+
+def test_eviction_on_cache_oom():
+    """Tiny pool: a long-running request gets interrupted when a competing
+    batch exhausts pages (reference interrupted-request test + eviction,
+    as_engine_decode.cpp:112-169)."""
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.loader import build_from_torch_model
+    from dashinfer_tpu.runtime.request import GenerateRequestStatus
+
+    hf_cfg = hf_util.tiny_qwen2_config()
+    model = hf_util.make_torch_model(hf_cfg)
+    cfg, params = build_from_torch_model(model, hf_cfg.to_dict(), "float32")
+
+    rt = (RuntimeConfigBuilder("t2").max_length(128).max_batch(3)
+          .kv_cache_page_size(16).kv_cache_num_pages(7)
+          .dtype("float32").update({"min_prefill_bucket": 16}).build())
+    eng = Engine()
+    eng.install_model("t2", rt, params=params, model_config=cfg)
+    eng.start_model("t2")
+    try:
+        rng = np.random.RandomState(11)
+        handles = []
+        for _ in range(3):
+            p = rng.randint(1, hf_cfg.vocab_size, size=15).tolist()
+            gen = GenerationConfig(max_length=96, do_sample=False, top_k=1,
+                                   eos_token_id=-1)
+            handles.append(eng.start_request("t2", p, gen))
+        statuses = []
+        for _, h, q in handles:
+            eng.sync_request("t2", h, timeout_s=600)
+            statuses.append(q.GenerateStatus())
+            eng.release_request("t2", h)
+        assert GenerateRequestStatus.GenerateInterrupted in statuses
+        # at least one request must have survived to completion
+        assert GenerateRequestStatus.GenerateFinished in statuses
+    finally:
+        eng.release_model("t2")

@@ -1,0 +1,64 @@
+"""Prefix cache end-to-end: a second request sharing a prompt prefix skips
+re-prefilling the shared pages and generates identical tokens (reference
+prefix_caching.rst behavior + Insert/RefFill, SURVEY.md §8.3)."""
+
+import numpy as np
+import pytest
+
+import tests.hf_util as hf_util
+
+
+def test_prefix_cache_hit_and_correctness():
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.loader import build_from_torch_model
+    from dashinfer_tpu.runtime.request import GenerateRequestStatus
+
+    hf_cfg = hf_util.tiny_qwen2_config()
+    model = hf_util.make_torch_model(hf_cfg)
+    cfg, params = build_from_torch_model(model, hf_cfg.to_dict(), "float32")
+
+    rt = (RuntimeConfigBuilder("pc").max_length(128).max_batch(2)
+          .kv_cache_page_size(16).kv_cache_num_pages(32).dtype("float32")
+          .prefix_cache(True)
+          .update({"min_prefill_bucket": 16}).build())
+    eng = Engine()
+    eng.install_model("pc", rt, params=params, model_config=cfg)
+    eng.start_model("pc")
+    try:
+        rng = np.random.RandomState(13)
+        shared = rng.randint(1, hf_cfg.vocab_size, size=37).tolist()  # 2 pages
+        p1 = shared + rng.randint(1, hf_cfg.vocab_size, size=5).tolist()
+        p2 = shared + rng.randint(1, hf_cfg.vocab_size, size=7).tolist()
+
+        golden2 = hf_util.hf_greedy_tokens(model, p2, 6)
+
+        gen = lambda p: GenerationConfig(max_length=len(p) + 6,
+                                         do_sample=False, top_k=1,
+                                         eos_token_id=-1)
+        _, h1, q1 = eng.start_request("pc", p1, gen(p1))
+        eng.sync_request("pc", h1, timeout_s=600)
+        stat1 = q1.RequestStatInfo()
+        assert stat1["prefix_cache_hit_len"] == 0
+        eng.release_request("pc", h1)
+
+        _, h2, q2 = eng.start_request("pc", p2, gen(p2))
+        eng.sync_request("pc", h2, timeout_s=600)
+        got2 = q2.GetAllGeneratedTokens()
+        stat2 = q2.RequestStatInfo()
+        eng.release_request("pc", h2)
+
+        # hit covers the shared full pages (37 tokens -> 2 full pages = 32)
+        assert stat2["prefix_cache_hit_len"] == 32
+        assert got2 == golden2, "prefix-hit path changed the output"
+
+        stats = eng.get_engine_stat("pc")
+        assert stats["prefix_cache_hit_rate"] > 0
+
+        # identical FULL prompt (hit covering all full pages) still works
+        _, h3, q3 = eng.start_request("pc", p2, gen(p2))
+        eng.sync_request("pc", h3, timeout_s=600)
+        got3 = q3.GetAllGeneratedTokens()
+        eng.release_request("pc", h3)
+        assert got3 == golden2
+    finally:
+        eng.release_model("pc")

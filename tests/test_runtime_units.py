@@ -1,0 +1,113 @@
+"""Page allocator + prefix cache + result queue unit tests."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+
+def test_allocator_two_phase():
+    from dashinfer_tpu.runtime.page_allocator import NoFreePages, PageAllocator
+
+    a = PageAllocator(10)
+    assert a.num_free == 10
+    assert a.reserve("r1", 6)
+    assert a.num_free == 4
+    assert not a.reserve("r2", 5)
+    assert a.reserve("r2", 4)
+    pages = a.commit("r1", 6)
+    assert len(pages) == 6 and len(set(pages)) == 6
+    a.release_reservation("r2")
+    assert a.num_free == 4
+    a.free(pages[:3])
+    assert a.num_free == 7
+    with pytest.raises(NoFreePages):
+        a.alloc(8)
+
+
+def test_allocator_grow():
+    from dashinfer_tpu.runtime.page_allocator import PageAllocator
+
+    a = PageAllocator(4)
+    a.grow(4)
+    assert a.num_pages == 8
+    got = a.alloc(8)
+    assert sorted(got) == list(range(8))
+
+
+class _FakeReq:
+    def __init__(self):
+        self.prefix_nodes = []
+
+
+def test_prefix_cache_hit_and_evict():
+    from dashinfer_tpu.config import (CacheConfig, ModelConfig, RuntimeConfig)
+    from dashinfer_tpu.runtime.page_allocator import PageAllocator
+    from dashinfer_tpu.runtime.prefix_cache import PrefixCacheManager
+
+    cfg = ModelConfig(arch="t", vocab_size=100, hidden_size=8,
+                      intermediate_size=8, num_layers=1, num_heads=1,
+                      num_kv_heads=1, head_dim=8)
+    rt = RuntimeConfig(cache=CacheConfig(page_size=16), max_length=256)
+    alloc = PageAllocator(32)
+    pc = PrefixCacheManager(cfg, rt, alloc)
+
+    ids = list(range(40))  # 2 full pages of 16 + tail 8
+    plen, pages, nodes = pc.lookup(ids)
+    assert plen == 0 and not pages
+
+    req = _FakeReq()
+    own_pages = alloc.alloc(3)
+    pc.insert(ids, own_pages, req)
+    assert pc.num_cached_pages == 2  # only full pages cached
+
+    # second request with same prefix hits both pages
+    req2 = _FakeReq()
+    plen2, pages2, nodes2 = pc.lookup(ids)
+    req2.prefix_nodes = nodes2
+    assert plen2 == 32
+    assert pages2 == own_pages[:2]
+
+    # different continuation after one shared page
+    ids3 = list(range(16)) + list(range(50, 70))
+    plen3, pages3, _ = pc.lookup(ids3)
+    assert plen3 == 16 and pages3 == own_pages[:1]
+
+    # release all refs; eviction then returns pages to the allocator
+    free_before = alloc.num_free
+    leftover = pc.unref(req, list(own_pages))
+    assert leftover == [own_pages[2]]       # tail page not cache-owned
+    pc.unref(req2, [])
+    # nodes still ref'd by ids3 lookup (+1 on page0)
+    n = pc.evict(10)
+    assert n == 1                           # only page1 unreferenced
+    assert pc.hit_rate() > 0
+
+
+def test_result_queue_streaming():
+    from dashinfer_tpu.runtime.request import GenerateRequestStatus
+    from dashinfer_tpu.runtime.result_queue import ResultQueue
+
+    q = ResultQueue("x")
+    got = []
+
+    def consumer():
+        while True:
+            el = q.Get(timeout_s=5)
+            if el is None:
+                break
+            got.extend(el.ids_from_generate)
+            if q.GenerateStatus() == GenerateRequestStatus.GenerateFinished \
+                    and not el.ids_from_generate:
+                break
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    q.append([1, 2])
+    time.sleep(0.02)
+    q.append([3])
+    q.set_status(GenerateRequestStatus.GenerateFinished)
+    t.join(timeout=5)
+    assert got == [1, 2, 3]
+    assert q.GetAllGeneratedTokens() == [1, 2, 3]

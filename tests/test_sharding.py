@@ -1,0 +1,76 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh — the
+multi-chip validation strategy the reference lacks (SURVEY.md §4 lesson)."""
+
+import numpy as np
+import pytest
+
+
+def test_param_shardings_specs():
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from dashinfer_tpu.parallel import make_mesh, param_shardings
+
+    mesh = make_mesh((1, 4))
+    params = {
+        "embed_tokens": {"w": np.zeros((32, 16))},
+        "norm": np.zeros((16,)),
+        "lm_head": {"w": np.zeros((16, 32))},
+        "layers": {
+            "input_layernorm": np.zeros((2, 16)),
+            "q_proj": {"w": np.zeros((2, 16, 32)), "b": np.zeros((2, 32))},
+            "o_proj": {"w": np.zeros((2, 32, 16))},
+            "down_proj": {"w": np.zeros((2, 8, 16))},
+        },
+    }
+    sh = param_shardings(params, mesh)
+    assert sh["embed_tokens"]["w"].spec == P("model", None)
+    assert sh["lm_head"]["w"].spec == P(None, "model")
+    assert sh["layers"]["q_proj"]["w"].spec == P(None, None, "model")
+    assert sh["layers"]["q_proj"]["b"].spec == P(None, "model")
+    assert sh["layers"]["o_proj"]["w"].spec == P(None, "model", None)
+    assert sh["layers"]["down_proj"]["w"].spec == P(None, "model", None)
+    assert sh["layers"]["input_layernorm"].spec == P(None, None)
+
+
+def test_dryrun_multichip_8():
+    import sys
+    sys.path.insert(0, ".")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_tp_forward_matches_single_device():
+    """Sharded decode step produces the same logits as unsharded."""
+    import jax
+    import jax.numpy as jnp
+    import sys
+    sys.path.insert(0, ".")
+    import __graft_entry__ as ge
+    from dashinfer_tpu.models import transformer
+    from dashinfer_tpu.parallel import make_mesh, shard_cache, shard_params
+
+    cfg, rt, params, cache, state = ge._tiny_setup(
+        heads=8, kv_heads=4, dtype="float32")
+    B = rt.max_batch
+    L = cfg.num_layers
+    maxP = rt.max_pages_per_seq
+    pt = np.zeros((B, L, maxP), np.int32)
+    for b in range(B):
+        pt[b, :, 0] = b * L + np.arange(L)
+    tokens = jnp.arange(B, dtype=jnp.int32) + 1
+    lens = jnp.full((B,), 3, jnp.int32)
+    active = jnp.ones((B,), bool)
+
+    def fwd(params, cache):
+        logits, _ = transformer.decode_forward(
+            cfg, params, tokens, cache, jnp.asarray(pt), lens, active,
+            mode=rt.cache.mode, use_kernel=False)
+        return logits
+
+    ref = np.asarray(jax.jit(fwd)(params, cache))
+
+    mesh = make_mesh((1, 4))
+    params_s = shard_params(params, mesh)
+    cache_s = shard_cache(cache, cfg, mesh)
+    got = np.asarray(jax.jit(fwd)(params_s, cache_s))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
