@@ -219,7 +219,7 @@ def prefill_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
         cache2 = kv_ops.append_prefill_kv(cache, mode, k, v, pt_l,
                                           prefix_len, num_new)
         k_full, v_full = kv_ops.gather_kv_pages(cache2, mode, pt_l,
-                                                jnp.float32)
+                                                cfg.num_kv_heads, jnp.float32)
         attn = attn_ops.prefill_attention(q, k_full, v_full, prefix_len,
                                           total_len, scale)
         attn_flat = attn.reshape(S, -1)

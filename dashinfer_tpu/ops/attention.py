@@ -35,14 +35,17 @@ def paged_attention_ref(q: jnp.ndarray, cache: KVCache, mode: CacheMode,
     Returns [B, H, D] in q.dtype.
     """
     B, H, D = q.shape
-    KH = cache.k.shape[0]
+    if cache.k_qparams is not None:
+        KH = cache.k_qparams.shape[1]
+    else:
+        KH = cache.k.shape[2] // D
     G = H // KH
     maxP = page_tables.shape[1]
     ps = cache.page_size
     S = maxP * ps
 
     k, v = jax.vmap(
-        lambda row: kv_ops.gather_kv_pages(cache, mode, row, jnp.float32)
+        lambda row: kv_ops.gather_kv_pages(cache, mode, row, KH, jnp.float32)
     )(page_tables)  # [B, S, KH, D]
 
     qf = q.astype(jnp.float32).reshape(B, KH, G, D)

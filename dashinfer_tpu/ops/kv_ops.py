@@ -2,10 +2,12 @@
 
 Rebuilds the reference's cache-movement CUDA kernels
 (csrc/core/kernel/cuda/cache/{decoder_cache_append, context_span_copy,
-prefix_cache_copy}) as XLA scatters/gathers over the flat page pool. The
-decode-side scatter touches only `[B, KH, D]` elements per layer per step, so
-plain XLA scatter is fine; the bandwidth-critical READ side is the Pallas
-decode-attention kernel (ops/pallas/paged_attention.py).
+prefix_cache_copy}) as XLA scatters/gathers over the page-major flat pool
+(runtime/kv_cache.py layout v2: payload [P, ps, KH*Ds], qparams
+[P, KH, 2, ps] f32). The decode-side scatter touches only `[B, KH*D]`
+elements per layer per step, so plain XLA scatter is fine; the
+bandwidth-critical READ side is the Pallas decode path
+(ops/pallas/megakernel.py fast path, ops/pallas/paged_attention.py fallback).
 
 Quantization format (reference span-attention/src/cache_quant/impl_i8.cuh,
 virtual_cache.cpp:202-232): asymmetric per-token-per-head scale/zero, fp32.
@@ -25,46 +27,46 @@ _EPS = 1e-8
 
 
 def quantize_kv(x: jnp.ndarray, mode: CacheMode
-                ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+                ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray],
+                           Optional[jnp.ndarray]]:
     """Quantize along the last (head_dim) axis.
 
-    x: [..., D] float -> (payload, qparams [..., 2] f32) where
-    qparams[..., 0] = scale, qparams[..., 1] = zero.
+    x: [..., KH, D] float -> (payload [..., KH, Ds], scale [..., KH],
+    zero [..., KH]); scale/zero are None in DEFAULT mode.
     """
     if mode == CacheMode.DEFAULT:
-        return x, None
+        return x, None, None
     xf = x.astype(jnp.float32)
-    xmin = jnp.min(xf, axis=-1, keepdims=True)
-    xmax = jnp.max(xf, axis=-1, keepdims=True)
+    xmin = jnp.min(xf, axis=-1)
+    xmax = jnp.max(xf, axis=-1)
     if mode == CacheMode.INT8:
         scale = jnp.maximum((xmax - xmin) / 255.0, _EPS)
-        q = jnp.clip(jnp.round((xf - xmin) / scale) - 128.0, -128, 127)
+        q = jnp.clip(jnp.round((xf - xmin[..., None]) / scale[..., None])
+                     - 128.0, -128, 127)
         zero = xmin + 128.0 * scale
         payload = q.astype(jnp.int8)
     elif mode == CacheMode.UINT4:
         scale = jnp.maximum((xmax - xmin) / 15.0, _EPS)
-        q = jnp.clip(jnp.round((xf - xmin) / scale), 0, 15).astype(jnp.uint8)
+        q = jnp.clip(jnp.round((xf - xmin[..., None]) / scale[..., None]),
+                     0, 15).astype(jnp.uint8)
         zero = xmin
-        # HALVES packing: byte j = dim j (low nibble) | dim j+D/2 (high);
-        # lets the pallas kernel dot the halves without an unpack reshape
-        # (ops/u4pack.py)
+        # HALVES packing per head: byte j = dim j (low) | dim j+D/2 (high);
+        # lets kernels dot the halves without an unpack reshape
         D = q.shape[-1]
         lo = q[..., :D // 2]
         hi = q[..., D // 2:]
         payload = (lo | (hi << 4)).astype(jnp.uint8)
     else:
         raise ValueError(mode)
-    qparams = jnp.concatenate([scale, zero], axis=-1)
-    return payload, qparams
+    return payload, scale, zero
 
 
-def dequantize_kv(payload: jnp.ndarray, qparams: jnp.ndarray,
-                  mode: CacheMode, out_dtype=jnp.float32) -> jnp.ndarray:
-    """Inverse of quantize_kv (reference dequant semantics)."""
+def dequantize_page_tokens(payload: jnp.ndarray, scale: jnp.ndarray,
+                           zero: jnp.ndarray, mode: CacheMode,
+                           out_dtype=jnp.float32) -> jnp.ndarray:
+    """payload [..., KH, Ds], scale/zero [..., KH] -> [..., KH, D] float."""
     if mode == CacheMode.DEFAULT:
         return payload.astype(out_dtype)
-    scale = qparams[..., 0:1]
-    zero = qparams[..., 1:2]
     if mode == CacheMode.INT8:
         q = payload.astype(jnp.float32)
     elif mode == CacheMode.UINT4:
@@ -74,7 +76,18 @@ def dequantize_kv(payload: jnp.ndarray, qparams: jnp.ndarray,
         q = jnp.concatenate([lo, hi], axis=-1)  # halves packing
     else:
         raise ValueError(mode)
-    return (q * scale + zero).astype(out_dtype)
+    return (q * scale[..., None] + zero[..., None]).astype(out_dtype)
+
+
+def _flat(payload: jnp.ndarray) -> jnp.ndarray:
+    """[..., KH, Ds] -> [..., KH*Ds]."""
+    return payload.reshape(*payload.shape[:-2], -1)
+
+
+def _qparam_rows(scale: jnp.ndarray, zero: jnp.ndarray) -> jnp.ndarray:
+    """scale/zero [..., KH] -> [..., KH, 2] matching the qparams layout
+    [P, KH, 2, ps] (per head: scale row, zero row)."""
+    return jnp.stack([scale, zero], axis=-1)
 
 
 def append_decode_kv(cache: KVCache, mode: CacheMode,
@@ -85,30 +98,25 @@ def append_decode_kv(cache: KVCache, mode: CacheMode,
 
     new_k/new_v: [B, KH, D]; page_ids/offsets: [B] physical page & in-page
     offset for this layer. Inactive slots are routed to an OUT-OF-BOUNDS page
-    index and dropped by the scatter (`mode="drop"`) — never write masked
-    lanes to a real location: duplicate scatter indices have undefined order
-    and can clobber live data.
+    index and dropped by the scatter (`mode="drop"`).
 
     Reference: decoderAppendCacheLauncher (span_attn_op_cuda.cpp) including
     in-kernel quantization.
     """
-    B, KH, D = new_k.shape
-    kq, kqp = quantize_kv(new_k, mode)
-    vq, vqp = quantize_kv(new_v, mode)
-    num_pages = cache.k.shape[1]
+    kq, ks, kz = quantize_kv(new_k, mode)
+    vq, vs, vz = quantize_kv(new_v, mode)
+    num_pages = cache.k.shape[0]
     drop_page = jnp.where(active, page_ids, num_pages)  # OOB when inactive
 
-    def scatter(pool, vals):
-        vals_t = jnp.swapaxes(vals, 0, 1)             # [KH, B, *]
-        # adv indices (page[b], offset[b]) separated from the leading KH
-        # slice -> update shape [B, KH, *]... jnp places adv axes first when
-        # separated by a slice, so index as [:, page, off] with [KH, B, *]
-        return pool.at[:, drop_page, offsets].set(vals_t, mode="drop")
-
-    k = scatter(cache.k, kq)
-    v = scatter(cache.v, vq)
-    k_qparams = scatter(cache.k_qparams, kqp) if kqp is not None else None
-    v_qparams = scatter(cache.v_qparams, vqp) if vqp is not None else None
+    k = cache.k.at[drop_page, offsets].set(_flat(kq), mode="drop")
+    v = cache.v.at[drop_page, offsets].set(_flat(vq), mode="drop")
+    if ks is not None:
+        k_qparams = cache.k_qparams.at[drop_page, :, :, offsets].set(
+            _qparam_rows(ks, kz), mode="drop")
+        v_qparams = cache.v_qparams.at[drop_page, :, :, offsets].set(
+            _qparam_rows(vs, vz), mode="drop")
+    else:
+        k_qparams = v_qparams = None
     return KVCache(k=k, v=v, k_qparams=k_qparams, v_qparams=v_qparams)
 
 
@@ -127,35 +135,34 @@ def append_prefill_kv(cache: KVCache, mode: CacheMode,
     page_row[p // ps] offset p % ps. Implemented as a scatter over tokens.
     Reference: contextCopySpanLauncher (span_attn_op_cuda.cpp).
     """
-    T, KH, D = k.shape
+    T = k.shape[0]
     ps = cache.page_size
     pos = start_pos + jnp.arange(T, dtype=jnp.int32)
     valid = jnp.arange(T, dtype=jnp.int32) < num_tokens
     page_idx = pos // ps
     page_of_tok = page_row[jnp.clip(page_idx, 0, page_row.shape[0] - 1)]
     off_of_tok = pos % ps
-    num_pages = cache.k.shape[1]
+    num_pages = cache.k.shape[0]
     drop_page = jnp.where(valid, page_of_tok, num_pages)  # OOB -> dropped
 
-    kq, kqp = quantize_kv(k, mode)
-    vq, vqp = quantize_kv(v, mode)
+    kq, ks, kz = quantize_kv(k, mode)
+    vq, vs, vz = quantize_kv(v, mode)
 
-    def scatter(pool, vals):
-        # vals: [T, KH, *] -> write at [kh, page_of_tok[t], off_of_tok[t]];
-        # padding tokens scatter OOB and are dropped (duplicate-index writes
-        # would otherwise clobber live data nondeterministically)
-        vals_t = jnp.swapaxes(vals, 0, 1)             # [KH, T, *]
-        return pool.at[:, drop_page, off_of_tok].set(vals_t, mode="drop")
-
-    knew = scatter(cache.k, kq)
-    vnew = scatter(cache.v, vq)
-    k_qparams = scatter(cache.k_qparams, kqp) if kqp is not None else None
-    v_qparams = scatter(cache.v_qparams, vqp) if vqp is not None else None
+    knew = cache.k.at[drop_page, off_of_tok].set(_flat(kq), mode="drop")
+    vnew = cache.v.at[drop_page, off_of_tok].set(_flat(vq), mode="drop")
+    if ks is not None:
+        k_qparams = cache.k_qparams.at[drop_page, :, :, off_of_tok].set(
+            _qparam_rows(ks, kz), mode="drop")
+        v_qparams = cache.v_qparams.at[drop_page, :, :, off_of_tok].set(
+            _qparam_rows(vs, vz), mode="drop")
+    else:
+        k_qparams = v_qparams = None
     return KVCache(k=knew, v=vnew, k_qparams=k_qparams, v_qparams=v_qparams)
 
 
 def gather_kv_pages(cache: KVCache, mode: CacheMode, page_row: jnp.ndarray,
-                    out_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    kv_heads: int, out_dtype=jnp.float32
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather + dequantize a sequence's KV for one layer into contiguous form.
 
     page_row: [max_pages] physical page ids (this layer). Returns k, v of
@@ -163,15 +170,22 @@ def gather_kv_pages(cache: KVCache, mode: CacheMode, page_row: jnp.ndarray,
     cached/previously-prefilled prefix (reference copyPrefixSpanToCtxMem,
     span_attn_op_cuda.cpp) and as the reference implementation for tests.
     """
-    def gather(pool, qparams):
-        pages = pool[:, page_row]                     # [KH, nP, ps, *]
-        if qparams is not None:
-            qp = qparams[:, page_row]
-            x = dequantize_kv(pages, qp, mode, out_dtype)
-        else:
-            x = pages.astype(out_dtype)
-        KH, nP, ps = x.shape[0], x.shape[1], x.shape[2]
-        x = x.reshape(KH, nP * ps, -1)
-        return jnp.swapaxes(x, 0, 1)                  # [T, KH, D]
+    nP = page_row.shape[0]
+    ps = cache.page_size
+    KH = kv_heads
 
-    return gather(cache.k, cache.k_qparams), gather(cache.v, cache.v_qparams)
+    def gather(pool, qparams):
+        pages = pool[page_row]                        # [nP, ps, KH*Ds]
+        x4 = pages.reshape(nP, ps, KH, -1)            # [nP, ps, KH, Ds]
+        if qparams is not None:
+            qp = qparams[page_row]                    # [nP, KH, 2, ps]
+            scale = jnp.transpose(qp[:, :, 0, :], (0, 2, 1))  # [nP, ps, KH]
+            zero = jnp.transpose(qp[:, :, 1, :], (0, 2, 1))
+            x = dequantize_page_tokens(x4, scale, zero, mode, out_dtype)
+        else:
+            x = x4.astype(out_dtype)
+        return x.reshape(nP * ps, KH, -1)
+
+    k = gather(cache.k, cache.k_qparams)
+    v = gather(cache.v, cache.v_qparams)
+    return k, v

@@ -3,19 +3,23 @@
 TPU-native re-design of the reference's span-attention library
 (span-attention/src: QK GEMV -> tiled softmax -> QKV weighted sum, with
 fused in-kernel dequant of int8/uint4 KV; span_attn.h:83-150): one fused
-flash-decoding kernel per layer.
+flash-decoding kernel per layer. This is the FALLBACK decode-attention path —
+the fast path fuses attention into the whole-model decode megakernel
+(ops/pallas/megakernel.py), which exists because on TPU the dominant decode
+cost is per-kernel/per-DMA issue overhead, not bytes.
 
 Design:
-  grid = (batch, kv_heads, max_pages): the page dimension iterates innermost,
-  so Pallas pipelines the K/V page DMAs (HBM -> VMEM) against compute; an
-  online-softmax accumulator lives in VMEM scratch across page steps.
+  grid = (batch, max_pages): the page dimension iterates innermost, so Pallas
+  pipelines the K/V page DMAs (HBM -> VMEM) against compute; an
+  online-softmax accumulator lives in VMEM scratch across page steps. The
+  page-major pool layout [P, ps, KH*D] means ONE block fetch per page covers
+  every kv head (one DMA descriptor per page).
 
   Page indirection rides BlockSpec index_maps over scalar-prefetched page
-  tables: block (h, page_table[b, p]) of the flat pool [KH, P, ps, D]. Pages
-  past a sequence's length clamp to the last valid page — consecutive equal
-  block indices make Pallas skip the re-fetch, so short sequences don't pay
-  DMA for the padded tail (same trick as the reference's per-request seqLen[]
-  handling).
+  tables: block page_table[b, p] of the flat pool. Pages past a sequence's
+  length clamp to the last valid page — consecutive equal block indices make
+  Pallas skip the re-fetch, so short sequences don't pay DMA for the padded
+  tail (same trick as the reference's per-request seqLen[] handling).
 
   Quantized KV (int8 / packed uint4 + per-token-per-head scale/zero,
   reference cache_quant/impl_i8.cuh) is dequantized via the affine-after-dot
@@ -23,7 +27,8 @@ Design:
       (q . k_t) = (q . q_int_t) * scale_t + (sum_d q_d) * zero_t
   so the MXU dot runs on the raw int payload (cast bf16) and the per-token
   affine is applied on the [G, ps] score tile — O(G*ps) VPU work instead of
-  O(ps*D) dequant. Same trick on the V pass.
+  O(ps*D) dequant. Same trick on the V pass. qparams layout [P, KH, 2, ps]
+  hands each head a contiguous [1, ps] scale/zero row (no transposes).
 """
 
 import functools
@@ -40,25 +45,17 @@ from dashinfer_tpu.runtime.kv_cache import KVCache
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def _u4_halves(packed: jnp.ndarray):
-    """[ps, D/2] uint8 -> (lo [ps, D/2] f32, hi [ps, D/2] f32) — HALVES
-    packing (ops/u4pack.py): no interleave reshape, which Mosaic can't lower;
-    uint8 casts hop through int32."""
-    p32 = packed.astype(jnp.int32)
-    lo = (p32 & 0xF).astype(jnp.float32)
-    hi = ((p32 >> 4) & 0xF).astype(jnp.float32)
-    return lo, hi
-
-
 def _kernel(pt_ref, lens_ref,              # scalar prefetch
-            q_ref, k_ref, v_ref,           # [1,1,G,D], [1,1,ps,D*]
-            kq_ref, vq_ref,                # [1,1,ps,2] f32 or None
-            o_ref,                         # [1,1,G,D]
-            m_ref, l_ref, acc_ref,         # scratch
-            *, scale: float, mode: CacheMode):
+            q_ref, k_ref, v_ref,           # [1,H,D], [1,ps,KH*Ds]
+            kq_ref, vq_ref,                # [1,KH,2,ps] f32 or None
+            o_ref,                         # [1,H,D]
+            m_ref, l_ref, acc_ref,         # scratch [H,1],[H,1],[H,D]
+            *, scale: float, mode: CacheMode, kv_heads: int, q_per_kv: int):
     b = pl.program_id(0)
-    p = pl.program_id(2)
-    ps = k_ref.shape[2]
+    p = pl.program_id(1)
+    ps = k_ref.shape[1]
+    D = q_ref.shape[2]
+    KH, G = kv_heads, q_per_kv
     lens_b = lens_ref[b]
     num_pages_b = pl.cdiv(lens_b, ps)
 
@@ -70,73 +67,82 @@ def _kernel(pt_ref, lens_ref,              # scalar prefetch
 
     @pl.when(p < num_pages_b)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)                  # [G, D]
-
-        def dot_nt(a, b):  # a [G, D'], b [ps, D'] -> [G, ps]
-            return jax.lax.dot_general(
-                a, b, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        if mode == CacheMode.DEFAULT:
-            k = k_ref[0, 0].astype(jnp.float32)              # [ps, D]
-            s = dot_nt(q, k)                                 # [G, ps]
-        else:
-            if mode == CacheMode.UINT4:
-                k_lo, k_hi = _u4_halves(k_ref[0, 0])         # [ps, D/2] x2
-                D2 = k_lo.shape[-1]
-                s_raw = dot_nt(q[:, :D2], k_lo) + dot_nt(q[:, D2:], k_hi)
-            else:
-                s_raw = dot_nt(q, k_ref[0, 0].astype(jnp.float32))
-            k_scale = kq_ref[0, 0, :, 0]                     # [ps]
-            k_zero = kq_ref[0, 0, :, 1]
-            q_sum = jnp.sum(q, axis=1, keepdims=True)        # [G, 1]
-            s = s_raw * k_scale[None, :] + q_sum * k_zero[None, :]
-
-        s = s * scale
         tok_idx = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
-        s = jnp.where(tok_idx < lens_b, s, _NEG_INF)
+        tok_mask = tok_idx < lens_b
 
-        m_prev = m_ref[:]                                    # [G, 1]
-        l_prev = l_ref[:]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        pexp = jnp.exp(s - m_new)                            # [G, ps]
-        l_new = alpha * l_prev + jnp.sum(pexp, axis=-1, keepdims=True)
+        for h in range(KH):
+            q = q_ref[0, h * G:(h + 1) * G].astype(jnp.float32)   # [G, D]
 
-        if mode == CacheMode.DEFAULT:
-            v = v_ref[0, 0].astype(jnp.float32)              # [ps, D]
-            pv = jnp.dot(pexp, v, preferred_element_type=jnp.float32)
-        elif mode == CacheMode.UINT4:
-            v_lo, v_hi = _u4_halves(v_ref[0, 0])             # [ps, D/2] x2
-            v_scale = vq_ref[0, 0, :, 0]
-            v_zero = vq_ref[0, 0, :, 1]
-            pexp_s = pexp * v_scale[None, :]
-            zero_term = jnp.dot(pexp, v_zero[:, None],
-                                preferred_element_type=jnp.float32)  # [G, 1]
-            pv_lo = jnp.dot(pexp_s, v_lo,
-                            preferred_element_type=jnp.float32) + zero_term
-            pv_hi = jnp.dot(pexp_s, v_hi,
-                            preferred_element_type=jnp.float32) + zero_term
-            pv = jnp.concatenate([pv_lo, pv_hi], axis=-1)    # [G, D]
-        else:
-            v_scale = vq_ref[0, 0, :, 0]
-            v_zero = vq_ref[0, 0, :, 1]
-            pv = jnp.dot(pexp * v_scale[None, :],
-                         v_ref[0, 0].astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
-            pv = pv + jnp.dot(pexp, v_zero[:, None],
-                              preferred_element_type=jnp.float32)
+            def dot_nt(a, bm):  # a [G, D'], bm [ps, D'] -> [G, ps]
+                return jax.lax.dot_general(
+                    a, bm, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
-        acc_ref[:] = acc_ref[:] * alpha + pv
-        m_ref[:] = m_new
-        l_ref[:] = l_new
+            if mode == CacheMode.DEFAULT:
+                k = k_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32)
+                s = dot_nt(q, k)
+            else:
+                if mode == CacheMode.UINT4:
+                    D2 = D // 2
+                    p32 = k_ref[0, :, h * D2:(h + 1) * D2].astype(jnp.int32)
+                    k_lo = (p32 & 0xF).astype(jnp.float32)
+                    k_hi = ((p32 >> 4) & 0xF).astype(jnp.float32)
+                    s_raw = dot_nt(q[:, :D2], k_lo) + dot_nt(q[:, D2:], k_hi)
+                else:
+                    s_raw = dot_nt(
+                        q, k_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32))
+                k_scale = kq_ref[0, h, 0]                         # [ps]
+                k_zero = kq_ref[0, h, 1]
+                q_sum = jnp.sum(q, axis=1, keepdims=True)         # [G, 1]
+                s = s_raw * k_scale[None, :] + q_sum * k_zero[None, :]
 
-    @pl.when(p == pl.num_programs(2) - 1)
+            s = s * scale
+            s = jnp.where(tok_mask, s, _NEG_INF)
+
+            m_prev = m_ref[h * G:(h + 1) * G]                     # [G, 1]
+            l_prev = l_ref[h * G:(h + 1) * G]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            pexp = jnp.exp(s - m_new)                             # [G, ps]
+            l_new = alpha * l_prev + jnp.sum(pexp, axis=-1, keepdims=True)
+
+            if mode == CacheMode.DEFAULT:
+                v = v_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32)
+                pv = jnp.dot(pexp, v, preferred_element_type=jnp.float32)
+            else:
+                v_scale = vq_ref[0, h, 0]
+                v_zero = vq_ref[0, h, 1]
+                pexp_s = pexp * v_scale[None, :]
+                zero_term = jnp.dot(pexp, v_zero[:, None],
+                                    preferred_element_type=jnp.float32)
+                if mode == CacheMode.UINT4:
+                    D2 = D // 2
+                    p32 = v_ref[0, :, h * D2:(h + 1) * D2].astype(jnp.int32)
+                    v_lo = (p32 & 0xF).astype(jnp.float32)
+                    v_hi = ((p32 >> 4) & 0xF).astype(jnp.float32)
+                    pv_lo = jnp.dot(pexp_s, v_lo,
+                                    preferred_element_type=jnp.float32)
+                    pv_hi = jnp.dot(pexp_s, v_hi,
+                                    preferred_element_type=jnp.float32)
+                    pv = jnp.concatenate([pv_lo + zero_term,
+                                          pv_hi + zero_term], axis=-1)
+                else:
+                    v = v_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32)
+                    pv = jnp.dot(pexp_s, v,
+                                 preferred_element_type=jnp.float32)
+                    pv = pv + zero_term
+
+            acc_ref[h * G:(h + 1) * G] = \
+                acc_ref[h * G:(h + 1) * G] * alpha + pv
+            m_ref[h * G:(h + 1) * G] = m_new
+            l_ref[h * G:(h + 1) * G] = l_new
+
+    @pl.when(p == pl.num_programs(1) - 1)
     def _finish():
         l = l_ref[:]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
 
 
 def paged_attention(q: jnp.ndarray, cache: KVCache, mode: CacheMode,
@@ -148,44 +154,38 @@ def paged_attention(q: jnp.ndarray, cache: KVCache, mode: CacheMode,
     lens: [B] tokens to attend over. Returns [B, H, D].
     """
     B, H, D = q.shape
-    KH, P, ps, _ = cache.k.shape
+    P, ps, KHDs = cache.k.shape
+    quant = mode != CacheMode.DEFAULT
+    if quant:
+        KH = cache.k_qparams.shape[1]
+    else:
+        KH = KHDs // D
     G = H // KH
     maxP = page_tables.shape[1]
-    quant = mode != CacheMode.DEFAULT
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    q4 = q.reshape(B, KH, G, D)
-
-    def page_index(b, h, p, pt_ref, lens_ref):
+    def page_index(b, p, pt_ref, lens_ref):
         num_pages_b = pl.cdiv(lens_ref[b], ps)
         pp = jnp.minimum(p, jnp.maximum(num_pages_b - 1, 0))
-        return (h, pt_ref[b, pp], 0, 0)
+        return (pt_ref[b, pp], 0, 0)
 
-    def qparam_index(b, h, p, pt_ref, lens_ref):
+    def qparam_index(b, p, pt_ref, lens_ref):
         num_pages_b = pl.cdiv(lens_ref[b], ps)
         pp = jnp.minimum(p, jnp.maximum(num_pages_b - 1, 0))
-        return (h, pt_ref[b, pp], 0, 0)
+        return (pt_ref[b, pp], 0, 0, 0)
 
-    q_spec = pl.BlockSpec((1, 1, G, D), lambda b, h, p, pt, ln: (b, h, 0, 0))
-    kv_dim = cache.k.shape[3]
-    kv_spec = pl.BlockSpec((1, 1, ps, kv_dim), page_index)
-    o_spec = pl.BlockSpec((1, 1, G, D), lambda b, h, p, pt, ln: (b, h, 0, 0))
+    q_spec = pl.BlockSpec((1, H, D), lambda b, p, pt, ln: (b, 0, 0))
+    kv_spec = pl.BlockSpec((1, ps, KHDs), page_index)
+    o_spec = pl.BlockSpec((1, H, D), lambda b, p, pt, ln: (b, 0, 0))
 
     in_specs = [q_spec, kv_spec, kv_spec]
-    args = [q4, cache.k, cache.v]
+    args = [q, cache.k, cache.v]
     if quant:
-        qp_spec = pl.BlockSpec((1, 1, ps, 2), qparam_index)
+        qp_spec = pl.BlockSpec((1, KH, 2, ps), qparam_index)
         in_specs += [qp_spec, qp_spec]
         args += [cache.k_qparams, cache.v_qparams]
-    else:
-        in_specs += [None, None]
-        args += [None, None]
-
-    # Pack args: pallas needs real arrays; drop the Nones and re-map.
-    real_specs = [s for s in in_specs if s is not None]
-    real_args = [a for a in args if a is not None]
 
     def kernel(*refs):
         pt_ref, lens_ref = refs[0], refs[1]
@@ -199,25 +199,25 @@ def paged_attention(q: jnp.ndarray, cache: KVCache, mode: CacheMode,
             o_r = refs[5]
             scratch = refs[6:]
         _kernel(pt_ref, lens_ref, q_r, k_r, v_r, kq_r, vq_r, o_r, *scratch,
-                scale=scale, mode=mode)
+                scale=scale, mode=mode, kv_heads=KH, q_per_kv=G)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, KH, maxP),
-        in_specs=real_specs,
+        grid=(B, maxP),
+        in_specs=in_specs,
         out_specs=o_spec,
         scratch_shapes=[
-            pltpu.VMEM((G, 1), jnp.float32),   # m
-            pltpu.VMEM((G, 1), jnp.float32),   # l
-            pltpu.VMEM((G, D), jnp.float32),   # acc
+            pltpu.VMEM((H, 1), jnp.float32),   # m
+            pltpu.VMEM((H, 1), jnp.float32),   # l
+            pltpu.VMEM((H, D), jnp.float32),   # acc
         ],
     )
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KH, G, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
         interpret=interpret,
-    )(page_tables.astype(jnp.int32), lens.astype(jnp.int32), *real_args)
+    )(page_tables.astype(jnp.int32), lens.astype(jnp.int32), *args)
 
-    return out.reshape(B, H, D)
+    return out

@@ -98,11 +98,11 @@ def shard_params(params: Dict, mesh: Mesh, ep: bool = False) -> Dict:
     return jax.tree.map(jax.device_put, params, sh)
 
 
-def cache_sharding(cfg: ModelConfig, mesh: Mesh) -> NamedSharding:
-    """Sharding for every KV-pool leaf: over kv heads when divisible, else
+def cache_sharding(cfg: ModelConfig, mesh: Mesh):
+    """Shardings for the KV-pool leaves: over kv heads when divisible, else
     replicated (the reference replicates GQA groups beyond the head count
-    the same way). All KVCache leaves are head-leading, so one sharding
-    covers payloads and qparams alike."""
+    the same way). Payload pools [P, ps, KH*D] shard the packed head-major
+    lane dim; qparams [P, KH, 2, ps] shard the head dim."""
     tp = mesh.shape[MODEL_AXIS]
     if cfg.num_kv_heads % tp == 0:
         head = MODEL_AXIS
@@ -110,12 +110,20 @@ def cache_sharding(cfg: ModelConfig, mesh: Mesh) -> NamedSharding:
         logger.warning("kv heads (%d) not divisible by model axis (%d); "
                        "replicating KV cache", cfg.num_kv_heads, tp)
         head = None
-    return _ns(mesh, head, None, None, None)
+    payload = _ns(mesh, None, None, head)
+    qparams = _ns(mesh, None, head, None, None)
+    return payload, qparams
 
 
 def shard_cache(cache: KVCache, cfg: ModelConfig, mesh: Mesh) -> KVCache:
-    ns = cache_sharding(cfg, mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, ns), cache)
+    payload, qparams = cache_sharding(cfg, mesh)
+    return KVCache(
+        k=jax.device_put(cache.k, payload),
+        v=jax.device_put(cache.v, payload),
+        k_qparams=(None if cache.k_qparams is None
+                   else jax.device_put(cache.k_qparams, qparams)),
+        v_qparams=(None if cache.v_qparams is None
+                   else jax.device_put(cache.v_qparams, qparams)))
 
 
 def shard_state(state: DecodeState, mesh: Mesh) -> DecodeState:

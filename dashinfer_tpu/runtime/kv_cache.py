@@ -4,25 +4,29 @@ Re-design of the reference's cache runtime (SURVEY.md §2.8): the
 CacheFrameManager/CacheSpanManager/VirtualCache hierarchy
 (csrc/runtime/cache/frame_manager.h, span_manager.h, virtual_cache.h)
 collapses on TPU into ONE preallocated device array per K/V ("the pool") plus
-integer page tables. There is no device "TLB" of span pointers — the Pallas
-decode-attention kernel consumes page-table rows directly via scalar prefetch.
+integer page tables. There is no device "TLB" of span pointers — kernels
+consume page-table rows directly via scalar prefetch.
 
-Layout: the pool is FLAT ACROSS LAYERS: `[kv_heads, num_pages, page_size,
-head_dim]`, head-major so one (head, page) block is a contiguous
-`[page_size, head_dim]` tile — the DMA unit of the decode kernel, aligned to
-TPU (sublane, lane) tiling. A request's page table is `[num_layers,
-pages_per_seq]`: each logical page of the sequence owns `num_layers` physical
-pages (exactly the reference's per-layer span allocation: decode reserve =
-2 x layers x boundary-crossings, csrc/core/model/model.cpp:1480-1521).
-
-Why flat: the per-layer scan can carry the whole pool and scatter into it
-in-place; slicing a `[L, ...]` pool at a traced layer index would copy an
-entire layer of KV every step.
+Layout (v2, page-major): the pool is FLAT ACROSS LAYERS AND HEADS:
+`[num_pages, page_size, kv_heads * head_dim]`, so ONE (page) block is a
+contiguous `[page_size, KH*D]` tile covering every head — the DMA unit of the
+decode kernels (one descriptor per page, regardless of head count; the
+dominant cost on TPU is DMA descriptor issue, not bytes). A request's logical
+page `g` owns `num_layers` physical pages `g*L + l` (exactly the reference's
+per-layer span allocation: decode reserve = 2 x layers x boundary-crossings,
+csrc/core/model/model.cpp:1480-1521), so consecutive layers of one logical
+page are CONTIGUOUS in the pool — the decode megakernel flushes a token's
+K/V for all layers with a single strided DMA.
 
 Quantized modes (reference span layout: virtual_cache.cpp:202-232 — int8/uint4
 payload + per-token-per-head fp32 scale & zero):
-  INT8:  payload int8 same shape; qparams `[..., page_size, 2]` f32
-  UINT4: payload packed 2 nibbles/byte -> head_dim//2 uint8; same qparams
+  INT8:  payload int8, same lane count; qparams `[P, KH, 2, page_size]`
+         f32 — qparams[p, h, 0] is head h's per-token scale row, [p, h, 1]
+         its zero row (contiguous `[1, page_size]` rows per head for kernels,
+         head dim shardable for tensor parallelism).
+  UINT4: payload packs 2 nibbles/byte per head (HALVES packing within each
+         head's lane block: byte j of head h = dims j | j+D/2 << 4), lanes =
+         kv_heads * head_dim / 2; same qparams.
 Dequant: x = q * scale + zero (asymmetric, like the reference's
 span-attention/src/cache_quant/impl_i8.cuh).
 """
@@ -39,25 +43,29 @@ from dashinfer_tpu.config import CacheConfig, CacheMode, ModelConfig
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """Device-side paged KV pool (a pytree of arrays)."""
+    """Device-side paged KV pool (a pytree of arrays).
 
-    k: jax.Array                       # [KH, P, ps, D] (D/2 packed for u4)
+    k/v: [P, ps, KH*Ds] payload (Ds = head_dim, or head_dim//2 packed u4)
+    k_qparams/v_qparams: [P, KH, 2, ps] f32 or None (scale row, zero row)
+    """
+
+    k: jax.Array
     v: jax.Array
-    k_qparams: Optional[jax.Array]     # [KH, P, ps, 2] f32 (scale, zero)
+    k_qparams: Optional[jax.Array]
     v_qparams: Optional[jax.Array]
 
     @property
     def num_pages(self) -> int:
-        return self.k.shape[1]
+        return self.k.shape[0]
 
     @property
     def page_size(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[1]
 
 
 def cache_dtype_and_dim(mode: CacheMode, head_dim: int,
                         model_dtype) -> Tuple:
-    """(storage dtype, storage head_dim, is_quantized)."""
+    """(storage dtype, storage head_dim per head, is_quantized)."""
     if mode == CacheMode.DEFAULT:
         return model_dtype, head_dim, False
     if mode == CacheMode.INT8:
@@ -77,11 +85,11 @@ def create_kv_cache(model_cfg: ModelConfig, cache_cfg: CacheConfig,
     kh = kv_heads_override or model_cfg.num_kv_heads
     dtype, dim, quant = cache_dtype_and_dim(cache_cfg.mode, model_cfg.head_dim,
                                             model_dtype)
-    shape = (kh, num_physical_pages, cache_cfg.page_size, dim)
+    shape = (num_physical_pages, cache_cfg.page_size, kh * dim)
     k = jnp.zeros(shape, dtype)
     v = jnp.zeros(shape, dtype)
     if quant:
-        qshape = (kh, num_physical_pages, cache_cfg.page_size, 2)
+        qshape = (num_physical_pages, kh, 2, cache_cfg.page_size)
         kq = jnp.zeros(qshape, jnp.float32)
         vq = jnp.zeros(qshape, jnp.float32)
     else:

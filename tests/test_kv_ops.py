@@ -23,16 +23,17 @@ def _mk_cache(mode, KH=2, P=16, ps=8, D=16):
 def test_quantize_roundtrip(mode_name):
     import jax.numpy as jnp
     from dashinfer_tpu.config import CacheMode
-    from dashinfer_tpu.ops.kv_ops import dequantize_kv, quantize_kv
+    from dashinfer_tpu.ops.kv_ops import (dequantize_page_tokens,
+                                          quantize_kv)
 
     mode = CacheMode(mode_name)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(4, 2, 32).astype(np.float32))
-    payload, qparams = quantize_kv(x, mode)
+    payload, scale, zero = quantize_kv(x, mode)
     if mode == CacheMode.DEFAULT:
-        assert qparams is None
+        assert scale is None
         return
-    y = dequantize_kv(payload, qparams, mode)
+    y = dequantize_page_tokens(payload, scale, zero, mode)
     rel = np.abs(np.asarray(y) - np.asarray(x)).max() / np.abs(np.asarray(x)).max()
     tol = 0.01 if mode == CacheMode.INT8 else 0.12
     assert rel < tol, rel
@@ -57,7 +58,7 @@ def test_append_then_gather(mode_name):
     padded_v = jnp.zeros((16, KH, D)).at[:T].set(v)
     cache = kv_ops.append_prefill_kv(cache, mode, padded_k, padded_v,
                                      page_row, jnp.int32(0), jnp.int32(T))
-    gk, gv = kv_ops.gather_kv_pages(cache, mode, page_row)
+    gk, gv = kv_ops.gather_kv_pages(cache, mode, page_row, KH)
     tol = 1e-6 if mode == CacheMode.DEFAULT else (
         0.05 if mode == CacheMode.INT8 else 0.6)
     np.testing.assert_allclose(np.asarray(gk[:T]), np.asarray(k), atol=tol)
@@ -69,7 +70,7 @@ def test_append_then_gather(mode_name):
     cache = kv_ops.append_decode_kv(
         cache, mode, nk, nv, page_ids=page_row[T // ps][None],
         offsets=jnp.asarray([T % ps]), active=jnp.asarray([True]))
-    gk, _ = kv_ops.gather_kv_pages(cache, mode, page_row)
+    gk, _ = kv_ops.gather_kv_pages(cache, mode, page_row, KH)
     np.testing.assert_allclose(np.asarray(gk[T]), np.asarray(nk[0]), atol=tol)
 
 
