@@ -1,5 +1,6 @@
 """Headline benchmark: decode tokens/sec/chip on the BASELINE.json config
-(Qwen2-7B-shaped, UINT4 weight-only + INT8 KV cache, continuous-batch decode).
+(Qwen2-7B-shaped, UINT4 weight-only + INT8 KV cache, continuous-batch decode
+through the whole-model Pallas megakernel — ops/pallas/megakernel.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against the reference's flagship published absolute
@@ -24,9 +25,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_qwen2_7b_params(cfg, rng_seed=0):
-    """Random UINT4 group-quantized weights directly on device."""
-    import jax
+def build_qwen2_7b_params(cfg, quantize_lm=True, rng_seed=0):
+    """Random UINT4 group-quantized weights, built host-side (numpy)."""
     import jax.numpy as jnp
 
     L = cfg.num_layers
@@ -34,35 +34,31 @@ def build_qwen2_7b_params(cfg, rng_seed=0):
     H, KH = cfg.num_heads, cfg.num_kv_heads
     hid, inter, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     gs = 128
-    key = jax.random.PRNGKey(rng_seed)
+    rng = np.random.RandomState(rng_seed)
 
     def qlin(kin, kout, layers=True, bias=False):
-        nonlocal key
-        key, k1, k2 = jax.random.split(key, 3)
         shape = (L, kin, kout // 2) if layers else (kin, kout // 2)
-        w_q = jax.random.randint(k1, shape, 0, 255, jnp.int32).astype(jnp.uint8)
+        w_q = rng.randint(0, 256, size=shape).astype(np.uint8)
         gshape = (L, kin // gs, kout) if layers else (kin // gs, kout)
-        scale = (jax.random.uniform(k2, gshape, jnp.float32) * 0.002 + 1e-4
-                 ).astype(jnp.float32)
+        scale = (rng.rand(*gshape) * 0.002 + 1e-4).astype(np.float32)
         zero = -scale * 8.0
         d = {"w_q": w_q, "scale": scale, "zero": zero}
         if bias:
-            d["b"] = jnp.zeros((L, kout) if layers else (kout,), jnp.bfloat16)
+            d["b"] = np.zeros((L, kout) if layers else (kout,),
+                              jnp.bfloat16)
         return d
 
     def emb(n, m):
-        nonlocal key
-        key, k = jax.random.split(key)
-        return (jax.random.normal(k, (n, m), jnp.float32) * 0.02
-                ).astype(jnp.bfloat16)
+        return (rng.randn(n, m).astype(np.float32) * 0.02).astype(jnp.bfloat16)
 
     params = {
         "embed_tokens": {"w": emb(V, hid)},
-        "norm": jnp.ones((hid,), jnp.bfloat16),
-        "lm_head": {"w": emb(hid, V)},
+        "norm": np.ones((hid,), jnp.bfloat16),
+        "lm_head": qlin(hid, V, layers=False) if quantize_lm
+        else {"w": emb(hid, V)},
         "layers": {
-            "input_layernorm": jnp.ones((L, hid), jnp.bfloat16),
-            "post_attention_layernorm": jnp.ones((L, hid), jnp.bfloat16),
+            "input_layernorm": np.ones((L, hid), jnp.bfloat16),
+            "post_attention_layernorm": np.ones((L, hid), jnp.bfloat16),
             "q_proj": qlin(hid, H * D, bias=True),
             "k_proj": qlin(hid, KH * D, bias=True),
             "v_proj": qlin(hid, KH * D, bias=True),
@@ -76,11 +72,14 @@ def build_qwen2_7b_params(cfg, rng_seed=0):
 
 
 def main():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from dashinfer_tpu.config import (CacheConfig, CacheMode, ModelConfig,
                                       RuntimeConfig)
     from dashinfer_tpu.engine import steps as steps_mod
+    from dashinfer_tpu.ops.pallas import megakernel as mk
     from dashinfer_tpu.runtime.batch_state import make_decode_state
     from dashinfer_tpu.runtime.kv_cache import create_kv_cache
 
@@ -93,14 +92,14 @@ def main():
             intermediate_size=18944, num_layers=28, num_heads=28,
             num_kv_heads=4, head_dim=128, qkv_bias=True,
             rope_theta=1000000.0)
-        B, ctx_len, steps, warm = 8, 1024, 64, 8
-        num_logical_pages = 256
-        page_size = 64
+        B, ctx_len, steps, warm = 8, 1024, 48, 4
+        page_size = 256
+        num_logical_pages = 64
     else:  # smoke mode off-TPU
         cfg = ModelConfig(
             arch="qwen2", vocab_size=2048, hidden_size=256,
-            intermediate_size=512, num_layers=2, num_heads=8,
-            num_kv_heads=4, head_dim=32, qkv_bias=True)
+            intermediate_size=512, num_heads=2, num_layers=2,
+            num_kv_heads=1, head_dim=128, qkv_bias=True)
         B, ctx_len, steps, warm = 4, 48, 8, 2
         num_logical_pages = 64
         page_size = 16
@@ -113,9 +112,24 @@ def main():
         dtype="bfloat16")
 
     t0 = time.time()
-    params = build_qwen2_7b_params(cfg)
-    jax.block_until_ready(params)
-    log(f"params built in {time.time()-t0:.1f}s")
+    params_np = build_qwen2_7b_params(cfg, quantize_lm=on_tpu)
+    log(f"host params built in {time.time()-t0:.1f}s")
+
+    use_mega = mk.supports(cfg, rt, params_np)
+    t0 = time.time()
+    if use_mega:
+        plan = mk.make_plan(cfg, rt, params_np)
+        packed = mk.pack_params(cfg, plan, params_np)
+        params = {"packed": packed,
+                  "embed": jnp.asarray(params_np["embed_tokens"]["w"])}
+        del params_np
+        log(f"megakernel pack in {time.time()-t0:.1f}s; "
+            f"S_layer={plan.S_layer} T={plan.T_total}")
+    else:
+        plan = None
+        params = jax.tree.map(jnp.asarray, params_np)
+        del params_np
+        log(f"device params in {time.time()-t0:.1f}s (fallback path)")
 
     L = cfg.num_layers
     cache = create_kv_cache(cfg, rt.cache, num_logical_pages * L,
@@ -127,14 +141,12 @@ def main():
     ps = rt.cache.page_size
     maxP = rt.max_pages_per_seq
     pages_per_seq = (ctx_len + ps - 1) // ps
-    pt = np.zeros((B, L, maxP), np.int32)
+    pt = np.zeros((B, maxP), np.int32)
     g = 0
-    free_pages = []
     for b in range(B):
-        for j in range(pages_per_seq + 2):
-            pt[b, :, j] = g * L + np.arange(L)
+        for j in range(min(pages_per_seq + 2, maxP)):
+            pt[b, j] = g % num_logical_pages
             g += 1
-    import dataclasses
     state = dataclasses.replace(
         state,
         token_ids=jnp.arange(B, dtype=jnp.int32) + 7,
@@ -145,8 +157,9 @@ def main():
         active=jnp.ones((B,), bool),
     )
 
-    decode = steps_mod.build_decode_step(cfg, rt, use_kernel=on_tpu)
-    no_new = jnp.full((B, L), -1, jnp.int32)
+    decode = steps_mod.build_decode_step(cfg, rt, use_kernel=on_tpu,
+                                         megakernel_plan=plan)
+    no_new = jnp.full((B,), -1, jnp.int32)
 
     t0 = time.time()
     for i in range(warm):

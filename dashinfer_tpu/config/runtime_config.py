@@ -40,13 +40,16 @@ class CacheConfig:
     csrc/common/engine_runtime.h:42-318; span size {16,32,64,128} default 128,
     allspark.h:176,199)."""
 
-    page_size: int = 64          # tokens per page; TPU tiling prefers >=16
+    page_size: int = 64          # tokens per page. The reference allows
+    # {16,32,64,128} (allspark.h:176,199); TPU adds 256/512 — big pages cut
+    # per-page DMA descriptor count, the dominant decode-attention cost.
     mode: CacheMode = CacheMode.DEFAULT
     # total pages in the pool; 0 = size from HBM plan at warmup
     num_pages: int = 0
 
     def __post_init__(self):
-        assert self.page_size in (8, 16, 32, 64, 128), self.page_size
+        assert self.page_size in (8, 16, 32, 64, 128, 256, 512), \
+            self.page_size
 
 
 @dataclasses.dataclass(frozen=True)

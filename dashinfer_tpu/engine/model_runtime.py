@@ -234,11 +234,10 @@ class ModelRuntime:
 
         bucket = self.bucket_for(len(new_tokens) + prefix_len)
         maxPb = (bucket + self.rt.cache.page_size - 1) // self.rt.cache.page_size
-        L = self.cfg.num_layers
 
-        page_row = np.zeros((L, maxPb), np.int32)
-        for j, g in enumerate(pages[:maxPb]):
-            page_row[:, j] = g * L + np.arange(L)
+        page_row = np.zeros((maxPb,), np.int32)
+        npg = min(len(pages), maxPb)
+        page_row[:npg] = pages[:npg]
 
         tok_buf = np.zeros((bucket,), np.int32)
         tok_buf[:len(new_tokens)] = new_tokens
@@ -339,8 +338,8 @@ class ModelRuntime:
         act = self.active_requests()
         if not act or self.params is None:
             return 0
-        B, L, ps = self.rt.max_batch, self.cfg.num_layers, self.rt.cache.page_size
-        new_page_ids = np.full((B, L), -1, np.int32)
+        B, ps = self.rt.max_batch, self.rt.cache.page_size
+        new_page_ids = np.full((B,), -1, np.int32)
 
         # allocate pages for slots whose incoming token starts a new page
         for req in list(act):
@@ -368,7 +367,7 @@ class ModelRuntime:
                 if g is None:
                     continue
                 req.logical_pages.append([g])
-                new_page_ids[req.slot] = g * L + np.arange(L)
+                new_page_ids[req.slot] = g
 
         act = self.active_requests()
         if not act:

@@ -85,9 +85,9 @@ def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
                        *, use_kernel: bool, with_logprobs: bool = False,
                        with_guided: bool = False,
                        with_lora: bool = False) -> Callable:
-    """Returns jitted fn(params, cache, state, tokens[S], page_row[L, maxPb],
+    """Returns jitted fn(params, cache, state, tokens[S], page_row[maxPb],
     prefix_len, total_len, init: SlotInit[, allowed [V] bool]) ->
-    (token, lp, cache, state)."""
+    (token, lp, cache, state). page_row holds LOGICAL page ids."""
     mode = rt.cache.mode
     V = cfg.vocab_size
     n_lp = rt.max_top_logprobs if with_logprobs else 0
@@ -120,10 +120,10 @@ def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
         counts = counts.at[tok].add(1)
 
         s = init.slot
-        maxP = state.page_tables.shape[2]
-        row_padded = jnp.zeros((cfg.num_layers, maxP), jnp.int32)
+        maxP = state.page_tables.shape[1]
+        row_padded = jnp.zeros((maxP,), jnp.int32)
         row_padded = jax.lax.dynamic_update_slice(
-            row_padded, page_row, (0, 0))
+            row_padded, page_row, (0,))
 
         state = DecodeState(
             token_ids=state.token_ids.at[s].set(tok),
@@ -143,44 +143,96 @@ def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
     return jax.jit(step, donate_argnums=(1, 2))
 
 
+def _megakernel_forward(cfg, plan, fn, params, state, cache, page_tables,
+                        lens):
+    """One whole-model decode forward via the Pallas megakernel."""
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+    from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
+                                          _mscale)
+    packed = params["packed"]
+    B = state.max_batch
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    x0 = params["embed"][state.token_ids].astype(jnp.bfloat16)
+    inv_freq = compute_inv_freq(cfg)
+    cos, sin = rope_cos_sin(lens, inv_freq, _mscale(cfg.rope_scaling))
+    # rope_cos_sin returns the half-dim table; the kernel wants full-D
+    # per-head tiles matching the half-split convention (ops/rotary.py)
+    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.float32)
+    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.float32)
+    cosq = jnp.tile(cos, (1, H))
+    sinq = jnp.tile(sin, (1, H))
+    cosk = jnp.tile(cos, (1, KH))
+    sink = jnp.tile(sin, (1, KH))
+
+    sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
+        page_tables, lens, state.active, plan.ps)
+    pools = [cache.k, cache.v]
+    if cache.k_qparams is not None:
+        pools += [cache.k_qparams, cache.v_qparams]
+    outs = fn(packed, x0, cosq, sinq, cosk, sink,
+              page_tables, lens, state.active, tgt_page,
+              sched_b, sched_p, n_sched, *pools)
+    logits = outs[0][:, :cfg.vocab_size]
+    new_pools = outs[1:]
+    if cache.k_qparams is not None:
+        cache = KVCache(k=new_pools[0], v=new_pools[1],
+                        k_qparams=new_pools[2], v_qparams=new_pools[3])
+    else:
+        cache = KVCache(k=new_pools[0], v=new_pools[1],
+                        k_qparams=None, v_qparams=None)
+    return logits, cache
+
+
 def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
                       *, use_kernel: bool, with_logprobs: bool = False,
                       with_guided: bool = False,
-                      with_lora: bool = False) -> Callable:
-    """Returns jitted fn(params, cache, state, new_page_ids [B, L]
+                      with_lora: bool = False,
+                      megakernel_plan=None) -> Callable:
+    """Returns jitted fn(params, cache, state, new_page_ids [B]
     [, allowed [B, V] bool]) -> (tokens [B], lp, cache, state).
 
-    new_page_ids[b, l] >= 0 installs a fresh physical page for slot b layer l
-    at the page-table column the incoming token starts (host allocates when a
-    slot crosses a page boundary; reference model.cpp:1480-1521).
+    new_page_ids[b] >= 0 installs a fresh LOGICAL page for slot b at the
+    page-table column the incoming token starts (host allocates when a slot
+    crosses a page boundary; reference model.cpp:1480-1521).
     The guided variant masks logits to the host-computed allowed token sets
-    (JSON mode; reference format_enforcer.cpp:334-357)."""
+    (JSON mode; reference format_enforcer.cpp:334-357).
+
+    When `megakernel_plan` is given (and no LoRA), the forward runs as ONE
+    Pallas megakernel (ops/pallas/megakernel.py) with packed weights: params
+    must then be a dict {"packed": ..., "embed": [V, hid]}."""
     mode = rt.cache.mode
     ps = rt.cache.page_size
     n_lp = rt.max_top_logprobs if with_logprobs else 0
+    if megakernel_plan is not None:
+        from dashinfer_tpu.ops.pallas import megakernel as _mk
+        _mega_fn = _mk.build_decode_megakernel(megakernel_plan)
 
     def step(params, cache: KVCache, state: DecodeState, new_page_ids,
              allowed=None, lora_pool=None):
         B = state.max_batch
-        L = cfg.num_layers
         lens = state.context_lens
-        col = lens // ps
+        col = jnp.clip(lens // ps, 0, state.page_tables.shape[1] - 1)
 
-        b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
-        l_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
-        old = state.page_tables[b_idx, l_idx, col[:, None]]
+        b_idx = jnp.arange(B, dtype=jnp.int32)
+        old = state.page_tables[b_idx, col]
         vals = jnp.where(new_page_ids >= 0, new_page_ids, old)
-        page_tables = state.page_tables.at[b_idx, l_idx, col[:, None]].set(vals)
+        page_tables = state.page_tables.at[b_idx, col].set(vals)
 
         if with_lora:
             onehot = jax.nn.one_hot(state.lora_idx,
                                     lora_pool["scale"].shape[0],
                                     dtype=jnp.float32)
-        logits, cache = transformer.decode_forward(
-            cfg, params, state.token_ids, cache, page_tables, lens,
-            state.active, mode=mode, use_kernel=use_kernel,
-            lora=lora_pool if with_lora else None,
-            lora_onehot=onehot if with_lora else None)
+        if megakernel_plan is not None:
+            logits, cache = _megakernel_forward(
+                cfg, megakernel_plan, _mega_fn, params, state, cache,
+                page_tables, lens)
+        else:
+            logits, cache = transformer.decode_forward(
+                cfg, params, state.token_ids, cache, page_tables, lens,
+                state.active, mode=mode, use_kernel=use_kernel,
+                lora=lora_pool if with_lora else None,
+                lora_onehot=onehot if with_lora else None)
         if with_guided:
             logits = jnp.where(allowed, logits, -1e30)
 

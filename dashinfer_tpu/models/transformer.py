@@ -116,9 +116,10 @@ def decode_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
                    lora: Optional[Dict] = None,
                    lora_onehot: Optional[jnp.ndarray] = None
                    ) -> Tuple[jnp.ndarray, KVCache]:
-    """tokens: [B] int32; page_tables: [B, L, maxP]; lens_before: [B] tokens
-    already cached (the new token's position). Returns (logits [B, vocab]
-    f32, cache)."""
+    """tokens: [B] int32; page_tables: [B, maxP] LOGICAL page ids (logical
+    page g owns physical pool rows g*L + l per layer l); lens_before: [B]
+    tokens already cached (the new token's position). Returns (logits
+    [B, vocab] f32, cache)."""
     B = tokens.shape[0]
     ps = cache.page_size
     hidden = params["embed_tokens"]["w"][tokens].astype(params_dtype(params))
@@ -130,19 +131,21 @@ def decode_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
     lens_after = jnp.where(active, lens_before + 1, 0)
     page_col = pos // ps
     offsets = pos % ps
-    pt_by_layer = jnp.transpose(page_tables, (1, 0, 2))  # [L, B, maxP]
+    L = cfg.num_layers
+    layer_ids = jnp.arange(L, dtype=jnp.int32)
     scale = _attn_scale(cfg)
 
     def body(carry, xs):
         hidden, cache = carry
         if lora is not None:
-            lp, pt_l, la, lb = xs
+            lp, li, la, lb = xs
             from dashinfer_tpu.lora.manager import apply_lora_batch
             delta = lambda t, x_: apply_lora_batch(
                 x_, la[t], lb[t], lora["scale"], lora_onehot)
         else:
-            lp, pt_l = xs  # pt_l: [B, maxP]
+            lp, li = xs  # li: scalar layer index
             delta = None
+        pt_l = page_tables * L + li  # [B, maxP] physical pool rows
         x = rms_norm(hidden, lp["input_layernorm"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lp, x, delta)
         q = apply_rope(q, cos, sin, cfg.rope_interleaved)
@@ -161,7 +164,7 @@ def decode_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
         hidden = hidden + _mlp(cfg, lp, x2, delta)
         return (hidden, cache2), None
 
-    xs = (params["layers"], pt_by_layer)
+    xs = (params["layers"], layer_ids)
     if lora is not None:
         xs = xs + (lora["A"], lora["B"])
     (hidden, cache), _ = jax.lax.scan(body, (hidden, cache), xs)
@@ -182,8 +185,8 @@ def prefill_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
                     lora_idx: Optional[jnp.ndarray] = None
                     ) -> Tuple[jnp.ndarray, KVCache]:
     """tokens: [S] the uncached suffix (padded to the bucket size S);
-    page_table: [L, maxP_bucket] physical pages covering positions
-    [0, S_kv); prefix_len: scalar cached-prefix length (prefix-cache hit or
+    page_table: [maxP_bucket] LOGICAL pages covering positions [0, S_kv);
+    prefix_len: scalar cached-prefix length (prefix-cache hit or
     previous chunks); total_len: prefix_len + actual new tokens.
 
     Returns (last-token logits [vocab] f32, cache). `embeds` optionally
@@ -201,17 +204,20 @@ def prefill_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
     inv_freq = compute_inv_freq(cfg)
     cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
     scale = _attn_scale(cfg)
+    L = cfg.num_layers
+    layer_ids = jnp.arange(L, dtype=jnp.int32)
 
     def body(carry, xs):
         hidden, cache = carry
         if lora is not None:
-            lp, pt_l, la, lb = xs
+            lp, li, la, lb = xs
             from dashinfer_tpu.lora.manager import apply_lora_single
             delta = lambda t, x_: apply_lora_single(
                 x_, la[t], lb[t], lora["scale"], lora_idx)
         else:
-            lp, pt_l = xs  # pt_l: [maxP_bucket]
+            lp, li = xs
             delta = None
+        pt_l = page_table * L + li  # [maxP_bucket] physical pool rows
         x = rms_norm(hidden, lp["input_layernorm"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lp, x, delta)
         q = apply_rope(q, cos, sin, cfg.rope_interleaved)
@@ -231,7 +237,7 @@ def prefill_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
         hidden = hidden + _mlp(cfg, lp, x2, delta)
         return (hidden, cache2), None
 
-    xs = (params["layers"], page_table)
+    xs = (params["layers"], layer_ids)
     if lora is not None:
         xs = xs + (lora["A"], lora["B"])
     (hidden, cache), _ = jax.lax.scan(body, (hidden, cache), xs)

@@ -1,0 +1,1120 @@
+"""Whole-model decode megakernel: one pallas_call per decode step.
+
+Why this exists: on TPU the dominant decode-step cost is per-kernel and
+per-DMA issue overhead, not bytes (measured on v5e: ~1.3 ms per dependent
+kernel launch vs ~180 GB/s sustained streaming INSIDE one kernel). The
+reference pays the same tax differently — it dedicates a library to decode
+attention (span-attention/) and 12k LoC to fused GEMV (gemm_lowp/) to keep
+kernel count low per layer. The TPU answer is more radical: the ENTIRE
+multi-layer forward for one batched decode step is a single Pallas kernel
+that streams every weight chunk through VMEM exactly once via phase-gated
+grid pipelining, with paged KV attention and cache append fused in.
+
+Structure (1-D grid, T = L * S_layer + S_lm steps):
+  per layer: [qkv chunks | attention step | o chunks | gate/up chunks |
+              down chunks]
+  then:      [lm_head chunks -> logits blocks]
+
+Each weight stream is one pallas input with a phase-gated BlockSpec
+index_map: outside its phase the block index freezes (no refetch), inside it
+advances chunk by chunk, so Mosaic's automatic double-buffering streams all
+weights back-to-back at HBM speed while the kernel body computes on the
+previous chunk.
+
+Attention (reference span-attention, SURVEY.md §2.5): the host/jit passes a
+flat page schedule (slot, page-ordinal) covering every active sequence; the
+attention step ring-DMAs pages of the page-major pool [P, ps, KH*D] (one
+descriptor per page covers all kv heads) and runs online softmax per
+(slot, kv-head) with int8/uint4 dequant fused via the affine-after-dot
+identity. The new token's K/V never round-trips through HBM for its own
+step: it is held in VMEM, attended directly, stashed per layer, and flushed
+once at the end with ONE aliased read-modify-write window per sequence per
+pool (layers of a logical page are contiguous: rows g*L .. g*L+L).
+
+Quantized weights (reference gemm_lowp regime, SURVEY.md §8.2): group-wise
+asymmetric u4/i8; the MXU dot runs on the raw int payload cast to bf16 and
+the per-group affine runs on the [B, cN] result tile (batched per-group dot,
+out = sum_g (x_g @ q_g) * scale_g + xsum_g * zero_g).
+"""
+
+import dataclasses
+import functools
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dashinfer_tpu.config import CacheMode, ModelConfig, RuntimeConfig
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+_RMW_W = 8          # aligned row window for in-place pool writes
+_RING = 4           # page-DMA ring depth per pool
+_DEBUG = bool(__import__("os").environ.get("DI_MK_DEBUG"))
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamPlan:
+    """One weight stream (qkv / o / gu / dn / lm)."""
+
+    name: str
+    bits: int            # 4, 8, or 16 (bf16)
+    K: int               # real contraction dim
+    N: int               # real output dim
+    Kp: int              # padded (dn: chunked) contraction dim
+    Np: int              # padded output dim
+    chunk: int           # chunk size along the chunked dim
+    S: int               # number of chunks
+    gs: int              # quant group size (0 for bf16)
+    chunk_axis: str      # "n" (K full per chunk) or "k" (dn)
+
+    @property
+    def store_cols(self) -> int:
+        """Stored lane count of a chunk's payload."""
+        w = self.chunk if self.chunk_axis == "n" else self.Np
+        return w // 2 if self.bits == 4 else w
+
+
+def _plan_stream(name: str, bits: int, K: int, N: int, gs: int,
+                 target_bytes: int, chunk_axis: str = "n") -> StreamPlan:
+    if chunk_axis == "n":
+        Kp = K  # K must already be 128-aligned for lane slicing upstream
+        per_col = Kp * (0.5 if bits == 4 else 1 if bits == 8 else 2)
+        step = 256 if bits == 4 else 128
+        chunk = max(step, int(target_bytes / per_col) // step * step)
+        chunk = min(chunk, _round_up(N, step))
+        S = -(-N // chunk)
+        Np = S * chunk
+        return StreamPlan(name, bits, K, N, Kp, Np, chunk, S, gs, "n")
+    # chunk over K rows (down proj)
+    Np = _round_up(N, 128)
+    per_row = Np * (0.5 if bits == 4 else 1 if bits == 8 else 2)
+    step = max(gs if gs > 0 else 128, 128)
+    # rows must also satisfy int8 sublane packing (32) — gs>=32 covers it
+    chunk = max(step, int(target_bytes / per_row) // step * step)
+    chunk = min(chunk, _round_up(K, step))
+    S = -(-K // chunk)
+    Kp = S * chunk
+    return StreamPlan(name, bits, K, N, Kp, Np, chunk, S, gs, "k")
+
+
+@dataclasses.dataclass(frozen=True)
+class MegaPlan:
+    B: int
+    L: int
+    hid: int
+    H: int
+    KH: int
+    D: int
+    G: int
+    G8: int
+    inter: int
+    QKVN: int
+    ps: int
+    maxP: int
+    MAXPG: int
+    Vp: int
+    kv_mode: CacheMode
+    kv_bits: int          # 16 / 8 / 4
+    kv_dtype_name: str    # payload dtype ("bfloat16"/"float32"/"int8"/"uint8")
+    has_qkv_bias: bool
+    qkv: StreamPlan
+    o: StreamPlan
+    gu: StreamPlan
+    dn: StreamPlan
+    lm: StreamPlan
+    rms_eps: float
+
+    @property
+    def S_layer(self) -> int:
+        return self.qkv.S + 1 + self.o.S + self.gu.S + self.dn.S
+
+    @property
+    def T_total(self) -> int:
+        return self.L * self.S_layer + self.lm.S
+
+    # phase bases within a layer
+    @property
+    def base_qkv(self) -> int:
+        return 0
+
+    @property
+    def base_att(self) -> int:
+        return self.qkv.S
+
+    @property
+    def base_o(self) -> int:
+        return self.qkv.S + 1
+
+    @property
+    def base_gu(self) -> int:
+        return self.base_o + self.o.S
+
+    @property
+    def base_dn(self) -> int:
+        return self.base_gu + self.gu.S
+
+    @property
+    def kv_store_dim(self) -> int:
+        return self.D // 2 if self.kv_bits == 4 else self.D
+
+
+def _weight_bits(leaf: Dict) -> int:
+    if "w_q" not in leaf:
+        return 16
+    return 8 if leaf["w_q"].dtype == jnp.int8 else 4
+
+
+def supports(cfg: ModelConfig, rt: RuntimeConfig, params: Dict) -> bool:
+    """Eligibility for the megakernel fast path (fallback otherwise)."""
+    try:
+        lp = params["layers"]
+        if cfg.moe is not None or cfg.qk_norm:
+            return False
+        if cfg.head_dim != 128:
+            return False
+        if cfg.hidden_size % 128 or (cfg.num_heads * cfg.head_dim) % 128:
+            return False
+        if cfg.rope_interleaved or cfg.position_embedding.value != "rope":
+            return False
+        if cfg.final_logit_softcap:
+            return False
+        if cfg.rope_scaling.use_logn_attn:
+            return False
+        if rt.cache.page_size % _RMW_W:
+            return False
+        if rt.max_batch > 32:
+            return False
+        dnl = lp["down_proj"]
+        if "w_q" in dnl:
+            Kdn = dnl["w_q"].shape[1]
+            gs_dn = Kdn // dnl["scale"].shape[1]
+            if gs_dn == Kdn and Kdn > 2048:
+                return False
+        for name in ("o_proj", "gate_proj", "up_proj", "down_proj"):
+            if "b" in lp[name]:
+                return False
+        # uniform bits within each fused stream
+        if _weight_bits(lp["gate_proj"]) != _weight_bits(lp["up_proj"]):
+            return False
+        for name in ("q_proj", "k_proj", "v_proj"):
+            if _weight_bits(lp[name]) != _weight_bits(lp["q_proj"]):
+                return False
+        # group sizes must divide the 128-aligned chunking
+        for name in ("q_proj", "o_proj", "gate_proj", "down_proj"):
+            leaf = lp[name]
+            if "w_q" in leaf:
+                K = leaf["w_q"].shape[1]
+                gs = K // leaf["scale"].shape[1]
+                if gs % 128 and gs != K:
+                    return False
+        if cfg.tie_word_embeddings and "w_q" in params.get("lm_head", {}):
+            return False
+        return True
+    except Exception:
+        return False
+
+
+def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
+              target_chunk_bytes: int = 1 << 20) -> MegaPlan:
+    lp = params["layers"]
+    hid = cfg.hidden_size
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    QKVN = (H + 2 * KH) * D
+    inter = cfg.intermediate_size
+    V = cfg.vocab_size
+
+    def gs_of(leaf, K, gaxis=1):
+        # stacked layer leaves are [L, G, N] (gaxis=1); unstacked [G, N]
+        if "w_q" not in leaf:
+            return 0
+        g = leaf["scale"].shape[gaxis]
+        return K if g == 1 else K // g
+
+    qkv = _plan_stream("qkv", _weight_bits(lp["q_proj"]), hid, QKVN,
+                       gs_of(lp["q_proj"], hid), target_chunk_bytes)
+    o = _plan_stream("o", _weight_bits(lp["o_proj"]), H * D, hid,
+                     gs_of(lp["o_proj"], H * D), target_chunk_bytes)
+    gu = _plan_stream("gu", _weight_bits(lp["gate_proj"]), hid, 2 * inter,
+                      gs_of(lp["gate_proj"], hid), target_chunk_bytes)
+    dn = _plan_stream("dn", _weight_bits(lp["down_proj"]), inter, hid,
+                      gs_of(lp["down_proj"], inter), target_chunk_bytes,
+                      chunk_axis="k")
+    lm_leaf = params["lm_head"] if not cfg.tie_word_embeddings else \
+        {"w": params["embed_tokens"]["w"]}
+    lm = _plan_stream("lm", _weight_bits(lm_leaf), hid, V,
+                      gs_of(lm_leaf, hid, gaxis=0), target_chunk_bytes)
+
+    mode = rt.cache.mode
+    kv_bits = {CacheMode.DEFAULT: 16, CacheMode.INT8: 8,
+               CacheMode.UINT4: 4}[mode]
+    if mode == CacheMode.DEFAULT:
+        kv_dtype_name = "float32" if rt.dtype == "float32" else "bfloat16"
+    else:
+        kv_dtype_name = "int8" if mode == CacheMode.INT8 else "uint8"
+    B = rt.max_batch
+    maxP = rt.max_pages_per_seq
+    return MegaPlan(
+        B=B, L=cfg.num_layers, hid=hid, H=H, KH=KH, D=D, G=H // KH,
+        G8=_round_up(H // KH, 8), inter=inter, QKVN=QKVN,
+        ps=rt.cache.page_size, maxP=maxP, MAXPG=B * maxP,
+        Vp=lm.Np, kv_mode=mode, kv_bits=kv_bits,
+        kv_dtype_name=kv_dtype_name,
+        has_qkv_bias=("b" in lp["q_proj"]),
+        qkv=qkv, o=o, gu=gu, dn=dn, lm=lm, rms_eps=cfg.rms_norm_eps)
+
+
+# ---------------------------------------------------------------------------
+# weight packing
+# ---------------------------------------------------------------------------
+
+def _unpack_u4(w_q: np.ndarray) -> np.ndarray:
+    """Loader's packed u4 [K, N/2] -> int [K, N] (undo ops/u4pack TILE-128
+    halves packing). Pure numpy: packing runs once per model install and
+    must not round-trip through the device."""
+    from dashinfer_tpu.ops.u4pack import unpack_u4_weight_np_like
+    return unpack_u4_weight_np_like(np.asarray(w_q), np).astype(np.uint8)
+
+
+def _chunk_payload(sp: StreamPlan, q_int: np.ndarray) -> np.ndarray:
+    """q_int [K, N] int levels -> chunked payload [S, rows, store_cols]."""
+    K, N = q_int.shape
+    if sp.chunk_axis == "n":
+        buf = np.zeros((sp.Kp, sp.Np), q_int.dtype)
+        buf[:K, :N] = q_int
+        chunks = buf.reshape(sp.Kp, sp.S, sp.chunk).transpose(1, 0, 2)
+    else:
+        buf = np.zeros((sp.Kp, sp.Np), q_int.dtype)
+        buf[:K, :N] = q_int
+        chunks = buf.reshape(sp.S, sp.chunk, sp.Np)
+    if sp.bits == 4:
+        half = chunks.shape[-1] // 2
+        lo = chunks[..., :half].astype(np.uint8)
+        hi = chunks[..., half:].astype(np.uint8)
+        return (lo | (hi << 4)).astype(np.uint8)
+    if sp.bits == 8:
+        return chunks.astype(np.int8)
+    return chunks  # bf16 handled by caller dtype
+
+
+def _chunk_qparams(sp: StreamPlan, s: np.ndarray, z: np.ndarray):
+    """scale/zero [G, N] -> [S, Gc, chunk-or-Np] bf16 pair."""
+    G = s.shape[0]
+    gs = sp.gs if sp.gs else sp.K
+    Gp_k = sp.Kp // gs if gs else 1
+    if sp.chunk_axis == "n":
+        sb = np.zeros((max(Gp_k, 1), sp.Np), np.float32)
+        zb = np.zeros((max(Gp_k, 1), sp.Np), np.float32)
+        sb[:G, :sp.N] = s
+        zb[:G, :sp.N] = z
+        sc = sb.reshape(sb.shape[0], sp.S, sp.chunk).transpose(1, 0, 2)
+        zc = zb.reshape(zb.shape[0], sp.S, sp.chunk).transpose(1, 0, 2)
+    else:
+        sb = np.zeros((Gp_k, sp.Np), np.float32)
+        zb = np.zeros((Gp_k, sp.Np), np.float32)
+        sb[:G, :sp.N] = s
+        zb[:G, :sp.N] = z
+        gpc = sp.chunk // gs
+        sc = sb.reshape(sp.S, gpc, sp.Np)
+        zc = zb.reshape(sp.S, gpc, sp.Np)
+    # bf16 scales halve the streamed qparam bytes (dequant runs in f32)
+    return sc.astype(jnp.bfloat16), zc.astype(jnp.bfloat16)
+
+
+def _leaf_to_int(leaf: Dict, bits: int) -> Tuple[np.ndarray, np.ndarray,
+                                                 np.ndarray]:
+    """Quantized leaf -> (int levels [K, N], scale [G, N], zero [G, N])."""
+    if bits == 4:
+        q = _unpack_u4(np.asarray(leaf["w_q"]))
+    else:
+        q = np.asarray(leaf["w_q"])
+    return q, np.asarray(leaf["scale"], np.float32), \
+        np.asarray(leaf["zero"], np.float32)
+
+
+def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
+    """Build the megakernel's streamed-weight arrays from the engine's
+    stacked params pytree (one-time cost at install)."""
+    lp = jax.tree.map(np.asarray, params["layers"])
+    L = plan.L
+    out: Dict[str, Any] = {}
+
+    def pack_stream(sp: StreamPlan, leaves_per_layer):
+        pays, scs, zcs = [], [], []
+        for l in range(L):
+            parts_q, parts_s, parts_z = [], [], []
+            for leaf in leaves_per_layer(l):
+                if sp.bits == 16:
+                    parts_q.append(np.asarray(leaf["w"], np.float32))
+                else:
+                    q, s, z = _leaf_to_int(leaf, sp.bits)
+                    parts_q.append(q)
+                    parts_s.append(s)
+                    parts_z.append(z)
+            qcat = np.concatenate(parts_q, axis=1) if len(parts_q) > 1 \
+                else parts_q[0]
+            if sp.bits == 16:
+                buf = np.zeros((sp.Kp if sp.chunk_axis == "n" else sp.Kp,
+                                sp.Np), np.float32)
+                buf[:qcat.shape[0], :qcat.shape[1]] = qcat
+                if sp.chunk_axis == "n":
+                    ch = buf.reshape(sp.Kp, sp.S, sp.chunk).transpose(1, 0, 2)
+                else:
+                    ch = buf.reshape(sp.S, sp.chunk, sp.Np)
+                pays.append(ch.astype(jnp.bfloat16))
+            else:
+                scat = np.concatenate(parts_s, axis=1) if len(parts_s) > 1 \
+                    else parts_s[0]
+                zcat = np.concatenate(parts_z, axis=1) if len(parts_z) > 1 \
+                    else parts_z[0]
+                pays.append(_chunk_payload(sp, qcat))
+                sc, zc = _chunk_qparams(sp, scat, zcat)
+                scs.append(sc)
+                zcs.append(zc)
+        out[sp.name + "_w"] = jnp.asarray(np.stack(pays))
+        if sp.bits != 16:
+            out[sp.name + "_s"] = jnp.asarray(np.stack(scs))
+            out[sp.name + "_z"] = jnp.asarray(np.stack(zcs))
+
+    pack_stream(plan.qkv, lambda l: [
+        jax.tree.map(lambda a: a[l], lp["q_proj"]),
+        jax.tree.map(lambda a: a[l], lp["k_proj"]),
+        jax.tree.map(lambda a: a[l], lp["v_proj"])])
+    pack_stream(plan.o, lambda l: [jax.tree.map(lambda a: a[l], lp["o_proj"])])
+    pack_stream(plan.gu, lambda l: [
+        jax.tree.map(lambda a: a[l], lp["gate_proj"]),
+        jax.tree.map(lambda a: a[l], lp["up_proj"])])
+    pack_stream(plan.dn, lambda l: [
+        jax.tree.map(lambda a: a[l], lp["down_proj"])])
+
+    # lm head packed once (leading dim 1 so index maps stay uniform)
+    lm_leaf = params["lm_head"] if not cfg.tie_word_embeddings else \
+        {"w": np.asarray(params["embed_tokens"]["w"]).T}
+    sp = plan.lm
+    if sp.bits == 16:
+        buf = np.zeros((sp.Kp, sp.Np), np.float32)
+        w = np.asarray(lm_leaf["w"], np.float32)
+        buf[:w.shape[0], :w.shape[1]] = w
+        ch = buf.reshape(sp.Kp, sp.S, sp.chunk).transpose(1, 0, 2)
+        out["lm_w"] = jnp.asarray(ch.astype(jnp.bfloat16))[None]
+    else:
+        q, s, z = _leaf_to_int(lm_leaf, sp.bits)
+        out["lm_w"] = jnp.asarray(_chunk_payload(sp, q))[None]
+        sc, zc = _chunk_qparams(sp, s, z)
+        out["lm_s"] = jnp.asarray(sc)[None]
+        out["lm_z"] = jnp.asarray(zc)[None]
+
+    # norms / bias
+    out["norms"] = jnp.asarray(np.stack(
+        [np.stack([np.asarray(lp["input_layernorm"][l], np.float32),
+                   np.asarray(lp["post_attention_layernorm"][l], np.float32)])
+         for l in range(L)]).astype(jnp.bfloat16))  # [L, 2, hid]
+    if plan.has_qkv_bias:
+        bias = np.concatenate(
+            [np.asarray(lp["q_proj"]["b"], np.float32),
+             np.asarray(lp["k_proj"]["b"], np.float32),
+             np.asarray(lp["v_proj"]["b"], np.float32)], axis=1)  # [L, QKVN]
+    else:
+        bias = np.zeros((L, plan.QKVN), np.float32)
+    bp = np.zeros((L, 1, plan.QKVN), np.float32)
+    bp[:, 0, :bias.shape[1]] = bias
+    out["qkv_b"] = jnp.asarray(bp)
+    out["final_norm"] = jnp.asarray(
+        np.asarray(params["norm"], np.float32)[None].astype(jnp.bfloat16))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _dequant_chunk(w_ref, bits: int):
+    """Chunk payload ref slice [rows, store_cols] -> bf16 [rows, cols]."""
+    if bits == 16:
+        return w_ref[0, 0]
+    if bits == 8:
+        return w_ref[0, 0].astype(jnp.bfloat16)
+    p32 = w_ref[0, 0].astype(jnp.int32)
+    lo = (p32 & 0xF).astype(jnp.bfloat16)
+    hi = ((p32 >> 4) & 0xF).astype(jnp.bfloat16)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def _stream_dot(plan: MegaPlan, sp: StreamPlan, x_bf16, w_ref, s_ref, z_ref,
+                chunk_idx):
+    """One chunk's matmul with fused group-wise dequant.
+
+    x_bf16: [B, Kc] (Kc = sp.Kp for n-chunked, sp.chunk for k-chunked).
+    Returns f32 [B, cols]."""
+    q = _dequant_chunk(w_ref, sp.bits)                       # [rows, cols]
+    B = x_bf16.shape[0]
+    if sp.bits == 16:
+        return jax.lax.dot_general(
+            x_bf16, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    rows = q.shape[0]
+    gs = sp.gs if sp.gs else rows
+    groups = rows // gs
+    if groups == 1:
+        part = jax.lax.dot_general(
+            x_bf16, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        xsum = jnp.sum(x_bf16.astype(jnp.float32), axis=1, keepdims=True)
+        return part * s_ref[0, 0].astype(jnp.float32) + \
+            xsum * z_ref[0, 0].astype(jnp.float32)
+    xg = x_bf16.reshape(B, groups, gs).swapaxes(0, 1)        # [G, B, gs]
+    qg = q.reshape(groups, gs, -1)                           # [G, gs, cols]
+    part = jax.lax.dot_general(
+        xg, qg, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [G, B, cols]
+    s = s_ref[0, 0].astype(jnp.float32)                      # [G, cols]
+    z = z_ref[0, 0].astype(jnp.float32)
+    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)           # [G, B]
+    return (jnp.sum(part * s[:, None, :], axis=0)
+            + jnp.sum(xsum[:, :, None] * z[:, None, :], axis=0))
+
+
+def _rms(x_f32, w_bf16, eps):
+    var = jnp.mean(x_f32 * x_f32, axis=-1, keepdims=True)
+    return (x_f32 * jax.lax.rsqrt(var + eps)) * w_bf16.astype(jnp.float32)
+
+
+def _rot_half_heads(x, D):
+    """rotate_half applied per D-sized head block on a [B, n*D] tensor,
+    vectorized across heads: a global lane roll by D/2 lands the right
+    source lane inside every D-block, selected by lane%D."""
+    h = D // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+    first = (lane % D) < h
+    fwd = jnp.concatenate([x[:, h:], x[:, :h]], axis=-1)    # roll -h
+    bwd = jnp.concatenate([x[:, -h:], x[:, :-h]], axis=-1)  # roll +h
+    return jnp.where(first, -fwd, bwd)
+
+
+def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
+    """Returns fn(packed, x0, cosq, sinq, cosk, sink, pt, lens, active,
+    tgt_page, sched_b, sched_p, n_sched, k, v, kq, vq) ->
+    (logits [B, Vp] f32, k, v, kq, vq)."""
+    B, L, hid = plan.B, plan.L, plan.hid
+    H, KH, D, G, G8 = plan.H, plan.KH, plan.D, plan.G, plan.G8
+    HD = H * D
+    ps, maxP = plan.ps, plan.maxP
+    S_layer, T_total = plan.S_layer, plan.T_total
+    kv_quant = plan.kv_mode != CacheMode.DEFAULT
+    Dsc = plan.kv_store_dim
+    F = KH * Dsc
+    qkv, o_sp, gu, dn, lm = plan.qkv, plan.o, plan.gu, plan.dn, plan.lm
+    eps = plan.rms_eps
+    scale_att = 1.0 / math.sqrt(D)
+    Gmax = max(hid, HD, dn.Kp) // 128
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    NSCAL = 7  # pt, lens, active, tgt_page, sched_b, sched_p, n_sched
+
+    # ---- phase-gated index maps -------------------------------------------
+    def layer_of(t):
+        return jnp.minimum(t // S_layer, L - 1)
+
+    def stream_idx(base, count):
+        def idx(t, *_):
+            l = layer_of(t)
+            s = t - l * S_layer
+            c = jnp.clip(s - base, 0, count - 1)
+            return (l, c, 0, 0)
+        return idx
+
+    def lm_idx(t, *_):
+        c = jnp.clip(t - L * S_layer, 0, lm.S - 1)
+        return (0, c, 0, 0)
+
+    def norm_idx(t, *_):
+        return (layer_of(t), 0, 0)
+
+    def bias_idx(t, *_):
+        return (layer_of(t), 0, 0)
+
+    def const_idx(t, *_):
+        return tuple([0] * 2)
+
+    # logits output blocks advance during the lm phase only
+    def out_idx(t, *_):
+        c = jnp.clip(t - L * S_layer, 0, lm.S - 1)
+        return (0, c)
+
+    def payload_spec(sp: StreamPlan, idx):
+        rows = sp.Kp if sp.chunk_axis == "n" else sp.chunk
+        return pl.BlockSpec((1, 1, rows, sp.store_cols), idx)
+
+    def qparam_spec(sp: StreamPlan, idx):
+        gs = sp.gs if sp.gs else (sp.Kp if sp.chunk_axis == "n" else sp.chunk)
+        if sp.chunk_axis == "n":
+            g = max(sp.Kp // gs, 1)
+            cols = sp.chunk
+        else:
+            g = max(sp.chunk // gs, 1)
+            cols = sp.Np
+        return pl.BlockSpec((1, 1, g, cols), idx)
+
+    in_specs = [
+        pl.BlockSpec((B, hid), lambda t, *_: (0, 0)),        # x0
+        pl.BlockSpec((B, HD), lambda t, *_: (0, 0)),         # cosq
+        pl.BlockSpec((B, HD), lambda t, *_: (0, 0)),         # sinq
+        pl.BlockSpec((B, KH * D), lambda t, *_: (0, 0)),     # cosk
+        pl.BlockSpec((B, KH * D), lambda t, *_: (0, 0)),     # sink
+    ]
+    arg_names = ["x0", "cosq", "sinq", "cosk", "sink"]
+
+    stream_defs = [
+        (qkv, stream_idx(plan.base_qkv, qkv.S)),
+        (o_sp, stream_idx(plan.base_o, o_sp.S)),
+        (gu, stream_idx(plan.base_gu, gu.S)),
+        (dn, stream_idx(plan.base_dn, dn.S)),
+        (lm, lm_idx),
+    ]
+    for sp, idx in stream_defs:
+        in_specs.append(payload_spec(sp, idx))
+        arg_names.append(sp.name + "_w")
+        if sp.bits != 16:
+            in_specs.append(qparam_spec(sp, idx))
+            arg_names.append(sp.name + "_s")
+            in_specs.append(qparam_spec(sp, idx))
+            arg_names.append(sp.name + "_z")
+
+    in_specs.append(pl.BlockSpec((1, 2, hid), norm_idx))     # norms
+    arg_names.append("norms")
+    in_specs.append(pl.BlockSpec((1, 1, plan.QKVN), bias_idx))  # qkv_b
+    arg_names.append("qkv_b")
+    in_specs.append(pl.BlockSpec((1, hid), const_idx))       # final_norm
+    arg_names.append("final_norm")
+    npools = 4 if kv_quant else 2
+    for _ in range(npools):
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # kv pools
+    arg_names += ["k", "v", "kq", "vq"][:npools]
+
+    out_specs = [pl.BlockSpec((B, lm.chunk), out_idx)] + \
+        [pl.BlockSpec(memory_space=pl.ANY)] * npools
+
+    kv_dtype = jnp.dtype(plan.kv_dtype_name)
+
+    scratch_shapes = [
+        pltpu.VMEM((B, hid), jnp.float32),            # 0 x_resid
+        pltpu.VMEM((B, hid), jnp.bfloat16),           # 1 x_norm
+        pltpu.VMEM((B, qkv.Np), jnp.float32),         # 2 qkv_out
+        pltpu.VMEM((B, KH, G8, D), jnp.float32),      # 3 q4
+        pltpu.VMEM((B, HD), jnp.bfloat16),            # 4 attn_out
+        pltpu.VMEM((B, gu.Np), jnp.bfloat16),         # 5 gu_out
+        pltpu.VMEM((B, dn.Kp), jnp.bfloat16),         # 6 h_act
+        pltpu.VMEM((B, hid), jnp.float32),            # 7 acc_dn
+        pltpu.VMEM((B, o_sp.Np), jnp.float32),        # 7b o_out
+        pltpu.VMEM((B, KH, G8, 1), jnp.float32),      # 8 m_st
+        pltpu.VMEM((B, KH, G8, 1), jnp.float32),      # 9 l_st
+        pltpu.VMEM((B, KH, G8, D), jnp.float32),      # 10 acc_at
+        pltpu.VMEM((B, L, F), kv_dtype),              # 11 nk_buf
+        pltpu.VMEM((B, L, F), kv_dtype),              # 12 nv_buf
+        pltpu.VMEM((B, L, 2 * KH), jnp.float32),      # 13 nkp_buf
+        pltpu.VMEM((B, L, 2 * KH), jnp.float32),      # 14 nvp_buf
+        pltpu.VMEM((_RING, ps, F), kv_dtype),         # 15 kbuf
+        pltpu.VMEM((_RING, ps, F), kv_dtype),         # 16 vbuf
+        pltpu.VMEM((_RING, KH, 2, ps), jnp.float32),  # 17 kqbuf
+        pltpu.VMEM((_RING, KH, 2, ps), jnp.float32),  # 18 vqbuf
+        pltpu.VMEM((L, _RMW_W, F), kv_dtype),         # 19 rmw_k
+        pltpu.VMEM((L, _RMW_W, F), kv_dtype),         # 20 rmw_v
+        pltpu.VMEM((L, KH, 2, ps), jnp.float32),      # 21 rmw_kq
+        pltpu.VMEM((L, KH, 2, ps), jnp.float32),      # 22 rmw_vq
+        pltpu.SemaphoreType.DMA((4, _RING)),          # 23 page sems
+        pltpu.SemaphoreType.DMA((4,)),                # 24 rmw sems
+    ]
+
+    NARG = len(arg_names)
+    name_pos = {n: i for i, n in enumerate(arg_names)}
+    has = {n: (n in name_pos) for n in
+           ["qkv_s", "o_s", "gu_s", "dn_s", "lm_s", "kq", "vq"]}
+
+    def kernel(*refs):
+        pt, lens, active, tgt_page, sched_b, sched_p, n_sched = refs[:NSCAL]
+        args = {n: refs[NSCAL + i] for i, n in enumerate(arg_names)}
+        logits_ref = refs[NSCAL + NARG]
+        kpool_o = refs[NSCAL + NARG + 1]
+        vpool_o = refs[NSCAL + NARG + 2]
+        if kv_quant:
+            kqpool_o = refs[NSCAL + NARG + 3]
+            vqpool_o = refs[NSCAL + NARG + 4]
+        sc = refs[NSCAL + NARG + 1 + npools:]
+        (x_resid, x_norm, qkv_out, q4, attn_out, gu_out, h_act, acc_dn,
+         o_out, m_st, l_st, acc_at, nk_buf, nv_buf, nkp_buf, nvp_buf,
+         kbuf, vbuf, kqbuf, vqbuf, rmw_k, rmw_v, rmw_kq, rmw_vq,
+         page_sems, rmw_sems) = sc
+
+        t = pl.program_id(0)
+        l = layer_of(t)
+        s = t - l * S_layer
+        in_lm = t >= L * S_layer
+
+        @pl.when(t == 0)
+        def _init():
+            x_resid[:] = args["x0"][:].astype(jnp.float32)
+
+        # ---------------- qkv phase ----------------
+        @pl.when(jnp.logical_and(~in_lm, s < plan.base_att))
+        def _qkv():
+            @pl.when(s == 0)
+            def _():
+                x_norm[:] = _rms(x_resid[:], args["norms"][0, 0],
+                                 eps).astype(jnp.bfloat16)
+            c = s
+            y = _stream_dot(plan, qkv, x_norm[:],
+                            args["qkv_w"],
+                            args.get("qkv_s"), args.get("qkv_z"), c)
+            pl_store_cols(qkv_out, c * qkv.chunk, qkv.chunk, y)
+
+        # ---------------- attention phase ----------------
+        @pl.when(jnp.logical_and(~in_lm, s == plan.base_att))
+        def _att():
+            qkvb = qkv_out[:, :plan.QKVN] + args["qkv_b"][0, 0][None, :]
+            qr = qkvb[:, :HD]
+            kr = qkvb[:, HD:HD + KH * D]
+            vr = qkvb[:, HD + KH * D:HD + 2 * KH * D]
+            cq, sq = args["cosq"][:], args["sinq"][:]
+            ck, sk = args["cosk"][:], args["sink"][:]
+            q_rot = qr * cq + _rot_half_heads(qr, D) * sq
+            k_rot = kr * ck + _rot_half_heads(kr, D) * sk
+
+            # stash new-token kv (quantize per head)
+            k3 = k_rot.reshape(B, KH, D)
+            v3 = vr.reshape(B, KH, D)
+            if kv_quant:
+                def qz(x):
+                    xmin = jnp.min(x, axis=-1)
+                    xmax = jnp.max(x, axis=-1)
+                    if plan.kv_bits == 8:
+                        sc_ = jnp.maximum((xmax - xmin) / 255.0, 1e-8)
+                        qv = jnp.clip(jnp.round((x - xmin[..., None]) / sc_[..., None]) - 128.0, -128, 127)
+                        zr = xmin + 128.0 * sc_
+                        pay = qv.astype(jnp.int8)
+                    else:
+                        sc_ = jnp.maximum((xmax - xmin) / 15.0, 1e-8)
+                        qv = jnp.clip(jnp.round((x - xmin[..., None]) / sc_[..., None]), 0, 15).astype(jnp.uint8)
+                        zr = xmin
+                        lo = qv[..., :D // 2]
+                        hi = qv[..., D // 2:]
+                        pay = (lo | (hi << 4)).astype(jnp.uint8)
+                    return pay, sc_, zr
+                kpay, ksc, kzr = qz(k3)
+                vpay, vsc, vzr = qz(v3)
+            else:
+                kpay, ksc, kzr = k3.astype(kv_dtype), None, None
+                vpay, vsc, vzr = v3.astype(kv_dtype), None, None
+
+            lsel = jax.lax.broadcasted_iota(jnp.int32, (B, L, F), 1) == l
+            nk_buf[:] = jnp.where(lsel, kpay.reshape(B, 1, F), nk_buf[:])
+            nv_buf[:] = jnp.where(lsel, vpay.reshape(B, 1, F), nv_buf[:])
+            if kv_quant:
+                lsel2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (B, L, 2 * KH), 1) == l
+                kp_row = jnp.concatenate([ksc, kzr], axis=-1)  # [B, 2KH]
+                vp_row = jnp.concatenate([vsc, vzr], axis=-1)
+                nkp_buf[:] = jnp.where(lsel2, kp_row[:, None, :], nkp_buf[:])
+                nvp_buf[:] = jnp.where(lsel2, vp_row[:, None, :], nvp_buf[:])
+
+            # q into [B, KH, G8, D] padded layout
+            if G8 != G:
+                q4[:] = jnp.zeros_like(q4)
+            for b in range(B):
+                for h in range(KH):
+                    qh = q_rot[b:b + 1, h * G * D:(h + 1) * G * D]
+                    q4[b, h, :G, :] = qh.reshape(G, D).astype(jnp.float32)
+
+            m_st[:] = jnp.full_like(m_st, _NEG_INF)
+            l_st[:] = jnp.zeros_like(l_st)
+            acc_at[:] = jnp.zeros_like(acc_at)
+            if _DEBUG:
+                def _nn(x):
+                    return jnp.sum(jnp.isnan(x.astype(jnp.float32)))
+                pl.debug_print(
+                    "att-pre l={} nan(qkv_out)={} nan(qrot)={} nan(krot)={} "
+                    "nan(q4)={} nan(cq)={} nan(bias)={}",
+                    l, _nn(qkv_out[:]), _nn(q_rot), _nn(k_rot), _nn(q4[:]),
+                    _nn(cq), _nn(args["qkv_b"][0]))
+
+            # ---- page loop: ring DMA + online softmax ----
+            n = n_sched[0]
+
+            def page_copies(i):
+                slot = jax.lax.rem(i, _RING)
+                bb = sched_b[i]
+                g = pt[bb, sched_p[i]]
+                phys = g * L + l
+                cps = [
+                    pltpu.make_async_copy(args["k"].at[phys], kbuf.at[slot],
+                                          page_sems.at[0, slot]),
+                    pltpu.make_async_copy(args["v"].at[phys], vbuf.at[slot],
+                                          page_sems.at[1, slot]),
+                ]
+                if kv_quant:
+                    cps.append(pltpu.make_async_copy(
+                        args["kq"].at[phys], kqbuf.at[slot],
+                        page_sems.at[2, slot]))
+                    cps.append(pltpu.make_async_copy(
+                        args["vq"].at[phys], vqbuf.at[slot],
+                        page_sems.at[3, slot]))
+                return cps
+
+            def start(i):
+                for cp in page_copies(i):
+                    cp.start()
+
+            for i in range(_RING):
+                @pl.when(i < n)
+                def _(i=i):
+                    start(jnp.int32(i))
+
+            def page_body(i, _):
+                slot = jax.lax.rem(i, _RING)
+                bb = sched_b[i]
+                base_tok = sched_p[i] * ps
+                for cp in page_copies(i):
+                    cp.wait()
+
+                tok = base_tok + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, ps), 1)
+                tmask = tok < lens[bb]
+
+                for h in range(KH):
+                    qh = q4[bb, h]                       # [G8, D] f32
+
+                    def dot_nt(a, bm):
+                        return jax.lax.dot_general(
+                            a, bm, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+                    if plan.kv_bits == 16:
+                        kk = kbuf[slot][:, h * D:(h + 1) * D].astype(jnp.float32)
+                        sco = dot_nt(qh, kk)
+                    elif plan.kv_bits == 8:
+                        kk = kbuf[slot][:, h * D:(h + 1) * D].astype(jnp.float32)
+                        sraw = dot_nt(qh, kk)
+                        kscal = kqbuf[slot][h, 0]
+                        kzero = kqbuf[slot][h, 1]
+                        qs = jnp.sum(qh, axis=1, keepdims=True)
+                        sco = sraw * kscal[None, :] + qs * kzero[None, :]
+                    else:
+                        D2 = D // 2
+                        p32 = kbuf[slot][:, h * D2:(h + 1) * D2].astype(jnp.int32)
+                        klo = (p32 & 0xF).astype(jnp.float32)
+                        khi = ((p32 >> 4) & 0xF).astype(jnp.float32)
+                        sraw = dot_nt(qh[:, :D2], klo) + dot_nt(qh[:, D2:], khi)
+                        kscal = kqbuf[slot][h, 0]
+                        kzero = kqbuf[slot][h, 1]
+                        qs = jnp.sum(qh, axis=1, keepdims=True)
+                        sco = sraw * kscal[None, :] + qs * kzero[None, :]
+
+                    sco = sco * scale_att
+                    sco = jnp.where(tmask, sco, _NEG_INF)
+
+                    m_prev = m_st[bb, h]
+                    l_prev = l_st[bb, h]
+                    m_cur = jnp.max(sco, axis=-1, keepdims=True)
+                    m_new = jnp.maximum(m_prev, m_cur)
+                    alpha = jnp.exp(m_prev - m_new)
+                    pexp = jnp.exp(sco - m_new)
+                    l_new = alpha * l_prev + jnp.sum(pexp, axis=-1,
+                                                     keepdims=True)
+
+                    if plan.kv_bits == 16:
+                        vv = vbuf[slot][:, h * D:(h + 1) * D].astype(jnp.float32)
+                        pv = jnp.dot(pexp, vv,
+                                     preferred_element_type=jnp.float32)
+                    else:
+                        vscal = vqbuf[slot][h, 0]
+                        vzero = vqbuf[slot][h, 1]
+                        pexp_s = pexp * vscal[None, :]
+                        zterm = jnp.dot(pexp, vzero[:, None],
+                                        preferred_element_type=jnp.float32)
+                        if plan.kv_bits == 8:
+                            vv = vbuf[slot][:, h * D:(h + 1) * D].astype(jnp.float32)
+                            pv = jnp.dot(pexp_s, vv,
+                                         preferred_element_type=jnp.float32) + zterm
+                        else:
+                            D2 = D // 2
+                            p32 = vbuf[slot][:, h * D2:(h + 1) * D2].astype(jnp.int32)
+                            vlo = (p32 & 0xF).astype(jnp.float32)
+                            vhi = ((p32 >> 4) & 0xF).astype(jnp.float32)
+                            pvl = jnp.dot(pexp_s, vlo,
+                                          preferred_element_type=jnp.float32)
+                            pvh = jnp.dot(pexp_s, vhi,
+                                          preferred_element_type=jnp.float32)
+                            pv = jnp.concatenate(
+                                [pvl + zterm, pvh + zterm], axis=-1)
+
+                    acc_at[bb, h] = acc_at[bb, h] * alpha + pv
+                    m_st[bb, h] = m_new
+                    l_st[bb, h] = l_new
+                    if _DEBUG and h == 0:
+                        pl.debug_print(
+                            "  pg i={} b={} p={} k00={} q00={} scomax={} "
+                            "mnew={} lnew={} pv00={}",
+                            i, bb, sched_p[i], kbuf[slot][0, 0], qh[0, 0],
+                            jnp.max(sco), m_new[0, 0], l_new[0, 0], pv[0, 0])
+
+                nxt = i + _RING
+                @pl.when(nxt < n)
+                def _():
+                    start(nxt)
+                return ()
+
+            jax.lax.fori_loop(0, n, page_body, ())
+
+            # ---- new-token column (from VMEM, not HBM) ----
+            k_un = k_rot.astype(jnp.float32)             # [B, KH*D]
+            v_un = vr.astype(jnp.float32)
+            for b in range(B):
+                for h in range(KH):
+                    qh = q4[b, h]                        # [G8, D]
+                    kn = k_un[b:b + 1, h * D:(h + 1) * D]      # [1, D]
+                    sco = jax.lax.dot_general(
+                        qh, kn, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale_att
+                    sco = jnp.where(active[b] > 0, sco, _NEG_INF)  # [G8, 1]
+                    m_prev = m_st[b, h]
+                    l_prev = l_st[b, h]
+                    m_new = jnp.maximum(m_prev, sco)
+                    alpha = jnp.exp(m_prev - m_new)
+                    pexp = jnp.exp(sco - m_new)          # [G8, 1]
+                    vn = v_un[b:b + 1, h * D:(h + 1) * D]
+                    pv = pexp * vn                       # [G8, D]
+                    acc_at[b, h] = acc_at[b, h] * alpha + pv
+                    l_st[b, h] = alpha * l_prev + pexp
+                    m_st[b, h] = m_new
+
+            # ---- finalize into attn_out [B, HD] ----
+            for b in range(B):
+                for h in range(KH):
+                    lv = l_st[b, h]
+                    lv = jnp.where(lv == 0.0, 1.0, lv)
+                    outh = (acc_at[b, h] / lv)[:G].reshape(1, G * D)
+                    attn_out[b:b + 1, h * G * D:(h + 1) * G * D] = \
+                        outh.astype(jnp.bfloat16)
+            if _DEBUG:
+                pl.debug_print("att l={} xn00={} qkv00={} m000={} l000={} "
+                               "acc000={} ao00={}",
+                               l, x_norm[0, 0], qkv_out[0, 0],
+                               m_st[0, 0, 0, 0], l_st[0, 0, 0, 0],
+                               acc_at[0, 0, 0, 0], attn_out[0, 0])
+
+        # ---------------- o phase ----------------
+        @pl.when(jnp.logical_and(
+            ~in_lm, jnp.logical_and(s >= plan.base_o, s < plan.base_gu)))
+        def _o():
+            c = s - plan.base_o
+            y = _stream_dot(plan, o_sp, attn_out[:],
+                            args["o_w"], args.get("o_s"), args.get("o_z"), c)
+            pl_store_cols(o_out, c * o_sp.chunk, o_sp.chunk, y)
+
+            @pl.when(c == o_sp.S - 1)
+            def _():
+                x_resid[:] = x_resid[:] + o_out[:, :hid]
+
+        # ---------------- gate/up phase ----------------
+        @pl.when(jnp.logical_and(
+            ~in_lm, jnp.logical_and(s >= plan.base_gu, s < plan.base_dn)))
+        def _gu():
+            @pl.when(s == plan.base_gu)
+            def _():
+                x_norm[:] = _rms(x_resid[:], args["norms"][0, 1],
+                                 eps).astype(jnp.bfloat16)
+            c = s - plan.base_gu
+            y = _stream_dot(plan, gu, x_norm[:],
+                            args["gu_w"], args.get("gu_s"), args.get("gu_z"),
+                            c)
+            pl_store_cols(gu_out, c * gu.chunk, gu.chunk,
+                          y.astype(jnp.bfloat16))
+
+        # ---------------- down phase ----------------
+        @pl.when(jnp.logical_and(~in_lm, s >= plan.base_dn))
+        def _dn():
+            c = s - plan.base_dn
+
+            @pl.when(c == 0)
+            def _():
+                gate = gu_out[:, :plan.inter].astype(jnp.float32)
+                up = gu_out[:, plan.inter:2 * plan.inter].astype(jnp.float32)
+                act = (gate * jax.lax.logistic(gate) * up).astype(jnp.bfloat16)
+                h_act[:, :plan.inter] = act
+                if dn.Kp != plan.inter:
+                    h_act[:, plan.inter:] = jnp.zeros(
+                        (B, dn.Kp - plan.inter), jnp.bfloat16)
+                acc_dn[:] = jnp.zeros_like(acc_dn)
+
+            xc = pl_load_cols(h_act, c * dn.chunk, dn.chunk)
+            y = _stream_dot(plan, dn, xc,
+                            args["dn_w"], args.get("dn_s"), args.get("dn_z"),
+                            c)
+            acc_dn[:] = acc_dn[:] + y[:, :hid]
+
+            @pl.when(c == dn.S - 1)
+            def _():
+                x_resid[:] = x_resid[:] + acc_dn[:]
+                if _DEBUG:
+                    pl.debug_print("dn l={} xr00={} gu00={} h00={} dn00={}",
+                                   l, x_resid[0, 0], gu_out[0, 0],
+                                   h_act[0, 0], acc_dn[0, 0])
+
+        # ---------------- lm phase ----------------
+        @pl.when(in_lm)
+        def _lm():
+            c = t - L * S_layer
+
+            @pl.when(c == 0)
+            def _first():
+                x_norm[:] = _rms(x_resid[:], args["final_norm"][0],
+                                 eps).astype(jnp.bfloat16)
+                # flush the step's new-token KV: one RMW window per slot
+                for b in range(B):
+                    @pl.when(active[b] > 0)
+                    def _(b=b):
+                        g = tgt_page[b]
+                        off = lens[b] % ps
+                        w0 = pl.multiple_of((off // _RMW_W) * _RMW_W, _RMW_W)
+                        r = off - w0
+                        row0 = g * L
+
+                        rd_k = pltpu.make_async_copy(
+                            args["k"].at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
+                            rmw_k, rmw_sems.at[0])
+                        rd_v = pltpu.make_async_copy(
+                            args["v"].at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
+                            rmw_v, rmw_sems.at[1])
+                        rd_k.start(); rd_v.start()
+                        rd_k.wait(); rd_v.wait()
+                        rid = jax.lax.broadcasted_iota(
+                            jnp.int32, (L, _RMW_W, F), 1)
+                        rmw_k[:] = jnp.where(rid == r, nk_buf[b][:, None, :],
+                                             rmw_k[:])
+                        rmw_v[:] = jnp.where(rid == r, nv_buf[b][:, None, :],
+                                             rmw_v[:])
+                        wr_k = pltpu.make_async_copy(
+                            rmw_k,
+                            kpool_o.at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
+                            rmw_sems.at[0])
+                        wr_v = pltpu.make_async_copy(
+                            rmw_v,
+                            vpool_o.at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
+                            rmw_sems.at[1])
+                        wr_k.start(); wr_v.start()
+                        wr_k.wait(); wr_v.wait()
+
+                        if kv_quant:
+                            rd_kq = pltpu.make_async_copy(
+                                args["kq"].at[pl.ds(row0, L)], rmw_kq,
+                                rmw_sems.at[2])
+                            rd_vq = pltpu.make_async_copy(
+                                args["vq"].at[pl.ds(row0, L)], rmw_vq,
+                                rmw_sems.at[3])
+                            rd_kq.start(); rd_vq.start()
+                            rd_kq.wait(); rd_vq.wait()
+                            lane2 = jax.lax.broadcasted_iota(
+                                jnp.int32, (L, ps), 1)
+                            hit = lane2 == off
+                            # nkp lanes: [scale(h=0..KH-1), zero(h=0..KH-1)]
+                            for h in range(KH):
+                                for j in range(2):
+                                    kcol = nkp_buf[b][:, j * KH + h:
+                                                      j * KH + h + 1]
+                                    vcol = nvp_buf[b][:, j * KH + h:
+                                                      j * KH + h + 1]
+                                    rmw_kq[:, h, j, :] = jnp.where(
+                                        hit, kcol, rmw_kq[:, h, j, :])
+                                    rmw_vq[:, h, j, :] = jnp.where(
+                                        hit, vcol, rmw_vq[:, h, j, :])
+                            wr_kq = pltpu.make_async_copy(
+                                rmw_kq, kqpool_o.at[pl.ds(row0, L)],
+                                rmw_sems.at[2])
+                            wr_vq = pltpu.make_async_copy(
+                                rmw_vq, vqpool_o.at[pl.ds(row0, L)],
+                                rmw_sems.at[3])
+                            wr_kq.start(); wr_vq.start()
+                            wr_kq.wait(); wr_vq.wait()
+
+            y = _stream_dot(plan, lm, x_norm[:],
+                            args["lm_w"], args.get("lm_s"), args.get("lm_z"),
+                            c)
+            logits_ref[:] = y
+
+    # dynamic-column helpers over VMEM scratch (dim -1 slices must be
+    # 128-aligned; chunk sizes are)
+    def pl_store_cols(ref, col0, width, vals):
+        ref[:, pl.ds(pl.multiple_of(col0, 128), width)] = vals.astype(ref.dtype)
+
+    def pl_load_cols(ref, col0, width):
+        return ref[:, pl.ds(pl.multiple_of(col0, 128), width)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=NSCAL,
+        grid=(T_total,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+    )
+
+    out_shape = [jax.ShapeDtypeStruct((B, plan.Vp), jnp.float32)]
+
+    def fn(packed: Dict, x0, cosq, sinq, cosk, sink,
+           pt, lens, active, tgt_page, sched_b, sched_p, n_sched,
+           k, v, kq=None, vq=None):
+        pools = [k, v] + ([kq, vq] if kv_quant else [])
+        shapes = out_shape + [
+            jax.ShapeDtypeStruct(p.shape, p.dtype) for p in pools]
+        # aliases: indices count ALL args including scalar prefetch
+        pool0 = NSCAL + NARG - npools
+        aliases = {pool0 + i: 1 + i for i in range(npools)}
+        tensors = [x0, cosq, sinq, cosk, sink]
+        for sp, _ in stream_defs:
+            tensors.append(packed[sp.name + "_w"])
+            if sp.bits != 16:
+                tensors.append(packed[sp.name + "_s"])
+                tensors.append(packed[sp.name + "_z"])
+        tensors += [packed["norms"], packed["qkv_b"], packed["final_norm"]]
+        tensors += pools
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=shapes,
+            input_output_aliases=aliases,
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                has_side_effects=True),
+        )(pt.astype(jnp.int32), lens.astype(jnp.int32),
+          active.astype(jnp.int32), tgt_page.astype(jnp.int32),
+          sched_b.astype(jnp.int32), sched_p.astype(jnp.int32),
+          n_sched.astype(jnp.int32), *tensors)
+        logits = outs[0]
+        new_pools = outs[1:]
+        return (logits,) + tuple(new_pools)
+
+    return fn
+
+
+def build_schedule(pt, lens, active, ps: int):
+    """In-jit flat page schedule: returns (sched_b, sched_p, n_sched,
+    tgt_page). pt: [B, maxP] logical page table; lens: [B]."""
+    B, maxP = pt.shape
+    npages = jnp.where(active, -(-lens // ps), 0)             # ceil
+    p_idx = jnp.arange(maxP, dtype=jnp.int32)[None, :]
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    valid = p_idx < npages[:, None]
+    order = jnp.argsort(~valid.reshape(-1), stable=True)
+    sched_b = jnp.broadcast_to(b_idx, (B, maxP)).reshape(-1)[order]
+    sched_p = jnp.broadcast_to(p_idx, (B, maxP)).reshape(-1)[order]
+    n_sched = jnp.sum(valid).astype(jnp.int32)[None]
+    tgt_col = jnp.clip(lens // ps, 0, maxP - 1)
+    tgt_page = jnp.take_along_axis(pt, tgt_col[:, None], axis=1)[:, 0]
+    return (sched_b.astype(jnp.int32), sched_p.astype(jnp.int32),
+            n_sched, tgt_page.astype(jnp.int32))

@@ -46,7 +46,7 @@ class DecodeState:
     context_lens: jax.Array    # i32 [B] tokens currently in KV cache
     prompt_lens: jax.Array     # i32 [B]
     gen_lens: jax.Array        # i32 [B] tokens generated so far
-    page_tables: jax.Array     # i32 [B, num_layers, max_pages_per_seq]
+    page_tables: jax.Array     # i32 [B, max_pages_per_seq] LOGICAL page ids
     active: jax.Array          # bool [B]
     token_counts: jax.Array    # i32 [B, vocab] occurrence counts (penalties)
     lora_idx: jax.Array        # i32 [B]; adapter pool slot, -1 = none
@@ -79,8 +79,7 @@ def make_decode_state(model_cfg: ModelConfig, rt_cfg: RuntimeConfig) -> DecodeSt
         context_lens=jnp.zeros((B,), jnp.int32),
         prompt_lens=jnp.zeros((B,), jnp.int32),
         gen_lens=jnp.zeros((B,), jnp.int32),
-        page_tables=jnp.zeros((B, model_cfg.num_layers,
-                               rt_cfg.max_pages_per_seq), jnp.int32),
+        page_tables=jnp.zeros((B, rt_cfg.max_pages_per_seq), jnp.int32),
         active=jnp.zeros((B,), jnp.bool_),
         token_counts=jnp.zeros((B, model_cfg.vocab_size), jnp.int32),
         lora_idx=jnp.full((B,), -1, jnp.int32),

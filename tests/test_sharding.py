@@ -54,9 +54,9 @@ def test_tp_forward_matches_single_device():
     B = rt.max_batch
     L = cfg.num_layers
     maxP = rt.max_pages_per_seq
-    pt = np.zeros((B, L, maxP), np.int32)
+    pt = np.zeros((B, maxP), np.int32)
     for b in range(B):
-        pt[b, :, 0] = b * L + np.arange(L)
+        pt[b, 0] = b
     tokens = jnp.arange(B, dtype=jnp.int32) + 1
     lens = jnp.full((B,), 3, jnp.int32)
     active = jnp.ones((B,), bool)
