@@ -13,6 +13,7 @@ shape-faithful: Qwen2-7B dims, real paged-attention + sampler path.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -92,9 +93,11 @@ def main():
             intermediate_size=18944, num_layers=28, num_heads=28,
             num_kv_heads=4, head_dim=128, qkv_bias=True,
             rope_theta=1000000.0)
-        B, ctx_len, steps, warm = 8, 1024, 48, 4
+        B = int(os.environ.get("DI_BENCH_BATCH", "8"))
+        ctx_len = int(os.environ.get("DI_BENCH_CTX", "1024"))
+        steps, warm = 48, 4
         page_size = 256
-        num_logical_pages = 64
+        num_logical_pages = 8 * (B * ((ctx_len + 255) // 256 + 2) // 8 + 2)
     else:  # smoke mode off-TPU
         cfg = ModelConfig(
             arch="qwen2", vocab_size=2048, hidden_size=256,
@@ -177,7 +180,7 @@ def main():
 
     print(json.dumps({
         "metric": "decode tokens/sec/chip (Qwen2-7B-shape UINT4 weights, "
-                  "INT8 KV, paged attention, bs=8, ctx=1024)",
+                  f"INT8 KV, paged attention, bs={B}, ctx={ctx_len})",
         "value": round(toks_per_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(toks_per_s / BASELINE_TOKS, 2),

@@ -148,8 +148,8 @@ class Engine:
             runtime = ModelRuntime(name, model_config, params, runtime_config,
                                    tokenizer=tokenizer)
             if runtime_config.enable_prefix_cache:
-                from dashinfer_tpu.runtime.prefix_cache import PrefixCacheManager
-                runtime.prefix_cache = PrefixCacheManager(
+                from dashinfer_tpu.native import make_prefix_cache
+                runtime.prefix_cache = make_prefix_cache(
                     runtime.cfg, runtime_config, runtime.allocator)
             self._models[name] = runtime
         return self

@@ -28,7 +28,8 @@ from dashinfer_tpu.engine.stats import EngineStat
 from dashinfer_tpu.runtime.batch_state import make_decode_state
 from dashinfer_tpu.runtime.kv_cache import (create_kv_cache,
                                             logical_page_bytes)
-from dashinfer_tpu.runtime.page_allocator import NoFreePages, PageAllocator
+from dashinfer_tpu.native import make_page_allocator
+from dashinfer_tpu.runtime.page_allocator import NoFreePages
 from dashinfer_tpu.runtime.request import (GenerateRequestStatus, Request,
                                            StatInfo)
 from dashinfer_tpu.runtime.result_queue import ResultQueue
@@ -62,7 +63,7 @@ class ModelRuntime:
             cfg, rt.cache, self.num_logical_pages * cfg.num_layers,
             model_dtype=self.dtype)
         self.state = make_decode_state(cfg, rt)
-        self.allocator = PageAllocator(self.num_logical_pages)
+        self.allocator = make_page_allocator(self.num_logical_pages)
 
         self._decode_step = steps_mod.build_decode_step(
             cfg, rt, use_kernel=use_kernel)
@@ -214,8 +215,7 @@ class ModelRuntime:
                 self.prefix_cache.evict(need_pages - self.allocator.num_free)
             if not self.allocator.reserve(req.uuid, need_pages):
                 if self.prefix_cache is not None:
-                    for node in req.prefix_nodes:
-                        node.ref_count = max(node.ref_count - 1, 0)
+                    self.prefix_cache.release_nodes(req.prefix_nodes)
                     req.prefix_nodes = []
                 return False  # no memory; stay pending (caller may evict/stop)
 

@@ -222,14 +222,35 @@ def supports(cfg: ModelConfig, rt: RuntimeConfig, params: Dict) -> bool:
         return False
 
 
+def _scratch_bytes_estimate(B, L, hid, H, KH, D, G8, inter, QKVN, ps,
+                            kv_bytes) -> int:
+    HD = H * D
+    b_dep = B * (hid * 4 + hid * 2 + QKVN * 4 + KH * G8 * D * (2 + 4)
+                 + HD * 2 + 2 * inter * 2 + inter * 2 + hid * 4 + hid * 4
+                 + L * KH * D * kv_bytes * 2 + L * 2 * KH * 4 * 2
+                 + 4 * HD + 2 * 2 * KH * D * 4)  # + rope tiles
+    rings = 2 * _RING * ps * KH * D * kv_bytes + 2 * _RING * KH * 2 * ps * 4
+    rmw = 2 * L * _RMW_W * KH * D * kv_bytes + 2 * L * KH * 2 * ps * 4
+    return b_dep + rings + rmw
+
+
 def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
-              target_chunk_bytes: int = 1 << 20) -> MegaPlan:
+              target_chunk_bytes: int = 0) -> MegaPlan:
     lp = params["layers"]
     hid = cfg.hidden_size
     H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     QKVN = (H + 2 * KH) * D
     inter = cfg.intermediate_size
     V = cfg.vocab_size
+    if not target_chunk_bytes:
+        # fit double-buffered chunks of 5 streams in VMEM next to the scratch
+        G8 = _round_up(H // KH, 8)
+        kvb = 2 if rt.cache.mode == CacheMode.DEFAULT else 1
+        scratch = _scratch_bytes_estimate(
+            rt.max_batch, cfg.num_layers, hid, H, KH, D, G8, inter, QKVN,
+            rt.cache.page_size, kvb)
+        budget = 15 * (1 << 20) - scratch
+        target_chunk_bytes = max(1 << 18, min(1 << 20, budget // 10))
 
     def gs_of(leaf, K, gaxis=1):
         # stacked layer leaves are [L, G, N] (gaxis=1); unstacked [G, N]
@@ -608,7 +629,7 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
         pltpu.VMEM((B, hid), jnp.float32),            # 0 x_resid
         pltpu.VMEM((B, hid), jnp.bfloat16),           # 1 x_norm
         pltpu.VMEM((B, qkv.Np), jnp.float32),         # 2 qkv_out
-        pltpu.VMEM((B, KH, G8, D), jnp.float32),      # 3 q4
+        pltpu.VMEM((B, KH, G8, D), jnp.bfloat16),     # 3 q4
         pltpu.VMEM((B, HD), jnp.bfloat16),            # 4 attn_out
         pltpu.VMEM((B, gu.Np), jnp.bfloat16),         # 5 gu_out
         pltpu.VMEM((B, dn.Kp), jnp.bfloat16),         # 6 h_act
@@ -730,7 +751,7 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
             for b in range(B):
                 for h in range(KH):
                     qh = q_rot[b:b + 1, h * G * D:(h + 1) * G * D]
-                    q4[b, h, :G, :] = qh.reshape(G, D).astype(jnp.float32)
+                    q4[b, h, :G, :] = qh.reshape(G, D).astype(jnp.bfloat16)
 
             m_st[:] = jnp.full_like(m_st, _NEG_INF)
             l_st[:] = jnp.zeros_like(l_st)
@@ -788,7 +809,7 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                 tmask = tok < lens[bb]
 
                 for h in range(KH):
-                    qh = q4[bb, h]                       # [G8, D] f32
+                    qh = q4[bb, h].astype(jnp.float32)   # [G8, D]
 
                     def dot_nt(a, bm):
                         return jax.lax.dot_general(
@@ -877,7 +898,7 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
             v_un = vr.astype(jnp.float32)
             for b in range(B):
                 for h in range(KH):
-                    qh = q4[b, h]                        # [G8, D]
+                    qh = q4[b, h].astype(jnp.float32)    # [G8, D]
                     kn = k_un[b:b + 1, h * D:(h + 1) * D]      # [1, D]
                     sco = jax.lax.dot_general(
                         qh, kn, (((1,), (1,)), ((), ())),

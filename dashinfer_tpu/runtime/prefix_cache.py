@@ -106,6 +106,11 @@ class PrefixCacheManager:
                 continue
         req.prefix_nodes = list(req.prefix_nodes) + new_nodes
 
+    def release_nodes(self, nodes) -> None:
+        """Rollback refs taken by lookup() when admission fails."""
+        for node in nodes:
+            node.ref_count = max(node.ref_count - 1, 0)
+
     # -- request release (reference unref path) -------------------------------
     def unref(self, req, pages: List[int]) -> List[int]:
         """Drop the request's refs; return the pages safe to free (those NOT
