@@ -57,7 +57,7 @@ class QuantConfig:
     """Weight quantization settings (reference python quantization.py:13-80:
     InstantQuant / GPTQ; modes A16W8, A16W4, A8W8)."""
 
-    mode: str = "none"           # none | a16w8 | a16w4 | a8w8
+    mode: str = "none"           # none | a16w8 | a16w4 | a8w8 | fp8a8w8
     group_size: int = -1          # -1 = per-channel; else sub-channel group
     # which weights to quantize, regex on param path (reference GroupSettings)
     include: str = r".*(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj).*"

@@ -148,9 +148,17 @@ class Engine:
             runtime = ModelRuntime(name, model_config, params, runtime_config,
                                    tokenizer=tokenizer)
             if runtime_config.enable_prefix_cache:
-                from dashinfer_tpu.native import make_prefix_cache
-                runtime.prefix_cache = make_prefix_cache(
-                    runtime.cfg, runtime_config, runtime.allocator)
+                if runtime_config.prefix_cache_host_bytes > 0:
+                    # host tier needs the device pager; python impl only
+                    from dashinfer_tpu.runtime.prefix_cache import \
+                        PrefixCacheManager
+                    runtime.prefix_cache = PrefixCacheManager(
+                        runtime.cfg, runtime_config, runtime.allocator,
+                        pager=runtime.make_pager())
+                else:
+                    from dashinfer_tpu.native import make_prefix_cache
+                    runtime.prefix_cache = make_prefix_cache(
+                        runtime.cfg, runtime_config, runtime.allocator)
             self._models[name] = runtime
         return self
 

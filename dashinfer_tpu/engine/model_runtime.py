@@ -38,6 +38,30 @@ from dashinfer_tpu.utils.profiler import PhaseProfiler
 
 logger = get_logger("model_runtime")
 
+
+class _DevicePager:
+    """Moves one logical page's pool rows device<->host for the prefix
+    cache's host tier."""
+
+    def __init__(self, runtime: "ModelRuntime"):
+        self.rt = runtime
+
+    def _rows(self, logical_page: int):
+        L = self.rt.cfg.num_layers
+        return jnp.asarray(logical_page * L + np.arange(L), jnp.int32)
+
+    def gather_page(self, logical_page: int):
+        return self.rt._pager_gather(self._rows(logical_page))
+
+    def restore_page(self, blob) -> int:
+        page = self.rt.allocator.alloc(1)[0]
+        try:
+            self.rt._pager_scatter(self._rows(page), blob)
+        except Exception:
+            self.rt.allocator.free([page])
+            raise
+        return page
+
 _DEFAULT_HBM = 16 * 1024**3  # v5e per-chip
 
 
@@ -84,6 +108,8 @@ class ModelRuntime:
             from dashinfer_tpu.lora import LoraManager
             self.lora_manager = LoraManager(cfg, rt, self.dtype)
         self.profiler = PhaseProfiler(name)
+        self._gather_rows = None
+        self._scatter_rows = None
         self._params_host = None   # set while weights are swapped out
         # slot-level host mirrors
         self._cached_len: Dict[str, int] = {}
@@ -122,6 +148,13 @@ class ModelRuntime:
             if n <= b:
                 return b
         raise ValueError(f"length {n} exceeds max_length {self.rt.max_length}")
+
+    def _prefill_chunk_fn(self, bucket: int, maxPb: int) -> Callable:
+        key = ("chunk", bucket, maxPb)
+        if key not in self._prefill_steps:
+            self._prefill_steps[key] = steps_mod.build_prefill_chunk_step(
+                self.cfg, self.rt, bucket, use_kernel=self.use_kernel)
+        return self._prefill_steps[key]
 
     def _prefill_fn(self, bucket: int, with_logprobs: bool,
                     with_guided: bool = False,
@@ -232,6 +265,33 @@ class ModelRuntime:
         self.stat.pendings -= 1
         self.stat.runnings += 1
 
+        # chunked prefill (improvement over the reference, which rejects
+        # engine_max_prefill_length > 0, as_engine.cpp:439-443): run all but
+        # the final chunk through KV-only steps, then finish normally.
+        chunk = self.rt.max_prefill_chunk
+        base_counts = None
+        if chunk > 0 and len(new_tokens) > chunk:
+            base_counts = np.zeros((self.cfg.vocab_size,), np.int64)
+            while len(new_tokens) > chunk:
+                head, new_tokens = new_tokens[:chunk], new_tokens[chunk:]
+                cbucket = self.bucket_for(len(head))
+                cmaxPb = -(-(prefix_len + len(head)) //
+                           self.rt.cache.page_size)
+                crow = np.zeros((cmaxPb,), np.int32)
+                crow[:min(len(pages), cmaxPb)] = pages[:cmaxPb]
+                ctoks = np.zeros((cbucket,), np.int32)
+                ctoks[:len(head)] = head
+                cfn = self._prefill_chunk_fn(cbucket, cmaxPb)
+                with self.profiler.phase(f"prefill_chunk[{cbucket}]"):
+                    self.cache = cfn(self.params, self.cache,
+                                     jnp.asarray(ctoks), jnp.asarray(crow),
+                                     jnp.int32(prefix_len),
+                                     jnp.int32(prefix_len + len(head)))
+                np.add.at(base_counts, np.asarray(head, np.int64), 1)
+                prefix_len += len(head)
+            base_counts = jnp.asarray(
+                np.clip(base_counts, 0, 2**31 - 1).astype(np.int32))
+
         bucket = self.bucket_for(len(new_tokens) + prefix_len)
         maxPb = (bucket + self.rt.cache.page_size - 1) // self.rt.cache.page_size
 
@@ -254,6 +314,8 @@ class ModelRuntime:
         t0 = time.monotonic()
         try:
             kwargs = {}
+            if base_counts is not None:
+                kwargs["base_counts"] = base_counts
             if req.format_enforcer is not None:
                 kwargs["allowed"] = jnp.asarray(
                     req.format_enforcer.allowed_mask())
@@ -504,6 +566,31 @@ class ModelRuntime:
         self.queues.pop(uuid, None)
         self._cached_len.pop(uuid, None)
 
+    def _pager_gather(self, rows):
+        if self._gather_rows is None:
+            def g(cache, rows):
+                out = [cache.k[rows], cache.v[rows]]
+                if cache.k_qparams is not None:
+                    out += [cache.k_qparams[rows], cache.v_qparams[rows]]
+                return tuple(out)
+            self._gather_rows = jax.jit(g)
+        return jax.device_get(self._gather_rows(self.cache, rows))
+
+    def _pager_scatter(self, rows, blob):
+        if self._scatter_rows is None:
+            def sct(cache, rows, blob):
+                from dashinfer_tpu.runtime.kv_cache import KVCache
+                k = cache.k.at[rows].set(blob[0])
+                v = cache.v.at[rows].set(blob[1])
+                if cache.k_qparams is not None:
+                    kq = cache.k_qparams.at[rows].set(blob[2])
+                    vq = cache.v_qparams.at[rows].set(blob[3])
+                else:
+                    kq = vq = None
+                return KVCache(k=k, v=v, k_qparams=kq, v_qparams=vq)
+            self._scatter_rows = jax.jit(sct, donate_argnums=(0,))
+        self.cache = self._scatter_rows(self.cache, rows, blob)
+
     # -- weight swap (reference UnloadModelFromDeviceMemory /
     #    ReloadModelToDeviceMemory, allspark.h:542-549; weight_manager.h:108-120)
     def unload_weights_to_host(self):
@@ -519,6 +606,12 @@ class ModelRuntime:
         self.params = jax.tree.map(jnp.asarray, self._params_host)
         self._params_host = None
         logger.info("weights reloaded to device")
+
+    # -- host-tier pager (reference swap pools + pinned workspace,
+    #    prefix_cache_manager.h:201-210; here: jitted pool-row gather/scatter
+    #    + device_get/put) ----------------------------------------------------
+    def make_pager(self):
+        return _DevicePager(self)
 
     # -- stats ----------------------------------------------------------------
     def update_stats(self):

@@ -93,8 +93,8 @@ def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
     n_lp = rt.max_top_logprobs if with_logprobs else 0
 
     def step(params, cache: KVCache, state: DecodeState, tokens, page_row,
-             prefix_len, total_len, init: SlotInit, allowed=None,
-             lora_pool=None):
+             prefix_len, total_len, init: SlotInit, base_counts=None,
+             allowed=None, lora_pool=None):
         logits, cache = transformer.prefill_forward(
             cfg, params, tokens, cache, page_row, prefix_len, total_len,
             mode=mode, use_kernel=use_kernel,
@@ -104,11 +104,14 @@ def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
             logits = jnp.where(allowed, logits, -1e30)
 
         # prompt token occurrence counts (penalties run over prompt+generated,
-        # like the reference's max_dec_ids accounting, SURVEY.md §8.9)
+        # like the reference's max_dec_ids accounting, SURVEY.md §8.9).
+        # base_counts carries earlier chunks' counts under chunked prefill.
         S = tokens.shape[0]
         num_new = total_len - prefix_len
         valid = jnp.arange(S, dtype=jnp.int32) < num_new
-        counts = jnp.zeros((V,), jnp.int32).at[
+        if base_counts is None:
+            base_counts = jnp.zeros((V,), jnp.int32)
+        counts = base_counts.at[
             jnp.clip(tokens, 0, V - 1)].add(valid.astype(jnp.int32))
 
         sp1 = _slot_sampling_params(init)
@@ -143,6 +146,27 @@ def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
     return jax.jit(step, donate_argnums=(1, 2))
 
 
+def build_prefill_chunk_step(cfg: ModelConfig, rt: RuntimeConfig,
+                             bucket: int, *, use_kernel: bool,
+                             with_lora: bool = False) -> Callable:
+    """KV-only prefill for an INTERMEDIATE chunk of a long prompt (chunked
+    prefill — the reference scaffolds but rejects it, as_engine.cpp:439-443;
+    supported here). fn(params, cache, tokens[S], page_row, prefix_len,
+    total_len[, lora...]) -> cache."""
+    mode = rt.cache.mode
+
+    def step(params, cache: KVCache, tokens, page_row, prefix_len,
+             total_len, lora_pool=None, lora_idx=None):
+        _, cache = transformer.prefill_forward(
+            cfg, params, tokens, cache, page_row, prefix_len, total_len,
+            mode=mode, use_kernel=use_kernel,
+            lora=lora_pool if with_lora else None,
+            lora_idx=lora_idx if with_lora else None)
+        return cache
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
 def _megakernel_forward(cfg, plan, fn, params, state, cache, page_tables,
                         lens):
     """One whole-model decode forward via the Pallas megakernel."""
@@ -157,9 +181,10 @@ def _megakernel_forward(cfg, plan, fn, params, state, cache, page_tables,
     inv_freq = compute_inv_freq(cfg)
     cos, sin = rope_cos_sin(lens, inv_freq, _mscale(cfg.rope_scaling))
     # rope_cos_sin returns the half-dim table; the kernel wants full-D
-    # per-head tiles matching the half-split convention (ops/rotary.py)
-    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.float32)
-    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.float32)
+    # per-head tiles matching the half-split convention (ops/rotary.py).
+    # bf16 tiles: the angle is f32; only the cos/sin VALUES round (VMEM diet)
+    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
     cosq = jnp.tile(cos, (1, H))
     sinq = jnp.tile(sin, (1, H))
     cosk = jnp.tile(cos, (1, KH))

@@ -61,15 +61,43 @@ def _quantize_stacked(w: np.ndarray, bits: int, gs: int) -> Dict:
     }
 
 
+def quantize_weight_symmetric(w: np.ndarray, fp8: bool = False) -> Dict:
+    """Symmetric per-channel weights for activation-quant GEMMs (reference
+    A8W8 / FP8A8W8 semantics: symmetric, per-channel only — SURVEY.md §8.11).
+    w: [in, out] -> {"w_q8"| "w_f8", "wscale" [1, out]}."""
+    wf = np.asarray(w, np.float32)
+    amax = np.abs(wf).max(axis=0, keepdims=True)             # [1, N]
+    if fp8:
+        try:
+            import ml_dtypes
+            f8 = np.dtype(ml_dtypes.float8_e4m3fn)
+        except Exception as e:  # pragma: no cover
+            raise RuntimeError("fp8 dtype unavailable") from e
+        scale = np.maximum(amax / 448.0, 1e-8)
+        return {"w_f8": (wf / scale).astype(f8),
+                "wscale": scale.astype(np.float32)}
+    scale = np.maximum(amax / 127.0, 1e-8)
+    q = np.clip(np.rint(wf / scale), -127, 127).astype(np.int8)
+    return {"w_q8": q, "wscale": scale.astype(np.float32)}
+
+
 def quantize_params(params: Dict, quant: QuantConfig) -> Dict:
     """Walk the params tree; quantize layer linear weights matching the
     include regex (reference quantize_op rewrite Gemm->GemmA16W8,
     qwen_v15.py:393-395 + GroupSettings regex per-layer)."""
     if quant.mode in ("none", ""):
         return params
-    bits = {"a16w8": 8, "a16w4": 4, "a8w8": 8}[quant.mode]
+    act_quant = quant.mode in ("a8w8", "fp8a8w8")
+    bits = {"a16w8": 8, "a16w4": 4, "a8w8": 8, "fp8a8w8": 8}[quant.mode]
     pattern = re.compile(quant.include)
     n_q = 0
+
+    def quantize_stack(w):
+        if not act_quant:
+            return _quantize_stacked(w, bits, quant.group_size)
+        outs = [quantize_weight_symmetric(w[l], fp8=quant.mode == "fp8a8w8")
+                for l in range(w.shape[0])]
+        return {k: np.stack([o[k] for o in outs]) for k in outs[0]}
 
     def walk(tree, path=""):
         nonlocal n_q
@@ -77,7 +105,7 @@ def quantize_params(params: Dict, quant: QuantConfig) -> Dict:
             if "w" in tree and not isinstance(tree["w"], dict):
                 if pattern.match(path) and tree["w"].ndim == 3:
                     w = np.asarray(tree["w"], np.float32)
-                    out = _quantize_stacked(w, bits, quant.group_size)
+                    out = quantize_stack(w)
                     if "b" in tree:
                         out["b"] = tree["b"]
                     n_q += 1

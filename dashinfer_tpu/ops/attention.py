@@ -36,7 +36,7 @@ def paged_attention_ref(q: jnp.ndarray, cache: KVCache, mode: CacheMode,
     """
     B, H, D = q.shape
     if cache.k_qparams is not None:
-        KH = cache.k_qparams.shape[1]
+        KH = cache.k_qparams.shape[1] // 2
     else:
         KH = cache.k.shape[2] // D
     G = H // KH

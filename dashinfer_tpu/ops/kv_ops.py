@@ -4,7 +4,7 @@ Rebuilds the reference's cache-movement CUDA kernels
 (csrc/core/kernel/cuda/cache/{decoder_cache_append, context_span_copy,
 prefix_cache_copy}) as XLA scatters/gathers over the page-major flat pool
 (runtime/kv_cache.py layout v2: payload [P, ps, KH*Ds], qparams
-[P, KH, 2, ps] f32). The decode-side scatter touches only `[B, KH*D]`
+[P, 2*KH, ps] f32, per-head scale/zero row pairs). The decode-side scatter touches only `[B, KH*D]`
 elements per layer per step, so plain XLA scatter is fine; the
 bandwidth-critical READ side is the Pallas decode path
 (ops/pallas/megakernel.py fast path, ops/pallas/paged_attention.py fallback).
@@ -85,9 +85,10 @@ def _flat(payload: jnp.ndarray) -> jnp.ndarray:
 
 
 def _qparam_rows(scale: jnp.ndarray, zero: jnp.ndarray) -> jnp.ndarray:
-    """scale/zero [..., KH] -> [..., KH, 2] matching the qparams layout
-    [P, KH, 2, ps] (per head: scale row, zero row)."""
-    return jnp.stack([scale, zero], axis=-1)
+    """scale/zero [..., KH] -> [..., 2*KH] matching the qparams layout
+    [P, 2*KH, ps] (row 2h = scale_h, row 2h+1 = zero_h)."""
+    return jnp.stack([scale, zero], axis=-1).reshape(
+        *scale.shape[:-1], 2 * scale.shape[-1])
 
 
 def append_decode_kv(cache: KVCache, mode: CacheMode,
@@ -111,9 +112,9 @@ def append_decode_kv(cache: KVCache, mode: CacheMode,
     k = cache.k.at[drop_page, offsets].set(_flat(kq), mode="drop")
     v = cache.v.at[drop_page, offsets].set(_flat(vq), mode="drop")
     if ks is not None:
-        k_qparams = cache.k_qparams.at[drop_page, :, :, offsets].set(
+        k_qparams = cache.k_qparams.at[drop_page, :, offsets].set(
             _qparam_rows(ks, kz), mode="drop")
-        v_qparams = cache.v_qparams.at[drop_page, :, :, offsets].set(
+        v_qparams = cache.v_qparams.at[drop_page, :, offsets].set(
             _qparam_rows(vs, vz), mode="drop")
     else:
         k_qparams = v_qparams = None
@@ -151,9 +152,9 @@ def append_prefill_kv(cache: KVCache, mode: CacheMode,
     knew = cache.k.at[drop_page, off_of_tok].set(_flat(kq), mode="drop")
     vnew = cache.v.at[drop_page, off_of_tok].set(_flat(vq), mode="drop")
     if ks is not None:
-        k_qparams = cache.k_qparams.at[drop_page, :, :, off_of_tok].set(
+        k_qparams = cache.k_qparams.at[drop_page, :, off_of_tok].set(
             _qparam_rows(ks, kz), mode="drop")
-        v_qparams = cache.v_qparams.at[drop_page, :, :, off_of_tok].set(
+        v_qparams = cache.v_qparams.at[drop_page, :, off_of_tok].set(
             _qparam_rows(vs, vz), mode="drop")
     else:
         k_qparams = v_qparams = None
@@ -178,9 +179,9 @@ def gather_kv_pages(cache: KVCache, mode: CacheMode, page_row: jnp.ndarray,
         pages = pool[page_row]                        # [nP, ps, KH*Ds]
         x4 = pages.reshape(nP, ps, KH, -1)            # [nP, ps, KH, Ds]
         if qparams is not None:
-            qp = qparams[page_row]                    # [nP, KH, 2, ps]
-            scale = jnp.transpose(qp[:, :, 0, :], (0, 2, 1))  # [nP, ps, KH]
-            zero = jnp.transpose(qp[:, :, 1, :], (0, 2, 1))
+            qp = qparams[page_row]                    # [nP, 2*KH, ps]
+            scale = jnp.transpose(qp[:, 0::2, :], (0, 2, 1))  # [nP, ps, KH]
+            zero = jnp.transpose(qp[:, 1::2, :], (0, 2, 1))
             x = dequantize_page_tokens(x4, scale, zero, mode, out_dtype)
         else:
             x = x4.astype(out_dtype)

@@ -54,6 +54,12 @@ def dequantize_weight(wd: Dict, out_dtype=jnp.bfloat16) -> jnp.ndarray:
 def linear(x: jnp.ndarray, wd: Dict, out_dtype=None) -> jnp.ndarray:
     """x: [..., in] @ w [in, out] (+ b)."""
     out_dtype = out_dtype or x.dtype
+    if "w_q8" in wd:
+        from dashinfer_tpu.ops.quant_act import a8w8_linear
+        return a8w8_linear(x, wd, out_dtype)
+    if "w_f8" in wd:
+        from dashinfer_tpu.ops.quant_act import fp8_linear
+        return fp8_linear(x, wd, out_dtype)
     if "w_q" in wd:
         m = 1
         for s in x.shape[:-1]:

@@ -176,6 +176,9 @@ def supports(cfg: ModelConfig, rt: RuntimeConfig, params: Dict) -> bool:
     """Eligibility for the megakernel fast path (fallback otherwise)."""
     try:
         lp = params["layers"]
+        for name in ("q_proj", "o_proj", "gate_proj", "down_proj"):
+            if "w_q8" in lp[name] or "w_f8" in lp[name]:
+                return False  # activation-quant leaves take the XLA path
         if cfg.moe is not None or cfg.qk_norm:
             return False
         if cfg.head_dim != 128:
@@ -226,11 +229,14 @@ def _scratch_bytes_estimate(B, L, hid, H, KH, D, G8, inter, QKVN, ps,
                             kv_bytes) -> int:
     HD = H * D
     b_dep = B * (hid * 4 + hid * 2 + QKVN * 4 + KH * G8 * D * (2 + 4)
-                 + HD * 2 + 2 * inter * 2 + inter * 2 + hid * 4 + hid * 4
+                 + KH * G8 * 128 * 4                 # ml_st lane padding
+                 + HD * 2 + 2 * inter * 2 + hid * 4
                  + L * KH * D * kv_bytes * 2 + L * 2 * KH * 4 * 2
-                 + 4 * HD + 2 * 2 * KH * D * 4)  # + rope tiles
-    rings = 2 * _RING * ps * KH * D * kv_bytes + 2 * _RING * KH * 2 * ps * 4
-    rmw = 2 * L * _RMW_W * KH * D * kv_bytes + 2 * L * KH * 2 * ps * 4
+                 + 12 * HD + 2 * 2 * KH * D * 4)  # + rope tiles (f32, dbuf)
+    rings = 2 * _RING * ps * KH * D * kv_bytes + \
+        2 * _RING * max(2 * KH, 8) * ps * 4
+    rmw = 2 * L * _RMW_W * KH * D * kv_bytes + \
+        2 * L * max(2 * KH, 8) * ps * 4
     return b_dep + rings + rmw
 
 
@@ -249,7 +255,7 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
         scratch = _scratch_bytes_estimate(
             rt.max_batch, cfg.num_layers, hid, H, KH, D, G8, inter, QKVN,
             rt.cache.page_size, kvb)
-        budget = 15 * (1 << 20) - scratch
+        budget = 14 * (1 << 20) - scratch
         target_chunk_bytes = max(1 << 18, min(1 << 20, budget // 10))
 
     def gs_of(leaf, K, gaxis=1):
@@ -263,6 +269,11 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
                        gs_of(lp["q_proj"], hid), target_chunk_bytes)
     o = _plan_stream("o", _weight_bits(lp["o_proj"]), H * D, hid,
                      gs_of(lp["o_proj"], H * D), target_chunk_bytes)
+    while hid % o.chunk:  # o chunks accumulate straight into the residual
+        o = dataclasses.replace(o, chunk=o.chunk - (256 if o.bits == 4
+                                                    else 128))
+        o = dataclasses.replace(o, S=-(-hid // o.chunk), Np=hid)
+    o = dataclasses.replace(o, S=hid // o.chunk, Np=hid)
     gu = _plan_stream("gu", _weight_bits(lp["gate_proj"]), hid, 2 * inter,
                       gs_of(lp["gate_proj"], hid), target_chunk_bytes)
     dn = _plan_stream("dn", _weight_bits(lp["down_proj"]), inter, hid,
@@ -446,7 +457,7 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
         bias = np.zeros((L, plan.QKVN), np.float32)
     bp = np.zeros((L, 1, plan.QKVN), np.float32)
     bp[:, 0, :bias.shape[1]] = bias
-    out["qkv_b"] = jnp.asarray(bp)
+    out["qkv_b"] = jnp.asarray(bp.astype(jnp.bfloat16))
     out["final_norm"] = jnp.asarray(
         np.asarray(params["norm"], np.float32)[None].astype(jnp.bfloat16))
     return out
@@ -631,12 +642,9 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
         pltpu.VMEM((B, qkv.Np), jnp.float32),         # 2 qkv_out
         pltpu.VMEM((B, KH, G8, D), jnp.bfloat16),     # 3 q4
         pltpu.VMEM((B, HD), jnp.bfloat16),            # 4 attn_out
-        pltpu.VMEM((B, gu.Np), jnp.bfloat16),         # 5 gu_out
-        pltpu.VMEM((B, dn.Kp), jnp.bfloat16),         # 6 h_act
+        pltpu.VMEM((B, max(gu.Np, dn.Kp)), jnp.bfloat16),  # 5 gu_out
         pltpu.VMEM((B, hid), jnp.float32),            # 7 acc_dn
-        pltpu.VMEM((B, o_sp.Np), jnp.float32),        # 7b o_out
-        pltpu.VMEM((B, KH, G8, 1), jnp.float32),      # 8 m_st
-        pltpu.VMEM((B, KH, G8, 1), jnp.float32),      # 9 l_st
+        pltpu.VMEM((B, KH, G8, 2), jnp.float32),      # 8 ml_st (m, l lanes)
         pltpu.VMEM((B, KH, G8, D), jnp.float32),      # 10 acc_at
         pltpu.VMEM((B, L, F), kv_dtype),              # 11 nk_buf
         pltpu.VMEM((B, L, F), kv_dtype),              # 12 nv_buf
@@ -644,12 +652,12 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
         pltpu.VMEM((B, L, 2 * KH), jnp.float32),      # 14 nvp_buf
         pltpu.VMEM((_RING, ps, F), kv_dtype),         # 15 kbuf
         pltpu.VMEM((_RING, ps, F), kv_dtype),         # 16 vbuf
-        pltpu.VMEM((_RING, KH, 2, ps), jnp.float32),  # 17 kqbuf
-        pltpu.VMEM((_RING, KH, 2, ps), jnp.float32),  # 18 vqbuf
+        pltpu.VMEM((_RING, 2 * KH, ps), jnp.float32),  # 17 kqbuf
+        pltpu.VMEM((_RING, 2 * KH, ps), jnp.float32),  # 18 vqbuf
         pltpu.VMEM((L, _RMW_W, F), kv_dtype),         # 19 rmw_k
         pltpu.VMEM((L, _RMW_W, F), kv_dtype),         # 20 rmw_v
-        pltpu.VMEM((L, KH, 2, ps), jnp.float32),      # 21 rmw_kq
-        pltpu.VMEM((L, KH, 2, ps), jnp.float32),      # 22 rmw_vq
+        pltpu.VMEM((L, 2 * KH, ps), jnp.float32),     # 21 rmw_kq
+        pltpu.VMEM((L, 2 * KH, ps), jnp.float32),     # 22 rmw_vq
         pltpu.SemaphoreType.DMA((4, _RING)),          # 23 page sems
         pltpu.SemaphoreType.DMA((4,)),                # 24 rmw sems
     ]
@@ -669,8 +677,8 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
             kqpool_o = refs[NSCAL + NARG + 3]
             vqpool_o = refs[NSCAL + NARG + 4]
         sc = refs[NSCAL + NARG + 1 + npools:]
-        (x_resid, x_norm, qkv_out, q4, attn_out, gu_out, h_act, acc_dn,
-         o_out, m_st, l_st, acc_at, nk_buf, nv_buf, nkp_buf, nvp_buf,
+        (x_resid, x_norm, qkv_out, q4, attn_out, gu_out, acc_dn,
+         ml_st, acc_at, nk_buf, nv_buf, nkp_buf, nvp_buf,
          kbuf, vbuf, kqbuf, vqbuf, rmw_k, rmw_v, rmw_kq, rmw_vq,
          page_sems, rmw_sems) = sc
 
@@ -699,12 +707,15 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
         # ---------------- attention phase ----------------
         @pl.when(jnp.logical_and(~in_lm, s == plan.base_att))
         def _att():
-            qkvb = qkv_out[:, :plan.QKVN] + args["qkv_b"][0, 0][None, :]
+            qkvb = qkv_out[:, :plan.QKVN] + \
+                args["qkv_b"][0, 0][None, :].astype(jnp.float32)
             qr = qkvb[:, :HD]
             kr = qkvb[:, HD:HD + KH * D]
             vr = qkvb[:, HD + KH * D:HD + 2 * KH * D]
-            cq, sq = args["cosq"][:], args["sinq"][:]
-            ck, sk = args["cosk"][:], args["sink"][:]
+            cq = args["cosq"][:].astype(jnp.float32)
+            sq = args["sinq"][:].astype(jnp.float32)
+            ck = args["cosk"][:].astype(jnp.float32)
+            sk = args["sink"][:].astype(jnp.float32)
             q_rot = qr * cq + _rot_half_heads(qr, D) * sq
             k_rot = kr * ck + _rot_half_heads(kr, D) * sk
 
@@ -753,8 +764,10 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                     qh = q_rot[b:b + 1, h * G * D:(h + 1) * G * D]
                     q4[b, h, :G, :] = qh.reshape(G, D).astype(jnp.bfloat16)
 
-            m_st[:] = jnp.full_like(m_st, _NEG_INF)
-            l_st[:] = jnp.zeros_like(l_st)
+            init_ml = jnp.concatenate(
+                [jnp.full((B, KH, G8, 1), _NEG_INF, jnp.float32),
+                 jnp.zeros((B, KH, G8, 1), jnp.float32)], axis=-1)
+            ml_st[:] = init_ml
             acc_at[:] = jnp.zeros_like(acc_at)
             if _DEBUG:
                 def _nn(x):
@@ -822,8 +835,8 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                     elif plan.kv_bits == 8:
                         kk = kbuf[slot][:, h * D:(h + 1) * D].astype(jnp.float32)
                         sraw = dot_nt(qh, kk)
-                        kscal = kqbuf[slot][h, 0]
-                        kzero = kqbuf[slot][h, 1]
+                        kscal = kqbuf[slot][2 * h]
+                        kzero = kqbuf[slot][2 * h + 1]
                         qs = jnp.sum(qh, axis=1, keepdims=True)
                         sco = sraw * kscal[None, :] + qs * kzero[None, :]
                     else:
@@ -832,16 +845,16 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                         klo = (p32 & 0xF).astype(jnp.float32)
                         khi = ((p32 >> 4) & 0xF).astype(jnp.float32)
                         sraw = dot_nt(qh[:, :D2], klo) + dot_nt(qh[:, D2:], khi)
-                        kscal = kqbuf[slot][h, 0]
-                        kzero = kqbuf[slot][h, 1]
+                        kscal = kqbuf[slot][2 * h]
+                        kzero = kqbuf[slot][2 * h + 1]
                         qs = jnp.sum(qh, axis=1, keepdims=True)
                         sco = sraw * kscal[None, :] + qs * kzero[None, :]
 
                     sco = sco * scale_att
                     sco = jnp.where(tmask, sco, _NEG_INF)
 
-                    m_prev = m_st[bb, h]
-                    l_prev = l_st[bb, h]
+                    m_prev = ml_st[bb, h, :, 0:1]
+                    l_prev = ml_st[bb, h, :, 1:2]
                     m_cur = jnp.max(sco, axis=-1, keepdims=True)
                     m_new = jnp.maximum(m_prev, m_cur)
                     alpha = jnp.exp(m_prev - m_new)
@@ -854,8 +867,8 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                         pv = jnp.dot(pexp, vv,
                                      preferred_element_type=jnp.float32)
                     else:
-                        vscal = vqbuf[slot][h, 0]
-                        vzero = vqbuf[slot][h, 1]
+                        vscal = vqbuf[slot][2 * h]
+                        vzero = vqbuf[slot][2 * h + 1]
                         pexp_s = pexp * vscal[None, :]
                         zterm = jnp.dot(pexp, vzero[:, None],
                                         preferred_element_type=jnp.float32)
@@ -876,8 +889,7 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                                 [pvl + zterm, pvh + zterm], axis=-1)
 
                     acc_at[bb, h] = acc_at[bb, h] * alpha + pv
-                    m_st[bb, h] = m_new
-                    l_st[bb, h] = l_new
+                    ml_st[bb, h] = jnp.concatenate([m_new, l_new], axis=-1)
                     if _DEBUG and h == 0:
                         pl.debug_print(
                             "  pg i={} b={} p={} k00={} q00={} scomax={} "
@@ -904,21 +916,21 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                         qh, kn, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32) * scale_att
                     sco = jnp.where(active[b] > 0, sco, _NEG_INF)  # [G8, 1]
-                    m_prev = m_st[b, h]
-                    l_prev = l_st[b, h]
+                    m_prev = ml_st[b, h, :, 0:1]
+                    l_prev = ml_st[b, h, :, 1:2]
                     m_new = jnp.maximum(m_prev, sco)
                     alpha = jnp.exp(m_prev - m_new)
                     pexp = jnp.exp(sco - m_new)          # [G8, 1]
                     vn = v_un[b:b + 1, h * D:(h + 1) * D]
                     pv = pexp * vn                       # [G8, D]
                     acc_at[b, h] = acc_at[b, h] * alpha + pv
-                    l_st[b, h] = alpha * l_prev + pexp
-                    m_st[b, h] = m_new
+                    ml_st[b, h] = jnp.concatenate(
+                        [m_new, alpha * l_prev + pexp], axis=-1)
 
             # ---- finalize into attn_out [B, HD] ----
             for b in range(B):
                 for h in range(KH):
-                    lv = l_st[b, h]
+                    lv = ml_st[b, h, :, 1:2]
                     lv = jnp.where(lv == 0.0, 1.0, lv)
                     outh = (acc_at[b, h] / lv)[:G].reshape(1, G * D)
                     attn_out[b:b + 1, h * G * D:(h + 1) * G * D] = \
@@ -927,7 +939,7 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                 pl.debug_print("att l={} xn00={} qkv00={} m000={} l000={} "
                                "acc000={} ao00={}",
                                l, x_norm[0, 0], qkv_out[0, 0],
-                               m_st[0, 0, 0, 0], l_st[0, 0, 0, 0],
+                               ml_st[0, 0, 0, 0], ml_st[0, 0, 0, 1],
                                acc_at[0, 0, 0, 0], attn_out[0, 0])
 
         # ---------------- o phase ----------------
@@ -937,11 +949,12 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
             c = s - plan.base_o
             y = _stream_dot(plan, o_sp, attn_out[:],
                             args["o_w"], args.get("o_s"), args.get("o_z"), c)
-            pl_store_cols(o_out, c * o_sp.chunk, o_sp.chunk, y)
-
-            @pl.when(c == o_sp.S - 1)
-            def _():
-                x_resid[:] = x_resid[:] + o_out[:, :hid]
+            # o.Np == hid (chunk divides hid; see make_plan), so chunk adds
+            # land exactly on the residual columns
+            cur = x_resid[:, pl.ds(pl.multiple_of(c * o_sp.chunk, 128),
+                                   o_sp.chunk)]
+            x_resid[:, pl.ds(pl.multiple_of(c * o_sp.chunk, 128),
+                             o_sp.chunk)] = cur + y
 
         # ---------------- gate/up phase ----------------
         @pl.when(jnp.logical_and(
@@ -968,13 +981,14 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                 gate = gu_out[:, :plan.inter].astype(jnp.float32)
                 up = gu_out[:, plan.inter:2 * plan.inter].astype(jnp.float32)
                 act = (gate * jax.lax.logistic(gate) * up).astype(jnp.bfloat16)
-                h_act[:, :plan.inter] = act
-                if dn.Kp != plan.inter:
-                    h_act[:, plan.inter:] = jnp.zeros(
+                # activation reuses gu_out's gate half as storage
+                gu_out[:, :plan.inter] = act
+                if dn.Kp > plan.inter:
+                    gu_out[:, plan.inter:dn.Kp] = jnp.zeros(
                         (B, dn.Kp - plan.inter), jnp.bfloat16)
                 acc_dn[:] = jnp.zeros_like(acc_dn)
 
-            xc = pl_load_cols(h_act, c * dn.chunk, dn.chunk)
+            xc = pl_load_cols(gu_out, c * dn.chunk, dn.chunk)
             y = _stream_dot(plan, dn, xc,
                             args["dn_w"], args.get("dn_s"), args.get("dn_z"),
                             c)
@@ -1044,17 +1058,18 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                             lane2 = jax.lax.broadcasted_iota(
                                 jnp.int32, (L, ps), 1)
                             hit = lane2 == off
-                            # nkp lanes: [scale(h=0..KH-1), zero(h=0..KH-1)]
+                            # nkp lanes: [scale(h=0..KH-1), zero(h=0..KH-1)];
+                            # pool rows: 2h = scale_h, 2h+1 = zero_h
                             for h in range(KH):
                                 for j in range(2):
                                     kcol = nkp_buf[b][:, j * KH + h:
                                                       j * KH + h + 1]
                                     vcol = nvp_buf[b][:, j * KH + h:
                                                       j * KH + h + 1]
-                                    rmw_kq[:, h, j, :] = jnp.where(
-                                        hit, kcol, rmw_kq[:, h, j, :])
-                                    rmw_vq[:, h, j, :] = jnp.where(
-                                        hit, vcol, rmw_vq[:, h, j, :])
+                                    rmw_kq[:, 2 * h + j, :] = jnp.where(
+                                        hit, kcol, rmw_kq[:, 2 * h + j, :])
+                                    rmw_vq[:, 2 * h + j, :] = jnp.where(
+                                        hit, vcol, rmw_vq[:, 2 * h + j, :])
                             wr_kq = pltpu.make_async_copy(
                                 rmw_kq, kqpool_o.at[pl.ds(row0, L)],
                                 rmw_sems.at[2])

@@ -27,8 +27,8 @@ Design:
       (q . k_t) = (q . q_int_t) * scale_t + (sum_d q_d) * zero_t
   so the MXU dot runs on the raw int payload (cast bf16) and the per-token
   affine is applied on the [G, ps] score tile — O(G*ps) VPU work instead of
-  O(ps*D) dequant. Same trick on the V pass. qparams layout [P, KH, 2, ps]
-  hands each head a contiguous [1, ps] scale/zero row (no transposes).
+  O(ps*D) dequant. Same trick on the V pass. qparams layout [P, 2*KH, ps]
+  hands each head contiguous [1, ps] scale/zero rows (no transposes).
 """
 
 import functools
@@ -47,7 +47,7 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 def _kernel(pt_ref, lens_ref,              # scalar prefetch
             q_ref, k_ref, v_ref,           # [1,H,D], [1,ps,KH*Ds]
-            kq_ref, vq_ref,                # [1,KH,2,ps] f32 or None
+            kq_ref, vq_ref,                # [1,2*KH,ps] f32 or None
             o_ref,                         # [1,H,D]
             m_ref, l_ref, acc_ref,         # scratch [H,1],[H,1],[H,D]
             *, scale: float, mode: CacheMode, kv_heads: int, q_per_kv: int):
@@ -91,8 +91,8 @@ def _kernel(pt_ref, lens_ref,              # scalar prefetch
                 else:
                     s_raw = dot_nt(
                         q, k_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32))
-                k_scale = kq_ref[0, h, 0]                         # [ps]
-                k_zero = kq_ref[0, h, 1]
+                k_scale = kq_ref[0, 2 * h]                        # [ps]
+                k_zero = kq_ref[0, 2 * h + 1]
                 q_sum = jnp.sum(q, axis=1, keepdims=True)         # [G, 1]
                 s = s_raw * k_scale[None, :] + q_sum * k_zero[None, :]
 
@@ -111,8 +111,8 @@ def _kernel(pt_ref, lens_ref,              # scalar prefetch
                 v = v_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32)
                 pv = jnp.dot(pexp, v, preferred_element_type=jnp.float32)
             else:
-                v_scale = vq_ref[0, h, 0]
-                v_zero = vq_ref[0, h, 1]
+                v_scale = vq_ref[0, 2 * h]
+                v_zero = vq_ref[0, 2 * h + 1]
                 pexp_s = pexp * v_scale[None, :]
                 zero_term = jnp.dot(pexp, v_zero[:, None],
                                     preferred_element_type=jnp.float32)
@@ -157,7 +157,7 @@ def paged_attention(q: jnp.ndarray, cache: KVCache, mode: CacheMode,
     P, ps, KHDs = cache.k.shape
     quant = mode != CacheMode.DEFAULT
     if quant:
-        KH = cache.k_qparams.shape[1]
+        KH = cache.k_qparams.shape[1] // 2
     else:
         KH = KHDs // D
     G = H // KH
@@ -174,7 +174,7 @@ def paged_attention(q: jnp.ndarray, cache: KVCache, mode: CacheMode,
     def qparam_index(b, p, pt_ref, lens_ref):
         num_pages_b = pl.cdiv(lens_ref[b], ps)
         pp = jnp.minimum(p, jnp.maximum(num_pages_b - 1, 0))
-        return (pt_ref[b, pp], 0, 0, 0)
+        return (pt_ref[b, pp], 0, 0)
 
     q_spec = pl.BlockSpec((1, H, D), lambda b, p, pt, ln: (b, 0, 0))
     kv_spec = pl.BlockSpec((1, ps, KHDs), page_index)
@@ -183,7 +183,7 @@ def paged_attention(q: jnp.ndarray, cache: KVCache, mode: CacheMode,
     in_specs = [q_spec, kv_spec, kv_spec]
     args = [q, cache.k, cache.v]
     if quant:
-        qp_spec = pl.BlockSpec((1, KH, 2, ps), qparam_index)
+        qp_spec = pl.BlockSpec((1, 2 * KH, ps), qparam_index)
         in_specs += [qp_spec, qp_spec]
         args += [cache.k_qparams, cache.v_qparams]
 

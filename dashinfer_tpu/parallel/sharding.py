@@ -102,7 +102,7 @@ def cache_sharding(cfg: ModelConfig, mesh: Mesh):
     """Shardings for the KV-pool leaves: over kv heads when divisible, else
     replicated (the reference replicates GQA groups beyond the head count
     the same way). Payload pools [P, ps, KH*D] shard the packed head-major
-    lane dim; qparams [P, KH, 2, ps] shard the head dim."""
+    lane dim; qparams [P, 2*KH, ps] shard the per-head row pairs."""
     tp = mesh.shape[MODEL_AXIS]
     if cfg.num_kv_heads % tp == 0:
         head = MODEL_AXIS

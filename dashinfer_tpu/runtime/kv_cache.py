@@ -20,10 +20,11 @@ K/V for all layers with a single strided DMA.
 
 Quantized modes (reference span layout: virtual_cache.cpp:202-232 — int8/uint4
 payload + per-token-per-head fp32 scale & zero):
-  INT8:  payload int8, same lane count; qparams `[P, KH, 2, page_size]`
-         f32 — qparams[p, h, 0] is head h's per-token scale row, [p, h, 1]
-         its zero row (contiguous `[1, page_size]` rows per head for kernels,
-         head dim shardable for tensor parallelism).
+  INT8:  payload int8, same lane count; qparams `[P, 2*KH, page_size]`
+         f32 — row 2h is head h's per-token scale row, row 2h+1 its zero row
+         (contiguous `[1, page_size]` rows per head for kernels; per-head row
+         PAIRS keep the sublane dim 8-aligned for KH>=4 and shardable over
+         heads for tensor parallelism).
   UINT4: payload packs 2 nibbles/byte per head (HALVES packing within each
          head's lane block: byte j of head h = dims j | j+D/2 << 4), lanes =
          kv_heads * head_dim / 2; same qparams.
@@ -46,7 +47,7 @@ class KVCache:
     """Device-side paged KV pool (a pytree of arrays).
 
     k/v: [P, ps, KH*Ds] payload (Ds = head_dim, or head_dim//2 packed u4)
-    k_qparams/v_qparams: [P, KH, 2, ps] f32 or None (scale row, zero row)
+    k_qparams/v_qparams: [P, 2*KH, ps] f32 or None (scale/zero row pairs)
     """
 
     k: jax.Array
@@ -89,7 +90,7 @@ def create_kv_cache(model_cfg: ModelConfig, cache_cfg: CacheConfig,
     k = jnp.zeros(shape, dtype)
     v = jnp.zeros(shape, dtype)
     if quant:
-        qshape = (num_physical_pages, kh, 2, cache_cfg.page_size)
+        qshape = (num_physical_pages, 2 * kh, cache_cfg.page_size)
         kq = jnp.zeros(qshape, jnp.float32)
         vq = jnp.zeros(qshape, jnp.float32)
     else:

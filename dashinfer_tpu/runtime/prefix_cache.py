@@ -44,9 +44,47 @@ class _Node:
         self.ttl_deadline = self.last_access + ttl_s
 
 
+class HostTier:
+    """Host-RAM tier for evicted prefix pages (reference CacheUnion CPU table
+    + swap pools, prefix_cache_manager.h:34-84, 201-210). Holds one blob
+    (the page's K/V rows pulled via the pager) per node key, LRU-bounded by
+    a byte budget."""
+
+    def __init__(self, capacity_bytes: int, page_bytes: int):
+        self.capacity = capacity_bytes
+        self.page_bytes = max(page_bytes, 1)
+        self.blobs: "OrderedDict[bytes, object]" = OrderedDict()
+
+    @property
+    def max_nodes(self) -> int:
+        return self.capacity // self.page_bytes
+
+    def put(self, key: bytes, blob) -> None:
+        if self.max_nodes <= 0:
+            return
+        self.blobs[key] = blob
+        self.blobs.move_to_end(key)
+        while len(self.blobs) > self.max_nodes:
+            self.blobs.popitem(last=False)
+
+    def pop(self, key: bytes):
+        return self.blobs.pop(key, None)
+
+    def __contains__(self, key: bytes) -> bool:
+        return key in self.blobs
+
+    def __len__(self) -> int:
+        return len(self.blobs)
+
+
 class PrefixCacheManager:
+    """`pager` (optional) enables the host tier: an object with
+    gather_page(logical_page) -> blob and restore_page(blob) -> logical_page
+    (allocating a fresh device page; raises NoFreePages when full). The
+    engine's ModelRuntime provides it (jitted pool row gather/scatter)."""
+
     def __init__(self, cfg: ModelConfig, rt: RuntimeConfig,
-                 allocator: PageAllocator):
+                 allocator: PageAllocator, pager=None):
         self.ps = rt.cache.page_size
         self.ttl_s = rt.prefix_cache_ttl_s
         self.allocator = allocator
@@ -54,6 +92,14 @@ class PrefixCacheManager:
         self.seqlen_threshold = 0   # reference SetSeqlenThre
         self._hits = 0
         self._misses = 0
+        self.pager = pager
+        self.host_tier = None
+        if pager is not None and rt.prefix_cache_host_bytes > 0:
+            from dashinfer_tpu.runtime.kv_cache import logical_page_bytes
+            self.host_tier = HostTier(
+                rt.prefix_cache_host_bytes,
+                logical_page_bytes(cfg, rt.cache))
+        self._host_hits = 0
 
     # -- admission-time lookup (reference RefOnly + RefFill) -----------------
     def lookup(self, input_ids: List[int]) -> Tuple[int, List[int], List[_Node]]:
@@ -70,6 +116,9 @@ class PrefixCacheManager:
                             for t in span)
             key = _hash_prefix(buf)
             node = self.nodes.get(key)
+            if node is None and self.host_tier is not None and \
+                    key in self.host_tier:
+                node = self._swap_in(key, now)  # reference swap-to-GPU on hit
             if node is None or (node.ref_count == 0 and
                                 node.ttl_deadline < now):
                 self._misses += n_full - j
@@ -123,9 +172,34 @@ class PrefixCacheManager:
         req.prefix_nodes = []
         return [p for p in pages if p not in owned]
 
+    # -- host tier (reference GPU<->CPU swap, prefix_cache_manager.h) --------
+    def _swap_in(self, key: bytes, now: float):
+        """Host-tier hit: allocate a device page, push the blob back."""
+        blob = self.host_tier.pop(key)
+        if blob is None:
+            return None
+        try:
+            page = self.pager.restore_page(blob)
+        except Exception:
+            self.host_tier.put(key, blob)  # no room; keep it on host
+            return None
+        node = _Node(key, page, self.ttl_s)
+        self.nodes[key] = node
+        self._host_hits += 1
+        return node
+
+    def _swap_out(self, node) -> None:
+        try:
+            blob = self.pager.gather_page(node.page)
+        except Exception:
+            logger.exception("host-tier swap-out failed; dropping node")
+            return
+        self.host_tier.put(node.key, blob)
+
     # -- capacity pressure (reference LRU evictor + TTL filter) ---------------
     def evict(self, want_pages: int) -> int:
-        """Release up to want_pages unreferenced nodes back to the allocator.
+        """Release up to want_pages unreferenced nodes back to the allocator
+        (swapping their contents to the host tier first when enabled).
         Returns pages freed."""
         freed = []
         for key in list(self.nodes.keys()):
@@ -133,6 +207,8 @@ class PrefixCacheManager:
                 break
             node = self.nodes[key]
             if node.ref_count == 0:
+                if self.host_tier is not None:
+                    self._swap_out(node)
                 del self.nodes[key]
                 freed.append(node.page)
         if freed:
@@ -154,6 +230,14 @@ class PrefixCacheManager:
     def hit_rate(self) -> float:
         tot = self._hits + self._misses
         return self._hits / tot if tot else 0.0
+
+    @property
+    def host_hits(self) -> int:
+        return self._host_hits
+
+    @property
+    def num_host_nodes(self) -> int:
+        return len(self.host_tier) if self.host_tier is not None else 0
 
     @property
     def num_cached_pages(self) -> int:

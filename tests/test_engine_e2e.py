@@ -144,3 +144,37 @@ def test_eviction_on_cache_oom():
         assert GenerateRequestStatus.GenerateFinished in statuses
     finally:
         eng.release_model("t2")
+
+
+def test_chunked_prefill_matches_hf():
+    """Chunked prefill (max_prefill_chunk > 0) yields identical greedy
+    tokens. The reference scaffolds but rejects chunked prefill
+    (as_engine.cpp:439-443); here it is supported."""
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.loader import build_from_torch_model
+    from dashinfer_tpu.runtime.request import GenerateRequestStatus
+
+    hf_cfg = hf_util.tiny_qwen2_config()
+    model = hf_util.make_torch_model(hf_cfg)
+    cfg, params = build_from_torch_model(model, hf_cfg.to_dict(), "float32")
+    rt = (RuntimeConfigBuilder("ck")
+          .max_length(128).max_batch(2)
+          .kv_cache_page_size(16).kv_cache_num_pages(64)
+          .dtype("float32")
+          .update({"min_prefill_bucket": 16, "max_prefill_chunk": 16})
+          .build())
+    eng = Engine()
+    eng.install_model("ck", rt, params=params, model_config=cfg)
+    eng.start_model("ck")
+    rng = np.random.RandomState(11)
+    prompt = rng.randint(1, hf_cfg.vocab_size, size=41).tolist()  # 3 chunks
+    n_new = 5
+    golden = hf_util.hf_greedy_tokens(model, prompt, n_new)
+    gen = GenerationConfig(max_length=len(prompt) + n_new, do_sample=False,
+                           top_k=1, eos_token_id=-1)
+    _, handle, q = eng.start_request("ck", prompt, gen)
+    eng.sync_request("ck", handle, timeout_s=600)
+    assert q.GenerateStatus() == GenerateRequestStatus.GenerateFinished
+    got = q.GetAllGeneratedTokens()
+    eng.release_model("ck")
+    assert got == golden

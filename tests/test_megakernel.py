@@ -131,8 +131,8 @@ def test_megakernel_matches_reference(quant, kv_mode_name):
     cos, sin = rope_cos_sin(jnp.asarray(lens), inv_freq,
                             _mscale(cfg.rope_scaling))
     H, KH = cfg.num_heads, cfg.num_kv_heads
-    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.float32)
-    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.float32)
+    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
     cosq = jnp.tile(cos, (1, H))
     sinq = jnp.tile(sin, (1, H))
     cosk = jnp.tile(cos, (1, KH))

@@ -62,3 +62,53 @@ def test_prefix_cache_hit_and_correctness():
         assert got3 == golden2
     finally:
         eng.release_model("pc")
+
+
+def test_host_tier_swap_roundtrip():
+    """Evicted prefix pages swap to host RAM and come back on a hit with
+    identical generation (reference GPU<->CPU CacheUnion swap,
+    prefix_cache_manager.h:34-84)."""
+    import numpy as np
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.loader import build_from_torch_model
+    from dashinfer_tpu.runtime.request import GenerateRequestStatus
+    import tests.hf_util as hf_util
+
+    hf_cfg = hf_util.tiny_qwen2_config()
+    model = hf_util.make_torch_model(hf_cfg)
+    cfg, params = build_from_torch_model(model, hf_cfg.to_dict(), "float32")
+    rt = (RuntimeConfigBuilder("ht")
+          .max_length(128).max_batch(2)
+          .kv_cache_page_size(16).kv_cache_num_pages(32)
+          .dtype("float32").prefix_cache(True)
+          .update({"min_prefill_bucket": 16,
+                   "prefix_cache_host_bytes": 64 * 1024 * 1024})
+          .build())
+    eng = Engine()
+    eng.install_model("ht", rt, params=params, model_config=cfg)
+    eng.start_model("ht")
+    rng = np.random.RandomState(3)
+    prompt = rng.randint(1, hf_cfg.vocab_size, size=33).tolist()
+    gen = lambda: GenerationConfig(max_length=40, do_sample=False, top_k=1,
+                                   eos_token_id=-1)
+
+    def run():
+        _, h, q = eng.start_request("ht", prompt, gen())
+        eng.sync_request("ht", h, timeout_s=600)
+        toks = q.GetAllGeneratedTokens()
+        eng.release_request("ht", h)
+        return toks
+
+    first = run()
+    pc = eng._models["ht"].prefix_cache
+    assert pc.num_cached_pages >= 2
+    # force everything out to the host tier
+    evicted = pc.evict(100)
+    assert evicted >= 2
+    assert pc.num_host_nodes >= 2
+    assert pc.num_cached_pages == 0
+
+    second = run()
+    assert second == first
+    assert pc.host_hits >= 1
+    eng.release_model("ht")

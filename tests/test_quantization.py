@@ -101,3 +101,46 @@ def test_fused_gemv_kernel_interpret_matches_dequant():
                                       jnp.float32))
         rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
         assert rel < 0.02, (bits, rel)
+
+
+@pytest.mark.parametrize("mode", ["a8w8", "fp8a8w8"])
+def test_activation_quant_linear_close_to_fp(mode):
+    """A8W8 / FP8A8W8 path (reference GemmA8W8 / GemmFP8A8W8, SURVEY.md
+    §2.11): symmetric per-channel weights + dynamic per-token activations."""
+    import jax.numpy as jnp
+    from dashinfer_tpu.loader.quantize import quantize_weight_symmetric
+    from dashinfer_tpu.ops.linear import linear
+
+    rng = np.random.RandomState(0)
+    K, N, T = 256, 128, 8
+    w = rng.randn(K, N).astype(np.float32) * 0.05
+    x = rng.randn(T, K).astype(np.float32)
+    leaf = {k: jnp.asarray(v)
+            for k, v in quantize_weight_symmetric(
+                w, fp8=mode == "fp8a8w8").items()}
+    got = np.asarray(linear(jnp.asarray(x), leaf, out_dtype=jnp.float32))
+    want = x @ w
+    denom = np.abs(want).max() + 1e-6
+    rel = np.abs(got - want).max() / denom
+    assert rel < (0.02 if mode == "a8w8" else 0.06), rel
+
+
+def test_a8w8_e2e_close_to_fp():
+    """End-to-end decode path with a8w8-quantized weights stays close to the
+    fp32 model (reference accuracy gate, SURVEY.md §7 M3)."""
+    import tests.hf_util as hf_util
+    from dashinfer_tpu.config import QuantConfig
+    from dashinfer_tpu.loader import build_from_torch_model
+    from dashinfer_tpu.loader.quantize import quantize_params
+    from tests.test_model_parity import _run_prefill_decode
+
+    hf_cfg = hf_util.tiny_qwen2_config(hidden=64, inter=128)
+    model = hf_util.make_torch_model(hf_cfg)
+    cfg, params = build_from_torch_model(model, hf_cfg.to_dict(), "float32")
+    rng = np.random.RandomState(3)
+    ids = rng.randint(1, hf_cfg.vocab_size, size=10).tolist()
+    fp_logits, _, _ = _run_prefill_decode(cfg, params, ids, 4)
+    qparams = quantize_params(params, QuantConfig(mode="a8w8"))
+    q_logits, _, _ = _run_prefill_decode(cfg, qparams, ids, 4)
+    corr = np.corrcoef(fp_logits, q_logits)[0, 1]
+    assert corr > 0.999, corr
