@@ -96,6 +96,8 @@ class RuntimeConfig:
     sampler_max_top_k: int = 128   # reference caps k at 1024 (generate_op.cpp:383-391)
     max_top_logprobs: int = 10     # reference max 10 (device_context.h:182)
     max_stop_token_ids: int = 8
+    # cap on per-step banned next-tokens (bad_words_ids / no_repeat_ngram)
+    max_banned_tokens: int = 32
 
     # LoRA serving limits (reference lora_max_num/lora_max_rank)
     enable_lora: bool = False

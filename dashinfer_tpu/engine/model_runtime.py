@@ -158,8 +158,9 @@ class ModelRuntime:
 
     def _prefill_fn(self, bucket: int, with_logprobs: bool,
                     with_guided: bool = False,
-                    with_lora: bool = False) -> Callable:
-        key = (bucket, with_logprobs, with_guided, with_lora)
+                    with_lora: bool = False,
+                    with_banned: bool = False) -> Callable:
+        key = (bucket, with_logprobs, with_guided, with_lora, with_banned)
         if key not in self._prefill_steps:
             self._prefill_steps[key] = steps_mod.build_prefill_step(
                 self.cfg, self.rt, bucket, use_kernel=self.use_kernel,
@@ -307,13 +308,17 @@ class ModelRuntime:
         req.format_enforcer = self._make_enforcer(req)
         with_lora = (self.lora_manager is not None and
                      gen.lora_name is not None)
+        banned = self._banned_ids(req)
         init = self._slot_init(req, slot)
         fn = self._prefill_fn(bucket, with_lp,
                               with_guided=req.format_enforcer is not None,
-                              with_lora=with_lora)
+                              with_lora=with_lora,
+                              with_banned=banned is not None)
         t0 = time.monotonic()
         try:
             kwargs = {}
+            if banned is not None:
+                kwargs["banned"] = jnp.asarray(banned, jnp.int32)
             if base_counts is not None:
                 kwargs["base_counts"] = base_counts
             if req.format_enforcer is not None:
@@ -360,6 +365,31 @@ class ModelRuntime:
         self._maybe_finish(req, tok)
         self.stat.total_prefill_tokens += total_len
         return True
+
+    def _banned_ids(self, req: Request) -> Optional[List[int]]:
+        """Next tokens banned THIS step: single/multi-token bad_words_ids +
+        no_repeat_ngram (reference bad-words & ngram filters in the
+        process_id kernels, SURVEY.md §2.7)."""
+        g = req.gen_cfg
+        if not g.bad_words_ids and not g.no_repeat_ngram_size:
+            return None
+        ctx = req.input_ids + req.generated_ids
+        banned = set()
+        for w in g.bad_words_ids:
+            w = [int(t) for t in w]
+            if len(w) == 1:
+                banned.add(w[0])
+            elif len(w) - 1 <= len(ctx) and ctx[-(len(w) - 1):] == w[:-1]:
+                banned.add(w[-1])
+        n = g.no_repeat_ngram_size
+        if n > 0 and len(ctx) >= n - 1:
+            tail = tuple(ctx[-(n - 1):]) if n > 1 else ()
+            for i in range(len(ctx) - n + 1):
+                if tuple(ctx[i:i + n - 1]) == tail:
+                    banned.add(ctx[i + n - 1])
+        cap = self.rt.max_banned_tokens
+        out = sorted(banned)[:cap]
+        return (out + [-1] * cap)[:cap]
 
     def _slot_init(self, req: Request, slot: int) -> steps_mod.SlotInit:
         g = req.gen_cfg
@@ -439,8 +469,17 @@ class ModelRuntime:
         guided = [r for r in act if r.format_enforcer is not None]
         with_lora = (self.lora_manager is not None and
                      any(r.gen_cfg.lora_name is not None for r in act))
+        banned_rows = {r.slot: self._banned_ids(r) for r in act}
+        with_banned = any(v is not None for v in banned_rows.values())
         fn = self._decode_fn(with_lp, bool(guided), with_lora)
         kwargs = {}
+        if with_banned:
+            cap = self.rt.max_banned_tokens
+            bmat = np.full((B, cap), -1, np.int32)
+            for slot, v in banned_rows.items():
+                if v is not None:
+                    bmat[slot] = v
+            kwargs["banned"] = jnp.asarray(bmat)
         if guided:
             allowed = np.ones((B, self.cfg.vocab_size), bool)
             for r in guided:

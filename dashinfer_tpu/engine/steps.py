@@ -94,7 +94,7 @@ def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
 
     def step(params, cache: KVCache, state: DecodeState, tokens, page_row,
              prefix_len, total_len, init: SlotInit, base_counts=None,
-             allowed=None, lora_pool=None):
+             allowed=None, lora_pool=None, banned=None):
         logits, cache = transformer.prefill_forward(
             cfg, params, tokens, cache, page_row, prefix_len, total_len,
             mode=mode, use_kernel=use_kernel,
@@ -118,7 +118,8 @@ def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
         out = sampling_ops.sample(
             logits[None], sp1, counts[None], jnp.zeros((1,), jnp.int32),
             total_len[None], max_top_k=rt.sampler_max_top_k,
-            top_logprobs=n_lp)
+            top_logprobs=n_lp,
+            banned=None if banned is None else banned[None])
         tok = out.tokens[0]
         counts = counts.at[tok].add(1)
 
@@ -234,7 +235,7 @@ def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
         _mega_fn = _mk.build_decode_megakernel(megakernel_plan)
 
     def step(params, cache: KVCache, state: DecodeState, new_page_ids,
-             allowed=None, lora_pool=None):
+             allowed=None, lora_pool=None, banned=None):
         B = state.max_batch
         lens = state.context_lens
         col = jnp.clip(lens // ps, 0, state.page_tables.shape[1] - 1)
@@ -263,7 +264,8 @@ def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
 
         out = sampling_ops.sample(
             logits, state.sampling, state.token_counts, state.gen_lens,
-            lens, max_top_k=rt.sampler_max_top_k, top_logprobs=n_lp)
+            lens, max_top_k=rt.sampler_max_top_k, top_logprobs=n_lp,
+            banned=banned)
 
         active = state.active
         tok = jnp.where(active, out.tokens, state.token_ids)

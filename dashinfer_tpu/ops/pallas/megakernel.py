@@ -248,6 +248,9 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
     QKVN = (H + 2 * KH) * D
     inter = cfg.intermediate_size
     V = cfg.vocab_size
+    env_target = __import__("os").environ.get("DI_MK_CHUNK_BYTES")
+    if env_target:
+        target_chunk_bytes = int(env_target)
     if not target_chunk_bytes:
         # fit double-buffered chunks of 5 streams in VMEM next to the scratch
         G8 = _round_up(H // KH, 8)

@@ -38,9 +38,11 @@ class SampleOutput(NamedTuple):
 
 def process_logits(logits: jnp.ndarray, sp: SamplingParams,
                    token_counts: jnp.ndarray,
-                   gen_lens: jnp.ndarray) -> jnp.ndarray:
-    """Apply penalties + min-length stop suppression (reference
-    process_logits_launcher, generate_op.cpp:238-312)."""
+                   gen_lens: jnp.ndarray,
+                   banned: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Apply penalties + min-length stop suppression + bad-word bans
+    (reference process_logits_launcher, generate_op.cpp:238-312; bad-words
+    and ngram bans ride the same mask)."""
     counts = token_counts.astype(jnp.float32)
     appeared = counts > 0
     rp = sp.repetition_penalty[:, None]
@@ -58,16 +60,25 @@ def process_logits(logits: jnp.ndarray, sp: SamplingParams,
     upd = jnp.where(ban[:, None] & valid, _NEG, jnp.inf)
     b_idx = jnp.arange(logits.shape[0])[:, None]
     logits = logits.at[b_idx, safe_ids].min(upd)
+
+    # banned next tokens this step (single/multi-token bad_words_ids +
+    # no_repeat_ngram, host-computed; -1 = unused slot)
+    if banned is not None:
+        bvalid = banned >= 0
+        bsafe = jnp.maximum(banned, 0)
+        bupd = jnp.where(bvalid, _NEG, jnp.inf)
+        logits = logits.at[b_idx, bsafe].min(bupd)
     return logits
 
 
 def sample(logits: jnp.ndarray, sp: SamplingParams, token_counts: jnp.ndarray,
            gen_lens: jnp.ndarray, steps: jnp.ndarray, *, max_top_k: int,
-           top_logprobs: int = 0) -> SampleOutput:
+           top_logprobs: int = 0,
+           banned: Optional[jnp.ndarray] = None) -> SampleOutput:
     """logits: [B, V] f32 raw model output; steps: [B] i32 sampling step
     (= sequence position) feeding the counter-based RNG."""
     B, V = logits.shape
-    logits = process_logits(logits, sp, token_counts, gen_lens)
+    logits = process_logits(logits, sp, token_counts, gen_lens, banned)
 
     temp = jnp.maximum(sp.temperature, 1e-5)[:, None]
     scaled = logits / temp

@@ -120,3 +120,58 @@ def test_logprobs_shape():
     got = np.asarray(out.token_logprobs)
     want = lp_full[np.arange(B), np.asarray(out.tokens)]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_bad_words_and_ngram_bans():
+    """bad_words_ids (single + multi token) and no_repeat_ngram_size are
+    enforced (reference bad-words/ngram filters, process_id kernels)."""
+    import tests.hf_util as hf_util
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.loader import build_from_torch_model
+    from dashinfer_tpu.runtime.request import GenerateRequestStatus
+
+    hf_cfg = hf_util.tiny_qwen2_config()
+    model = hf_util.make_torch_model(hf_cfg)
+    cfg, params = build_from_torch_model(model, hf_cfg.to_dict(), "float32")
+    rt = (RuntimeConfigBuilder("bw").max_length(96).max_batch(2)
+          .kv_cache_page_size(16).kv_cache_num_pages(32).dtype("float32")
+          .update({"min_prefill_bucket": 16}).build())
+    eng = Engine().install_model("bw", rt, params=params, model_config=cfg)
+    eng.start_model("bw")
+    rng = np.random.RandomState(2)
+    prompt = rng.randint(1, hf_cfg.vocab_size, size=9).tolist()
+    base = hf_util.hf_greedy_tokens(model, prompt, 8)
+
+    # ban the first greedily-chosen token: generation must diverge and the
+    # banned token must never appear
+    banned_tok = base[0]
+    gen = GenerationConfig(max_length=len(prompt) + 8, do_sample=False,
+                           top_k=1, eos_token_id=-1,
+                           bad_words_ids=[[banned_tok]])
+    _, h, q = eng.start_request("bw", prompt, gen)
+    eng.sync_request("bw", h, timeout_s=600)
+    got = q.GetAllGeneratedTokens()
+    assert banned_tok not in got
+    eng.release_request("bw", h)
+
+    # multi-token bad word: ban the bigram (base[0], base[1]) — base[0] may
+    # appear, but never followed by base[1]
+    gen2 = GenerationConfig(max_length=len(prompt) + 8, do_sample=False,
+                            top_k=1, eos_token_id=-1,
+                            bad_words_ids=[[base[0], base[1]]])
+    _, h2, q2 = eng.start_request("bw", prompt, gen2)
+    eng.sync_request("bw", h2, timeout_s=600)
+    got2 = q2.GetAllGeneratedTokens()
+    for i in range(len(got2) - 1):
+        assert not (got2[i] == base[0] and got2[i + 1] == base[1])
+    eng.release_request("bw", h2)
+
+    # no_repeat_ngram_size=1: every generated token distinct
+    gen3 = GenerationConfig(max_length=len(prompt) + 10, do_sample=False,
+                            top_k=1, eos_token_id=-1, no_repeat_ngram_size=1)
+    _, h3, q3 = eng.start_request("bw", prompt, gen3)
+    eng.sync_request("bw", h3, timeout_s=600)
+    got3 = q3.GetAllGeneratedTokens()
+    seq3 = prompt + got3
+    assert len(set(seq3)) == len(seq3)
+    eng.release_model("bw")
