@@ -93,7 +93,7 @@ def main():
             intermediate_size=18944, num_layers=28, num_heads=28,
             num_kv_heads=4, head_dim=128, qkv_bias=True,
             rope_theta=1000000.0)
-        B = int(os.environ.get("DI_BENCH_BATCH", "8"))
+        B = int(os.environ.get("DI_BENCH_BATCH", "16"))
         ctx_len = int(os.environ.get("DI_BENCH_CTX", "1024"))
         steps, warm = 48, 4
         page_size = 256

@@ -37,8 +37,9 @@ class GenerationConfig:
     # multimodal embedding injections: placeholder token id -> array
     mm_info: Optional[Any] = None
     # Qwen2-VL mRoPE per-token positions [3, seq] (computed host-side,
-    # reference hie_allspark_worker.py:31-104)
+    # reference hie_allspark_worker.py:31-104) + decode-phase position delta
     mrope_positions: Optional[Any] = None
+    mrope_position_delta: int = 0
 
     def update(self, d: Dict[str, Any]) -> "GenerationConfig":
         for k, v in d.items():

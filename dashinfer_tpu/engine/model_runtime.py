@@ -159,14 +159,42 @@ class ModelRuntime:
     def _prefill_fn(self, bucket: int, with_logprobs: bool,
                     with_guided: bool = False,
                     with_lora: bool = False,
-                    with_banned: bool = False) -> Callable:
-        key = (bucket, with_logprobs, with_guided, with_lora, with_banned)
+                    with_banned: bool = False,
+                    with_mm: bool = False) -> Callable:
+        key = (bucket, with_logprobs, with_guided, with_lora, with_banned,
+               with_mm)
         if key not in self._prefill_steps:
             self._prefill_steps[key] = steps_mod.build_prefill_step(
                 self.cfg, self.rt, bucket, use_kernel=self.use_kernel,
                 with_logprobs=with_logprobs, with_guided=with_guided,
-                with_lora=with_lora)
+                with_lora=with_lora, with_mm=with_mm)
         return self._prefill_steps[key]
+
+    def _mm_prefill_inputs(self, req: Request, tok_buf, bucket: int,
+                           prefix_len: int) -> Dict:
+        """Multimodal prefill inputs: embedding buffer with placeholder runs
+        replaced by injected embeddings (reference RichEmbedding op,
+        rich_embedding_op.cpp + extra_embedding.hpp:17-80) and mRoPE
+        positions (hie_allspark_worker.py:31-105)."""
+        gen = req.gen_cfg
+        emb = self.params["embed_tokens"]["w"][jnp.asarray(tok_buf)] \
+            .astype(self.dtype)
+        for item in (gen.mm_info or ()):
+            placeholder, rows = int(item[0]), np.asarray(item[1])
+            idx = np.nonzero(np.asarray(tok_buf) == placeholder)[0]
+            n = min(len(idx), rows.shape[0])
+            if n:
+                emb = emb.at[jnp.asarray(idx[:n])].set(
+                    jnp.asarray(rows[:n], self.dtype))
+        out = {"embeds": emb}
+        if gen.mrope_positions is not None:
+            pos = np.zeros((3, bucket), np.int32)
+            p3 = np.asarray(gen.mrope_positions, np.int32)
+            seg = p3[:, prefix_len:prefix_len + bucket]
+            pos[:, :seg.shape[1]] = seg
+            out["positions3"] = jnp.asarray(pos)
+            req.pos_offset = int(gen.mrope_position_delta)
+        return out
 
     def _decode_fn(self, with_logprobs: bool, with_guided: bool,
                    with_lora: bool = False) -> Callable:
@@ -309,14 +337,20 @@ class ModelRuntime:
         with_lora = (self.lora_manager is not None and
                      gen.lora_name is not None)
         banned = self._banned_ids(req)
+        with_mm = bool(gen.mm_info) or gen.mrope_positions is not None
+        mm_kwargs = {}
+        if with_mm:
+            mm_kwargs = self._mm_prefill_inputs(req, tok_buf, bucket,
+                                                prefix_len)
         init = self._slot_init(req, slot)
         fn = self._prefill_fn(bucket, with_lp,
                               with_guided=req.format_enforcer is not None,
                               with_lora=with_lora,
-                              with_banned=banned is not None)
+                              with_banned=banned is not None,
+                              with_mm=with_mm)
         t0 = time.monotonic()
         try:
-            kwargs = {}
+            kwargs = dict(mm_kwargs)
             if banned is not None:
                 kwargs["banned"] = jnp.asarray(banned, jnp.int32)
             if base_counts is not None:
@@ -417,6 +451,7 @@ class ModelRuntime:
             min_gen_len=jnp.int32(g.min_length),
             stop_token_ids=jnp.asarray(stop_ids, jnp.int32),
             lora_idx=jnp.int32(lora_idx),
+            pos_offset=jnp.int32(getattr(req, "pos_offset", 0)),
         )
 
     # -- decode --------------------------------------------------------------

@@ -45,6 +45,7 @@ class SlotInit(NamedTuple):
     min_gen_len: jnp.ndarray     # i32
     stop_token_ids: jnp.ndarray  # [MAX_STOP] i32
     lora_idx: jnp.ndarray        # i32; adapter pool slot, -1 = none
+    pos_offset: jnp.ndarray      # i32; mRoPE rope delta (0 for text-only)
 
 
 def _write_slot_sampling(sp: SamplingParams, init: SlotInit) -> SamplingParams:
@@ -84,7 +85,8 @@ def _slot_sampling_params(init: SlotInit) -> SamplingParams:
 def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
                        *, use_kernel: bool, with_logprobs: bool = False,
                        with_guided: bool = False,
-                       with_lora: bool = False) -> Callable:
+                       with_lora: bool = False,
+                       with_mm: bool = False) -> Callable:
     """Returns jitted fn(params, cache, state, tokens[S], page_row[maxPb],
     prefix_len, total_len, init: SlotInit[, allowed [V] bool]) ->
     (token, lp, cache, state). page_row holds LOGICAL page ids."""
@@ -94,12 +96,15 @@ def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
 
     def step(params, cache: KVCache, state: DecodeState, tokens, page_row,
              prefix_len, total_len, init: SlotInit, base_counts=None,
-             allowed=None, lora_pool=None, banned=None):
+             allowed=None, lora_pool=None, banned=None, embeds=None,
+             positions3=None):
         logits, cache = transformer.prefill_forward(
             cfg, params, tokens, cache, page_row, prefix_len, total_len,
             mode=mode, use_kernel=use_kernel,
             lora=lora_pool if with_lora else None,
-            lora_idx=init.lora_idx if with_lora else None)
+            lora_idx=init.lora_idx if with_lora else None,
+            embeds=embeds if with_mm else None,
+            positions3=positions3 if with_mm else None)
         if with_guided:
             logits = jnp.where(allowed, logits, -1e30)
 
@@ -138,6 +143,7 @@ def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
             active=state.active.at[s].set(True),
             token_counts=state.token_counts.at[s].set(counts),
             lora_idx=state.lora_idx.at[s].set(init.lora_idx),
+            pos_offsets=state.pos_offsets.at[s].set(init.pos_offset),
             sampling=_write_slot_sampling(state.sampling, init),
         )
         lp = (out.token_logprobs, out.top_ids, out.top_logprobs) \
@@ -180,7 +186,8 @@ def _megakernel_forward(cfg, plan, fn, params, state, cache, page_tables,
 
     x0 = params["embed"][state.token_ids].astype(jnp.bfloat16)
     inv_freq = compute_inv_freq(cfg)
-    cos, sin = rope_cos_sin(lens, inv_freq, _mscale(cfg.rope_scaling))
+    cos, sin = rope_cos_sin(lens + state.pos_offsets, inv_freq,
+                            _mscale(cfg.rope_scaling))
     # rope_cos_sin returns the half-dim table; the kernel wants full-D
     # per-head tiles matching the half-split convention (ops/rotary.py).
     # bf16 tiles: the angle is f32; only the cos/sin VALUES round (VMEM diet)
@@ -258,7 +265,8 @@ def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
                 cfg, params, state.token_ids, cache, page_tables, lens,
                 state.active, mode=mode, use_kernel=use_kernel,
                 lora=lora_pool if with_lora else None,
-                lora_onehot=onehot if with_lora else None)
+                lora_onehot=onehot if with_lora else None,
+                pos_offsets=state.pos_offsets)
         if with_guided:
             logits = jnp.where(allowed, logits, -1e30)
 
@@ -282,6 +290,7 @@ def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
             active=active,
             token_counts=counts,
             lora_idx=state.lora_idx,
+            pos_offsets=state.pos_offsets,
             sampling=state.sampling,
         )
         lp = (out.token_logprobs, out.top_ids, out.top_logprobs) \

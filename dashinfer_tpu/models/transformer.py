@@ -33,7 +33,7 @@ from dashinfer_tpu.ops.linear import linear
 from dashinfer_tpu.ops.moe import moe_block
 from dashinfer_tpu.ops.norms import rms_norm
 from dashinfer_tpu.ops.rotary import (apply_rope, compute_inv_freq,
-                                      rope_cos_sin, _mscale)
+                                      mrope_cos_sin, rope_cos_sin, _mscale)
 from dashinfer_tpu.runtime.kv_cache import KVCache
 
 
@@ -114,7 +114,8 @@ def decode_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
                    lens_before: jnp.ndarray, active: jnp.ndarray,
                    *, mode: CacheMode, use_kernel: bool = True,
                    lora: Optional[Dict] = None,
-                   lora_onehot: Optional[jnp.ndarray] = None
+                   lora_onehot: Optional[jnp.ndarray] = None,
+                   pos_offsets: Optional[jnp.ndarray] = None
                    ) -> Tuple[jnp.ndarray, KVCache]:
     """tokens: [B] int32; page_tables: [B, maxP] LOGICAL page ids (logical
     page g owns physical pool rows g*L + l per layer l); lens_before: [B]
@@ -124,9 +125,15 @@ def decode_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
     ps = cache.page_size
     hidden = params["embed_tokens"]["w"][tokens].astype(params_dtype(params))
 
+    # mRoPE decode: all three axes sit at the same scalar position, which
+    # equals standard RoPE at (len + rope_delta) (reference mrope decode,
+    # hie_allspark_worker.py:31-105). The offset shifts ONLY the rotary
+    # position — cache slots are still addressed by the true length.
+    rope_pos = lens_before if pos_offsets is None \
+        else lens_before + pos_offsets
     pos = lens_before
     inv_freq = compute_inv_freq(cfg)
-    cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
+    cos, sin = rope_cos_sin(rope_pos, inv_freq, _mscale(cfg.rope_scaling))
 
     lens_after = jnp.where(active, lens_before + 1, 0)
     page_col = pos // ps
@@ -182,7 +189,8 @@ def prefill_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
                     *, mode: CacheMode, use_kernel: bool = True,
                     embeds: Optional[jnp.ndarray] = None,
                     lora: Optional[Dict] = None,
-                    lora_idx: Optional[jnp.ndarray] = None
+                    lora_idx: Optional[jnp.ndarray] = None,
+                    positions3: Optional[jnp.ndarray] = None
                     ) -> Tuple[jnp.ndarray, KVCache]:
     """tokens: [S] the uncached suffix (padded to the bucket size S);
     page_table: [maxP_bucket] LOGICAL pages covering positions [0, S_kv);
@@ -200,9 +208,13 @@ def prefill_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
     else:
         hidden = embeds
 
-    pos = prefix_len + jnp.arange(S, dtype=jnp.int32)
     inv_freq = compute_inv_freq(cfg)
-    cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
+    if positions3 is not None:
+        # Qwen2-VL mRoPE: per-token [3, S] (t/h/w) positions
+        cos, sin = mrope_cos_sin(positions3, inv_freq, cfg.mrope_section)
+    else:
+        pos = prefix_len + jnp.arange(S, dtype=jnp.int32)
+        cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
     scale = _attn_scale(cfg)
     L = cfg.num_layers
     layer_ids = jnp.arange(L, dtype=jnp.int32)

@@ -50,6 +50,7 @@ class DecodeState:
     active: jax.Array          # bool [B]
     token_counts: jax.Array    # i32 [B, vocab] occurrence counts (penalties)
     lora_idx: jax.Array        # i32 [B]; adapter pool slot, -1 = none
+    pos_offsets: jax.Array     # i32 [B]; rope position delta (mRoPE), 0 = none
     sampling: SamplingParams
 
     @property
@@ -83,6 +84,7 @@ def make_decode_state(model_cfg: ModelConfig, rt_cfg: RuntimeConfig) -> DecodeSt
         active=jnp.zeros((B,), jnp.bool_),
         token_counts=jnp.zeros((B, model_cfg.vocab_size), jnp.int32),
         lora_idx=jnp.full((B,), -1, jnp.int32),
+        pos_offsets=jnp.zeros((B,), jnp.int32),
         sampling=make_sampling_params(B, rt_cfg.max_stop_token_ids),
     )
 

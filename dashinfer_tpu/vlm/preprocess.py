@@ -1,0 +1,82 @@
+"""Qwen2-VL image preprocessing: smart resize -> normalized patch rows.
+
+Replicates the HF Qwen2VLImageProcessor math (and the reference's
+vit_preprocess.py dynamic-resolution pipeline): resize the image so both
+sides are multiples of patch_size*merge_size with total pixels within
+[min_pixels, max_pixels], rescale + CLIP-normalize, duplicate to
+temporal_patch_size frames, and reorder into flattened patch rows
+[grid_t*grid_h*grid_w, C*tp*ps*ps] in spatial-merge order.
+"""
+
+import math
+from typing import Sequence, Tuple
+
+import numpy as np
+
+OPENAI_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def smart_resize(height: int, width: int, factor: int,
+                 min_pixels: int = 56 * 56,
+                 max_pixels: int = 14 * 14 * 4 * 1280) -> Tuple[int, int]:
+    """HF Qwen2-VL smart_resize: round sides to `factor` multiples keeping
+    the pixel budget."""
+    if max(height, width) / min(height, width) > 200:
+        raise ValueError("aspect ratio > 200")
+    h_bar = max(factor, round(height / factor) * factor)
+    w_bar = max(factor, round(width / factor) * factor)
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = math.floor(height / beta / factor) * factor
+        w_bar = math.floor(width / beta / factor) * factor
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = math.ceil(height * beta / factor) * factor
+        w_bar = math.ceil(width * beta / factor) * factor
+    return h_bar, w_bar
+
+
+def preprocess_image(image, patch_size: int = 14, merge_size: int = 2,
+                     temporal_patch_size: int = 2,
+                     min_pixels: int = 56 * 56,
+                     max_pixels: int = 14 * 14 * 4 * 1280
+                     ) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """image: PIL.Image | np.ndarray [H, W, 3] uint8 -> (patch rows
+    [n, C*tp*ps*ps] f32, grid (t, h, w))."""
+    try:
+        from PIL import Image
+        if not isinstance(image, np.ndarray):
+            image = image.convert("RGB")
+            h, w = image.height, image.width
+        else:
+            h, w = image.shape[:2]
+            image = Image.fromarray(image)
+    except ImportError:  # numpy-only fallback (nearest resize)
+        Image = None
+        h, w = image.shape[:2]
+
+    factor = patch_size * merge_size
+    h_bar, w_bar = smart_resize(h, w, factor, min_pixels, max_pixels)
+    if Image is not None:
+        arr = np.asarray(image.resize((w_bar, h_bar),
+                                      resample=Image.BICUBIC), np.float32)
+    else:
+        yi = (np.arange(h_bar) * h / h_bar).astype(int)
+        xi = (np.arange(w_bar) * w / w_bar).astype(int)
+        arr = image[yi][:, xi].astype(np.float32)
+
+    arr = arr / 255.0
+    arr = (arr - np.asarray(OPENAI_CLIP_MEAN)) / np.asarray(OPENAI_CLIP_STD)
+    arr = arr.transpose(2, 0, 1)[None]           # [1, C, H, W]
+    patches = np.repeat(arr, temporal_patch_size, axis=0)
+
+    C = patches.shape[1]
+    tp, ps, m = temporal_patch_size, patch_size, merge_size
+    grid_t = patches.shape[0] // tp
+    grid_h, grid_w = h_bar // ps, w_bar // ps
+    patches = patches.reshape(grid_t, tp, C, grid_h // m, m, ps,
+                              grid_w // m, m, ps)
+    patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    flat = patches.reshape(grid_t * grid_h * grid_w, C * tp * ps * ps)
+    return flat.astype(np.float32), (grid_t, grid_h, grid_w)

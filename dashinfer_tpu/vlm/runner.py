@@ -1,0 +1,76 @@
+"""Vision runner: jitted ViT execution + embedding cache + request assembly.
+
+Reference: the ViT worker pool + embedding cache (hie_worker.py:42-400,
+utils/cache/{local_cache,cache_manager}.py — per-image hashing keeps prefix
+caching effective, extra_embedding.hpp CityHash note). Here the "worker" is
+a jitted vision_forward per grid shape and the cache is a byte-budgeted LRU
+keyed by a content hash of the preprocessed patches.
+"""
+
+import hashlib
+from collections import OrderedDict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from dashinfer_tpu.models import qwen2_vl as VL
+from dashinfer_tpu.utils import get_logger
+
+logger = get_logger("vlm.runner")
+
+
+class VisionRunner:
+    def __init__(self, vcfg: VL.VisionConfig, vparams,
+                 cache_bytes: int = 256 * 1024 * 1024):
+        import jax
+        import jax.numpy as jnp
+        self.vcfg = vcfg
+        self.vparams = jax.tree.map(jnp.asarray, vparams)
+        self._cache: "OrderedDict[bytes, np.ndarray]" = OrderedDict()
+        self._cache_bytes = 0
+        self._capacity = cache_bytes
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def content_key(patches: np.ndarray, grid) -> bytes:
+        h = hashlib.blake2b(digest_size=16)
+        h.update(np.ascontiguousarray(patches).tobytes())
+        h.update(repr(tuple(grid)).encode())
+        return h.digest()
+
+    def embed(self, patches: np.ndarray, grid: Tuple[int, int, int]
+              ) -> np.ndarray:
+        """patches [n, C*tp*ps*ps] -> embeddings [n/merge^2, hidden]."""
+        import jax.numpy as jnp
+        key = self.content_key(patches, grid)
+        hit = self._cache.get(key)
+        if hit is not None:
+            self._cache.move_to_end(key)
+            self.hits += 1
+            return hit
+        self.misses += 1
+        out = np.asarray(VL.vision_forward(
+            self.vcfg, self.vparams, jnp.asarray(patches), [tuple(grid)]))
+        self._cache[key] = out
+        self._cache_bytes += out.nbytes
+        while self._cache_bytes > self._capacity and self._cache:
+            _, old = self._cache.popitem(last=False)
+            self._cache_bytes -= old.nbytes
+        return out
+
+    def build_request(self, input_ids: List[int],
+                      images: Sequence[Tuple[np.ndarray, Tuple[int, int, int]]],
+                      image_token_id: int, video_token_id: int) -> Dict:
+        """Run the ViT for each (patches, grid), compute mRoPE positions,
+        and return the GenerationConfig fields for injection
+        (mm_info / mrope_positions / mrope_position_delta)."""
+        embeds = [self.embed(p, g) for p, g in images]
+        grids = [tuple(g) for _, g in images]
+        pos, delta = VL.get_mrope_positions(
+            input_ids, grids, image_token_id, video_token_id,
+            self.vcfg.spatial_merge_size)
+        mm = [(image_token_id, np.concatenate(embeds, axis=0))] if embeds \
+            else []
+        return {"mm_info": mm, "mrope_positions": pos,
+                "mrope_position_delta": delta}
