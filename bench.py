@@ -114,18 +114,55 @@ def main():
                           num_pages=num_logical_pages),
         dtype="bfloat16")
 
-    t0 = time.time()
-    params_np = build_qwen2_7b_params(cfg, quantize_lm=on_tpu)
-    log(f"host params built in {time.time()-t0:.1f}s")
+    # one-time pack cache: the driver re-runs bench.py fresh each round and
+    # the host-side random-weight build + chunk packing is minutes of setup
+    # that never changes for a given (model shape, plan) config
+    import pickle
 
-    use_mega = mk.supports(cfg, rt, params_np)
+    cache_key = None
+    cache_file = None
+    if on_tpu:
+        import hashlib
+        probe_params = None
+        key_src = repr((cfg, rt.cache, B, os.environ.get("DI_MK_CHUNK_BYTES")))
+        cache_key = hashlib.blake2b(key_src.encode(), digest_size=8).hexdigest()
+        cache_file = os.path.join("/tmp", f"di_bench_pack_{cache_key}.pkl")
+
+    t0 = time.time()
+    params_np = None
+    packed_cached = None
+    if cache_file and os.path.exists(cache_file):
+        try:
+            with open(cache_file, "rb") as f:
+                plan, packed_np, embed_np = pickle.load(f)
+            packed_cached = (plan, packed_np, embed_np)
+            log(f"pack cache hit ({cache_file}) in {time.time()-t0:.1f}s")
+        except Exception:
+            packed_cached = None
+    if packed_cached is None:
+        params_np = build_qwen2_7b_params(cfg, quantize_lm=on_tpu)
+        log(f"host params built in {time.time()-t0:.1f}s")
+
+    use_mega = packed_cached is not None or mk.supports(cfg, rt, params_np)
     t0 = time.time()
     if use_mega:
-        plan = mk.make_plan(cfg, rt, params_np)
-        packed = mk.pack_params(cfg, plan, params_np)
-        params = {"packed": packed,
-                  "embed": jnp.asarray(params_np["embed_tokens"]["w"])}
-        del params_np
+        if packed_cached is not None:
+            plan, packed_np, embed_np = packed_cached
+            packed = jax.tree.map(jnp.asarray, packed_np)
+            params = {"packed": packed, "embed": jnp.asarray(embed_np)}
+        else:
+            plan = mk.make_plan(cfg, rt, params_np)
+            packed = mk.pack_params(cfg, plan, params_np)
+            embed_np = np.asarray(params_np["embed_tokens"]["w"])
+            params = {"packed": packed, "embed": jnp.asarray(embed_np)}
+            if cache_file:
+                try:
+                    with open(cache_file, "wb") as f:
+                        pickle.dump((plan, jax.tree.map(np.asarray, packed),
+                                     embed_np), f)
+                except Exception:
+                    pass
+            del params_np
         log(f"megakernel pack in {time.time()-t0:.1f}s; "
             f"S_layer={plan.S_layer} T={plan.T_total}")
     else:

@@ -18,7 +18,8 @@ class PositionEmbedding(str, enum.Enum):
     ROPE = "rope"                # standard rotary (Llama/Qwen)
     ROPE_NTK = "rope_ntk"        # dynamic NTK scaling
     ROPE_YARN = "rope_yarn"      # YaRN scaling
-    ALIBI = "alibi"              # Baichuan-13B style
+    ALIBI = "alibi"              # Baichuan-13B / Bloom style
+    LEARNED = "learned"          # GPT-2 learned positional embeddings
     MROPE = "mrope"              # Qwen2-VL multimodal 3D rotary
 
 
@@ -94,6 +95,8 @@ class ModelConfig:
     moe: Optional[MoEConfig] = None
     # mrope section sizes for Qwen2-VL (t, h, w)
     mrope_section: Tuple[int, ...] = ()
+    # GPT-NeoX-style parallel residual: h += attn(ln1 h) + mlp(ln2 h)
+    parallel_residual: bool = False
 
     @property
     def q_per_kv(self) -> int:

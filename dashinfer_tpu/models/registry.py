@@ -31,6 +31,9 @@ def get_model_builder(hf_arch: str):
         import dashinfer_tpu.models.chatglm  # noqa: F401
         import dashinfer_tpu.models.baichuan  # noqa: F401
         import dashinfer_tpu.models.qwen2_vl  # noqa: F401
+        import dashinfer_tpu.models.gpt2  # noqa: F401
+        import dashinfer_tpu.models.bloom  # noqa: F401
+        import dashinfer_tpu.models.gpt_neox  # noqa: F401
     if key not in _REGISTRY:
         raise KeyError(f"unsupported architecture {hf_arch}; known: "
                        f"{sorted(_REGISTRY)}")

@@ -31,7 +31,7 @@ from dashinfer_tpu.ops import attention as attn_ops
 from dashinfer_tpu.ops import kv_ops
 from dashinfer_tpu.ops.linear import linear
 from dashinfer_tpu.ops.moe import moe_block
-from dashinfer_tpu.ops.norms import rms_norm
+from dashinfer_tpu.ops.norms import layer_norm, rms_norm
 from dashinfer_tpu.ops.rotary import (apply_rope, compute_inv_freq,
                                       mrope_cos_sin, rope_cos_sin, _mscale)
 from dashinfer_tpu.runtime.kv_cache import KVCache
@@ -73,6 +73,9 @@ def _qkv(cfg: ModelConfig, lp: Dict, x: jnp.ndarray, delta=None):
 def _mlp(cfg: ModelConfig, lp: Dict, x: jnp.ndarray, delta=None) -> jnp.ndarray:
     if cfg.moe is not None:
         return moe_block(cfg, x, lp)
+    if "fc1" in lp:  # GPT-2 / Bloom / NeoX non-gated MLP
+        h = _activation(cfg, linear(x, lp["fc1"]))
+        return linear(h, lp["fc2"])
     g = linear(x, lp["gate_proj"])
     u = linear(x, lp["up_proj"])
     if delta is not None:
@@ -85,6 +88,26 @@ def _mlp(cfg: ModelConfig, lp: Dict, x: jnp.ndarray, delta=None) -> jnp.ndarray:
     return y
 
 
+def _norm(cfg: ModelConfig, w, x):
+    """RMSNorm (array leaf) or LayerNorm (dict leaf with bias) — covers the
+    reference's LayerNorm / LayerNormNoBeta op pair (SURVEY.md §2.4)."""
+    if isinstance(w, dict):
+        return layer_norm(x, w["w"], w["b"], cfg.rms_norm_eps)
+    return rms_norm(x, w, cfg.rms_norm_eps)
+
+
+def alibi_slopes(num_heads: int) -> jnp.ndarray:
+    """Canonical ALiBi slopes (reference ALiBiPE op, alibi kernels)."""
+    import math as _m
+    n = 2 ** _m.floor(_m.log2(num_heads))
+    base = 2.0 ** (-(2.0 ** -(_m.log2(n) - 3)))
+    slopes = [base ** (i + 1) for i in range(n)]
+    if n < num_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(_m.log2(2 * n) - 3)))
+        slopes += [extra_base ** (2 * i + 1) for i in range(num_heads - n)]
+    return jnp.asarray(slopes, jnp.float32)
+
+
 def _attn_scale(cfg: ModelConfig) -> float:
     return 1.0 / math.sqrt(cfg.head_dim)
 
@@ -92,7 +115,7 @@ def _attn_scale(cfg: ModelConfig) -> float:
 def _lm_logits(cfg: ModelConfig, params: Dict, hidden: jnp.ndarray) -> jnp.ndarray:
     """hidden: [T, hidden] -> f32 logits [T, vocab] (reference GetLastLine +
     lm_head Gemm)."""
-    hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
+    hidden = _norm(cfg, params["norm"], hidden)
     if cfg.tie_word_embeddings:
         w = params["embed_tokens"]["w"].T
         logits = jnp.dot(hidden, w.astype(hidden.dtype),
@@ -124,6 +147,8 @@ def decode_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
     B = tokens.shape[0]
     ps = cache.page_size
     hidden = params["embed_tokens"]["w"][tokens].astype(params_dtype(params))
+    use_rope = cfg.position_embedding not in (PositionEmbedding.ALIBI,
+                                              PositionEmbedding.LEARNED)
 
     # mRoPE decode: all three axes sit at the same scalar position, which
     # equals standard RoPE at (len + rope_delta) (reference mrope decode,
@@ -132,8 +157,16 @@ def decode_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
     rope_pos = lens_before if pos_offsets is None \
         else lens_before + pos_offsets
     pos = lens_before
-    inv_freq = compute_inv_freq(cfg)
-    cos, sin = rope_cos_sin(rope_pos, inv_freq, _mscale(cfg.rope_scaling))
+    if cfg.position_embedding == PositionEmbedding.LEARNED:
+        hidden = hidden + params["pos_embed"]["w"][pos].astype(hidden.dtype)
+    if "embed_norm" in params:  # Bloom word_embeddings_layernorm
+        hidden = _norm(cfg, params["embed_norm"], hidden)
+    if use_rope:
+        inv_freq = compute_inv_freq(cfg)
+        cos, sin = rope_cos_sin(rope_pos, inv_freq,
+                                _mscale(cfg.rope_scaling))
+    slopes = alibi_slopes(cfg.num_heads) \
+        if cfg.position_embedding == PositionEmbedding.ALIBI else None
 
     lens_after = jnp.where(active, lens_before + 1, 0)
     page_col = pos // ps
@@ -153,22 +186,28 @@ def decode_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
             lp, li = xs  # li: scalar layer index
             delta = None
         pt_l = page_tables * L + li  # [B, maxP] physical pool rows
-        x = rms_norm(hidden, lp["input_layernorm"], cfg.rms_norm_eps)
+        x = _norm(cfg, lp["input_layernorm"], hidden)
         q, k, v = _qkv(cfg, lp, x, delta)
-        q = apply_rope(q, cos, sin, cfg.rope_interleaved)
-        k = apply_rope(k, cos, sin, cfg.rope_interleaved)
+        if use_rope:
+            q = apply_rope(q, cos, sin, cfg.rope_interleaved)
+            k = apply_rope(k, cos, sin, cfg.rope_interleaved)
         page_ids = jnp.take_along_axis(pt_l, page_col[:, None], axis=1)[:, 0]
         cache2 = kv_ops.append_decode_kv(cache, mode, k, v, page_ids, offsets,
                                          active)
-        attn = attn_ops.paged_attention(q, cache2, mode, pt_l, lens_after,
-                                        scale, use_kernel=use_kernel)
+        attn = attn_ops.paged_attention(
+            q, cache2, mode, pt_l, lens_after, scale,
+            use_kernel=use_kernel and slopes is None, alibi=slopes)
         attn_flat = attn.reshape(B, -1)
         attn_out = linear(attn_flat, lp["o_proj"])
         if delta is not None:
             attn_out = attn_out + delta("o_proj", attn_flat)
-        hidden = hidden + attn_out
-        x2 = rms_norm(hidden, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-        hidden = hidden + _mlp(cfg, lp, x2, delta)
+        if cfg.parallel_residual:  # GPT-NeoX
+            x2 = _norm(cfg, lp["post_attention_layernorm"], hidden)
+            hidden = hidden + attn_out + _mlp(cfg, lp, x2, delta)
+        else:
+            hidden = hidden + attn_out
+            x2 = _norm(cfg, lp["post_attention_layernorm"], hidden)
+            hidden = hidden + _mlp(cfg, lp, x2, delta)
         return (hidden, cache2), None
 
     xs = (params["layers"], layer_ids)
@@ -207,14 +246,24 @@ def prefill_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
         hidden = params["embed_tokens"]["w"][tokens].astype(params_dtype(params))
     else:
         hidden = embeds
-
-    inv_freq = compute_inv_freq(cfg)
-    if positions3 is not None:
-        # Qwen2-VL mRoPE: per-token [3, S] (t/h/w) positions
-        cos, sin = mrope_cos_sin(positions3, inv_freq, cfg.mrope_section)
-    else:
-        pos = prefix_len + jnp.arange(S, dtype=jnp.int32)
-        cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
+    use_rope = cfg.position_embedding not in (PositionEmbedding.ALIBI,
+                                              PositionEmbedding.LEARNED)
+    pos = prefix_len + jnp.arange(S, dtype=jnp.int32)
+    if cfg.position_embedding == PositionEmbedding.LEARNED:
+        maxp = params["pos_embed"]["w"].shape[0]
+        hidden = hidden + params["pos_embed"]["w"][
+            jnp.clip(pos, 0, maxp - 1)].astype(hidden.dtype)
+    if "embed_norm" in params:
+        hidden = _norm(cfg, params["embed_norm"], hidden)
+    if use_rope:
+        inv_freq = compute_inv_freq(cfg)
+        if positions3 is not None:
+            # Qwen2-VL mRoPE: per-token [3, S] (t/h/w) positions
+            cos, sin = mrope_cos_sin(positions3, inv_freq, cfg.mrope_section)
+        else:
+            cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
+    slopes = alibi_slopes(cfg.num_heads) \
+        if cfg.position_embedding == PositionEmbedding.ALIBI else None
     scale = _attn_scale(cfg)
     L = cfg.num_layers
     layer_ids = jnp.arange(L, dtype=jnp.int32)
@@ -230,23 +279,28 @@ def prefill_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
             lp, li = xs
             delta = None
         pt_l = page_table * L + li  # [maxP_bucket] physical pool rows
-        x = rms_norm(hidden, lp["input_layernorm"], cfg.rms_norm_eps)
+        x = _norm(cfg, lp["input_layernorm"], hidden)
         q, k, v = _qkv(cfg, lp, x, delta)
-        q = apply_rope(q, cos, sin, cfg.rope_interleaved)
-        k = apply_rope(k, cos, sin, cfg.rope_interleaved)
+        if use_rope:
+            q = apply_rope(q, cos, sin, cfg.rope_interleaved)
+            k = apply_rope(k, cos, sin, cfg.rope_interleaved)
         cache2 = kv_ops.append_prefill_kv(cache, mode, k, v, pt_l,
                                           prefix_len, num_new)
         k_full, v_full = kv_ops.gather_kv_pages(cache2, mode, pt_l,
                                                 cfg.num_kv_heads, jnp.float32)
         attn = attn_ops.prefill_attention(q, k_full, v_full, prefix_len,
-                                          total_len, scale)
+                                          total_len, scale, alibi=slopes)
         attn_flat = attn.reshape(S, -1)
         attn_out = linear(attn_flat, lp["o_proj"])
         if delta is not None:
             attn_out = attn_out + delta("o_proj", attn_flat)
-        hidden = hidden + attn_out
-        x2 = rms_norm(hidden, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-        hidden = hidden + _mlp(cfg, lp, x2, delta)
+        if cfg.parallel_residual:
+            x2 = _norm(cfg, lp["post_attention_layernorm"], hidden)
+            hidden = hidden + attn_out + _mlp(cfg, lp, x2, delta)
+        else:
+            hidden = hidden + attn_out
+            x2 = _norm(cfg, lp["post_attention_layernorm"], hidden)
+            hidden = hidden + _mlp(cfg, lp, x2, delta)
         return (hidden, cache2), None
 
     xs = (params["layers"], layer_ids)

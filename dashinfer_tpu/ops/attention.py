@@ -27,7 +27,8 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 def paged_attention_ref(q: jnp.ndarray, cache: KVCache, mode: CacheMode,
                         page_tables: jnp.ndarray, lens: jnp.ndarray,
-                        scale: float) -> jnp.ndarray:
+                        scale: float,
+                        alibi: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Reference paged decode attention (one layer).
 
     q: [B, H, D]; page_tables: [B, maxP] (this layer's physical page ids);
@@ -53,6 +54,12 @@ def paged_attention_ref(q: jnp.ndarray, cache: KVCache, mode: CacheMode,
     vf = jnp.transpose(v, (0, 2, 1, 3))
     scores = jnp.einsum("bhgd,bhsd->bhgs", qf, kf) * scale
     pos = jnp.arange(S, dtype=jnp.int32)
+    if alibi is not None:
+        # ALiBi (reference ALiBiPE op): score += slope_h * (k_pos - q_pos)
+        q_pos = (lens - 1)[:, None]                       # [B, 1]
+        bias = alibi.reshape(1, KH, G, 1) * (
+            pos[None, None, None, :] - q_pos[:, None, None, :])
+        scores = scores + bias
     mask = pos[None, :] < lens[:, None]  # [B, S]
     scores = jnp.where(mask[:, None, None, :], scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
@@ -62,18 +69,23 @@ def paged_attention_ref(q: jnp.ndarray, cache: KVCache, mode: CacheMode,
 
 def paged_attention(q: jnp.ndarray, cache: KVCache, mode: CacheMode,
                     page_tables: jnp.ndarray, lens: jnp.ndarray,
-                    scale: float, use_kernel: bool = True) -> jnp.ndarray:
-    """Dispatch decode attention to the Pallas kernel or the jnp reference."""
-    if use_kernel:
+                    scale: float, use_kernel: bool = True,
+                    alibi: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Dispatch decode attention to the Pallas kernel or the jnp reference.
+    ALiBi models take the jnp path (the Pallas kernel is RoPE-family only;
+    ALiBi archs are off the megakernel fast path anyway)."""
+    if use_kernel and alibi is None:
         return _pa_kernel.paged_attention(q, cache, mode, page_tables, lens,
                                           scale)
-    return paged_attention_ref(q, cache, mode, page_tables, lens, scale)
+    return paged_attention_ref(q, cache, mode, page_tables, lens, scale,
+                               alibi=alibi)
 
 
 def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       q_start: jnp.ndarray, kv_valid: jnp.ndarray,
                       scale: float,
-                      sinks: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                      sinks: Optional[jnp.ndarray] = None,
+                      alibi: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Causal attention for a prefill chunk over a (prefix + chunk) KV.
 
     q: [T, H, D] — queries at sequence positions q_start + t
@@ -90,6 +102,10 @@ def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scores = jnp.einsum("thgd,shd->hgts", qf, kf) * scale  # [KH, G, T, S]
     kpos = jnp.arange(S, dtype=jnp.int32)
     qpos = q_start + jnp.arange(T, dtype=jnp.int32)
+    if alibi is not None:
+        bias = alibi.reshape(KH, G, 1, 1) * (
+            kpos[None, None, None, :] - qpos[None, None, :, None])
+        scores = scores + bias
     mask = (kpos[None, :] <= qpos[:, None]) & (kpos[None, :] < kv_valid)
     scores = jnp.where(mask[None, None, :, :], scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)

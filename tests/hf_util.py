@@ -53,6 +53,30 @@ def tiny_qwen2_moe_config(vocab=512, hidden=64, inter=128, layers=2, heads=4,
         decoder_sparse_step=1, norm_topk_prob=False, mlp_only_layers=[])
 
 
+def tiny_gpt2_config(vocab=512, hidden=64, layers=2, heads=4):
+    from transformers import GPT2Config
+    return GPT2Config(vocab_size=vocab, n_embd=hidden, n_layer=layers,
+                      n_head=heads, n_positions=256,
+                      attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0)
+
+
+def tiny_bloom_config(vocab=512, hidden=64, layers=2, heads=4):
+    from transformers import BloomConfig
+    return BloomConfig(vocab_size=vocab, hidden_size=hidden, n_layer=layers,
+                       n_head=heads, attention_dropout=0.0,
+                       hidden_dropout=0.0)
+
+
+def tiny_gpt_neox_config(vocab=512, hidden=64, layers=2, heads=4):
+    from transformers import GPTNeoXConfig
+    return GPTNeoXConfig(vocab_size=vocab, hidden_size=hidden,
+                         num_hidden_layers=layers, num_attention_heads=heads,
+                         intermediate_size=hidden * 4, rotary_pct=0.25,
+                         max_position_embeddings=256,
+                         use_parallel_residual=True, attention_dropout=0.0,
+                         hidden_dropout=0.0)
+
+
 def make_torch_model(config, seed=0):
     from transformers import AutoModelForCausalLM
     torch.manual_seed(seed)

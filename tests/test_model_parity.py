@@ -59,6 +59,9 @@ def _run_prefill_decode(cfg, params, input_ids, n_decode, page_size=16,
     (hf_util.tiny_llama_config, "llama"),
     (hf_util.tiny_qwen3_config, "qwen3"),
     (hf_util.tiny_qwen2_moe_config, "qwen2_moe"),
+    (hf_util.tiny_gpt2_config, "gpt2"),
+    (hf_util.tiny_bloom_config, "bloom"),
+    (hf_util.tiny_gpt_neox_config, "gpt_neox"),
 ])
 def test_prefill_logits_match_hf(make_cfg, name):
     from dashinfer_tpu.loader import build_from_torch_model
@@ -106,3 +109,24 @@ def test_tied_embeddings():
     prefill_logits, _, _ = _run_prefill_decode(cfg, params, input_ids, 1)
     assert np.argmax(prefill_logits) == np.argmax(golden[-1])
     np.testing.assert_allclose(prefill_logits, golden[-1], rtol=6e-3, atol=6e-3)
+
+
+@pytest.mark.parametrize("make_cfg,name", [
+    (hf_util.tiny_gpt2_config, "gpt2"),
+    (hf_util.tiny_bloom_config, "bloom"),
+    (hf_util.tiny_gpt_neox_config, "gpt_neox"),
+])
+def test_gpt_family_greedy_decode_matches_hf(make_cfg, name):
+    """Decode-path parity for the GPT families (ALiBi / learned positions /
+    parallel residual; reference registry gpt2/bloom/dolly,
+    csrc/core/model/*.cpp)."""
+    from dashinfer_tpu.loader import build_from_torch_model
+
+    hf_cfg = make_cfg()
+    model = hf_util.make_torch_model(hf_cfg)
+    cfg, params = build_from_torch_model(model, hf_cfg.to_dict(), "float32")
+    rng = np.random.RandomState(4)
+    ids = rng.randint(1, hf_cfg.vocab_size, size=9).tolist()
+    golden = hf_util.hf_greedy_tokens(model, ids, 6)
+    _, _, toks = _run_prefill_decode(cfg, params, ids, 6)
+    assert toks == golden, (name, toks, golden)
