@@ -326,6 +326,45 @@ class Engine:
         done.wait(timeout=600)
         return self
 
+    # -- prefix-cache auto-tuning (reference TunePrefixCache,
+    #    as_engine.cpp:796-868: probe doubling prompt lengths cold vs warm;
+    #    the first length where a cache hit is not faster becomes the
+    #    seqlen threshold below which caching is skipped) -------------------
+    def tune_prefix_cache(self, name: str, max_len: Optional[int] = None,
+                          start_len: int = 64) -> int:
+        import numpy as np
+        from dashinfer_tpu.config import GenerationConfig
+        runtime = self._models[name]
+        if runtime.prefix_cache is None:
+            return 0
+        max_len = max_len or runtime.rt.max_length // 2
+        rng = np.random.RandomState(1234)
+        threshold = 0
+        length = start_len
+        while length <= max_len:
+            ids = rng.randint(1, runtime.cfg.vocab_size,
+                              size=length).tolist()
+            times = []
+            for _ in range(2):   # cold then warm
+                gen = GenerationConfig(max_length=length + 2,
+                                       do_sample=False, top_k=1,
+                                       eos_token_id=-1)
+                t0 = time.monotonic()
+                _, h, q = self.start_request(name, ids, gen)
+                self.sync_request(name, h, timeout_s=600)
+                times.append(q.RequestStatInfo().get(
+                    "time_to_first_token", time.monotonic() - t0))
+                self.release_request(name, h)
+            cold, warm = times
+            logger.info("tune_prefix_cache len=%d cold=%.4fs warm=%.4fs",
+                        length, cold, warm)
+            if warm >= cold:
+                threshold = length
+            length *= 2
+        runtime.prefix_cache.seqlen_threshold = threshold
+        logger.info("prefix-cache seqlen threshold set to %d", threshold)
+        return threshold
+
     # -- stats ------------------------------------------------------------
     def get_op_profiling_info(self, name: str) -> Dict:
         """Reference GetOpProfilingInfo (allspark.h:642); enable DI_PROFILE."""

@@ -313,5 +313,64 @@ def prefill_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
     return logits, cache
 
 
+def prefill_forward_captured(cfg: ModelConfig, params: Dict,
+                             tokens: jnp.ndarray, cache: KVCache,
+                             page_table: jnp.ndarray, prefix_len, total_len,
+                             *, mode: CacheMode):
+    """Arbiter variant of prefill_forward: returns (per-layer hidden states
+    [L, S, hid], full-sequence logits [S, V]) — reference per-op dump mode
+    (utility/arbiter.h, SURVEY.md §5.2)."""
+    S = tokens.shape[0]
+    num_new = total_len - prefix_len
+    hidden = params["embed_tokens"]["w"][tokens].astype(params_dtype(params))
+    use_rope = cfg.position_embedding not in (PositionEmbedding.ALIBI,
+                                              PositionEmbedding.LEARNED)
+    pos = prefix_len + jnp.arange(S, dtype=jnp.int32)
+    if cfg.position_embedding == PositionEmbedding.LEARNED:
+        maxp = params["pos_embed"]["w"].shape[0]
+        hidden = hidden + params["pos_embed"]["w"][
+            jnp.clip(pos, 0, maxp - 1)].astype(hidden.dtype)
+    if "embed_norm" in params:
+        hidden = _norm(cfg, params["embed_norm"], hidden)
+    if use_rope:
+        inv_freq = compute_inv_freq(cfg)
+        cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
+    slopes = alibi_slopes(cfg.num_heads) \
+        if cfg.position_embedding == PositionEmbedding.ALIBI else None
+    scale = _attn_scale(cfg)
+    L = cfg.num_layers
+    layer_ids = jnp.arange(L, dtype=jnp.int32)
+
+    def body(carry, xs):
+        hidden, cache = carry
+        lp, li = xs
+        pt_l = page_table * L + li
+        x = _norm(cfg, lp["input_layernorm"], hidden)
+        q, k, v = _qkv(cfg, lp, x)
+        if use_rope:
+            q = apply_rope(q, cos, sin, cfg.rope_interleaved)
+            k = apply_rope(k, cos, sin, cfg.rope_interleaved)
+        cache2 = kv_ops.append_prefill_kv(cache, mode, k, v, pt_l,
+                                          prefix_len, num_new)
+        k_full, v_full = kv_ops.gather_kv_pages(cache2, mode, pt_l,
+                                                cfg.num_kv_heads, jnp.float32)
+        attn = attn_ops.prefill_attention(q, k_full, v_full, prefix_len,
+                                          total_len, scale, alibi=slopes)
+        attn_out = linear(attn.reshape(S, -1), lp["o_proj"])
+        if cfg.parallel_residual:
+            x2 = _norm(cfg, lp["post_attention_layernorm"], hidden)
+            hidden = hidden + attn_out + _mlp(cfg, lp, x2)
+        else:
+            hidden = hidden + attn_out
+            x2 = _norm(cfg, lp["post_attention_layernorm"], hidden)
+            hidden = hidden + _mlp(cfg, lp, x2)
+        return (hidden, cache2), hidden
+
+    (hidden, cache), per_layer = jax.lax.scan(
+        body, (hidden, cache), (params["layers"], layer_ids))
+    logits = _lm_logits(cfg, params, hidden)
+    return per_layer, logits
+
+
 def params_dtype(params: Dict):
     return params["embed_tokens"]["w"].dtype

@@ -111,3 +111,29 @@ def test_result_queue_streaming():
     t.join(timeout=5)
     assert got == [1, 2, 3]
     assert q.GetAllGeneratedTokens() == [1, 2, 3]
+
+
+def test_arbiter_dump_matches_hf(tmp_path):
+    """Arbiter per-layer parity dumps vs HF hidden states (reference
+    Arbiter + ALLSPARK_DUMP, SURVEY.md §5.2)."""
+    import numpy as np
+    import tests.hf_util as hf_util
+    from dashinfer_tpu.loader import build_from_torch_model
+    from dashinfer_tpu.utils import arbiter
+
+    hf_cfg = hf_util.tiny_qwen2_config()
+    model = hf_util.make_torch_model(hf_cfg)
+    cfg, params = build_from_torch_model(model, hf_cfg.to_dict(), "float32")
+    rng = np.random.RandomState(1)
+    ids = rng.randint(1, hf_cfg.vocab_size, size=10).tolist()
+    ours = str(tmp_path / "ours.npz")
+    gold = str(tmp_path / "gold.npz")
+    arbiter.dump_prefill(ours, cfg, params, ids)
+    arbiter.hf_layer_dump(gold, model, ids)
+    report = arbiter.compare(ours, gold, rtol=5e-3, atol=5e-3)
+    assert report["embeddings"][2]
+    assert report["logits"][2]
+    # all but the last layer match; HF's last hidden state is post-final-norm
+    for k, v in report.items():
+        if k.startswith("layer_") and k != f"layer_{cfg.num_layers-1:03d}":
+            assert v[2], (k, v)
