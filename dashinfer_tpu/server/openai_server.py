@@ -28,10 +28,19 @@ _FINAL = (GenerateRequestStatus.GenerateFinished,
 
 
 class OpenAIServer:
-    def __init__(self, engine, model_name: str, tokenizer):
+    """OpenAI-compatible server. With `vision_runner` + `vision_ids`
+    ({"image_token_id", "video_token_id", "vision_start_id",
+    "vision_end_id"}) the chat endpoint accepts image_url content parts
+    (base64 data URLs; this environment has no egress) — the reference's
+    dashinfer-vlm server surface (multimodal api_server/server.py:219)."""
+
+    def __init__(self, engine, model_name: str, tokenizer,
+                 vision_runner=None, vision_ids: Optional[Dict] = None):
         self.engine = engine
         self.model_name = model_name
         self.tokenizer = tokenizer
+        self.vision = vision_runner
+        self.vision_ids = vision_ids or {}
 
     # -- request translation --------------------------------------------------
     def _gen_config(self, body: Dict, prompt_len: int) -> GenerationConfig:
@@ -148,18 +157,94 @@ class OpenAIServer:
             "usage": self._usage(len(input_ids), n_out),
         })
 
+    _IMG_MARK = "\x00<di:image>\x00"
+
+    def _extract_images(self, messages):
+        """Decode image_url parts (base64 data URLs) -> preprocessed
+        (patches, grid) list; parts are replaced by a marker in the text."""
+        import base64
+        import io
+        from dashinfer_tpu.vlm.preprocess import preprocess_image
+        images = []
+        flat = []
+        for m in messages:
+            content = m.get("content")
+            if not isinstance(content, list):
+                flat.append(m)
+                continue
+            parts = []
+            for part in content:
+                if part.get("type") == "image_url":
+                    url = part["image_url"]["url"]
+                    if not url.startswith("data:"):
+                        raise ValueError(
+                            "only base64 data URLs supported (no egress)")
+                    raw = base64.b64decode(url.split(",", 1)[1])
+                    from PIL import Image
+                    img = Image.open(io.BytesIO(raw))
+                    vc = self.vision.vcfg
+                    images.append(preprocess_image(
+                        img, patch_size=vc.patch_size,
+                        merge_size=vc.spatial_merge_size,
+                        temporal_patch_size=vc.temporal_patch_size))
+                    parts.append(self._IMG_MARK)
+                elif part.get("type") == "text":
+                    parts.append(part.get("text", ""))
+            flat.append({"role": m.get("role"), "content": "".join(parts)})
+        return flat, images
+
+    def _vl_input_ids(self, messages):
+        """Tokenize chat with image placeholders expanded to
+        vision_start + image_pad*n + vision_end (reference placeholder-run
+        injection, extra_embedding.hpp)."""
+        flat, images = self._extract_images(messages)
+        try:
+            text = self.tokenizer.apply_chat_template(
+                flat, add_generation_prompt=True, tokenize=False)
+        except Exception:
+            text = "\n".join(f"{m.get('role')}: {m.get('content')}"
+                             for m in flat) + "\nassistant: "
+        vi = self.vision_ids
+        merge2 = self.vision.vcfg.spatial_merge_size ** 2
+        ids: List[int] = []
+        img_i = 0
+        for i, seg in enumerate(text.split(self._IMG_MARK)):
+            if i > 0:
+                patches, grid = images[img_i]
+                n = (grid[0] * grid[1] * grid[2]) // merge2
+                ids.append(vi["vision_start_id"])
+                ids.extend([vi["image_token_id"]] * n)
+                ids.append(vi["vision_end_id"])
+                img_i += 1
+            ids.extend(self.tokenizer.encode(seg,
+                                             add_special_tokens=False))
+        return ids, images
+
     async def chat_completions(self, request):
         from aiohttp import web
         body = await request.json()
         messages = body.get("messages", [])
-        try:
-            input_ids = self.tokenizer.apply_chat_template(
-                messages, add_generation_prompt=True, tokenize=True)
-        except Exception:
-            text = "\n".join(f"{m.get('role')}: {m.get('content')}"
-                             for m in messages) + "\nassistant: "
-            input_ids = self.tokenizer.encode(text)
+        has_vision_parts = any(isinstance(m.get("content"), list)
+                               for m in messages)
+        mm_fields = None
+        if has_vision_parts and self.vision is not None:
+            input_ids, images = self._vl_input_ids(messages)
+            mm_fields = self.vision.build_request(
+                input_ids, images, self.vision_ids["image_token_id"],
+                self.vision_ids.get("video_token_id", -1))
+        else:
+            try:
+                input_ids = self.tokenizer.apply_chat_template(
+                    messages, add_generation_prompt=True, tokenize=True)
+            except Exception:
+                text = "\n".join(f"{m.get('role')}: {m.get('content')}"
+                                 for m in messages) + "\nassistant: "
+                input_ids = self.tokenizer.encode(text)
         gen_cfg = self._gen_config(body, len(input_ids))
+        if mm_fields:
+            gen_cfg.mm_info = mm_fields["mm_info"]
+            gen_cfg.mrope_positions = mm_fields["mrope_positions"]
+            gen_cfg.mrope_position_delta = mm_fields["mrope_position_delta"]
         stops = self._stops(body)
         rid = f"chatcmpl-{_uuid.uuid4().hex[:24]}"
         created = int(time.time())
@@ -259,6 +344,8 @@ def main():
     ap.add_argument("--kv-cache-mode", default="default",
                     choices=["default", "int8", "uint4"])
     ap.add_argument("--prefix-cache", action="store_true")
+    ap.add_argument("--vlm", action="store_true",
+                    help="enable Qwen2-VL vision endpoints")
     args = ap.parse_args()
 
     name = args.served_name or args.model.rstrip("/").split("/")[-1]
@@ -275,7 +362,24 @@ def main():
     engine = Engine()
     engine.install_model(args.model, rt, tokenizer=tokenizer)
     engine.start_model(name)
-    server = OpenAIServer(engine, name, tokenizer)
+    vision_runner = vision_ids = None
+    if args.vlm:
+        import json as _json
+        import os as _os
+        from dashinfer_tpu.loader.hf_loader import load_hf_tensors
+        from dashinfer_tpu.models import qwen2_vl as VL
+        from dashinfer_tpu.vlm import VisionRunner
+        hf_cfg = _json.load(open(_os.path.join(args.model, "config.json")))
+        vcfg = VL.vision_config_from_hf(hf_cfg["vision_config"])
+        vparams = VL.convert_hf_visual(load_hf_tensors(args.model), vcfg)
+        vision_runner = VisionRunner(vcfg, vparams)
+        vision_ids = {
+            "image_token_id": hf_cfg.get("image_token_id"),
+            "video_token_id": hf_cfg.get("video_token_id"),
+            "vision_start_id": hf_cfg.get("vision_start_token_id"),
+            "vision_end_id": hf_cfg.get("vision_end_token_id"),
+        }
+    server = OpenAIServer(engine, name, tokenizer, vision_runner, vision_ids)
     logger.info("serving %s on %s:%d", name, args.host, args.port)
     web.run_app(server.build_app(), host=args.host, port=args.port)
 
