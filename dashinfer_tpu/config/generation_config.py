@@ -14,6 +14,9 @@ from typing import Any, Dict, List, Optional, Sequence
 class GenerationConfig:
     max_length: int = 2048          # prompt + generated tokens cap
     min_length: int = 0             # suppress EOS until this many new tokens
+    num_beams: int = 1              # beam search: config surface only, like
+                                    # the reference ("unsupported in current
+                                    # version", allspark.h:102-106)
     do_sample: bool = True
     early_stopping: bool = True     # stop at EOS
     temperature: float = 1.0
@@ -61,3 +64,7 @@ class GenerationConfig:
             raise ValueError("temperature must be >= 0")
         if self.top_logprobs > 10:
             raise ValueError("top_logprobs > 10 unsupported")
+        if self.num_beams > 1:
+            raise ValueError(
+                "beam search (num_beams > 1) unsupported — config surface "
+                "kept for API parity (reference allspark.h:102-106)")

@@ -111,6 +111,10 @@ class RuntimeConfig:
     # json/guided decoding vocabulary (token string map) set by loader
     enable_json_mode: bool = False
 
+    # whole-model decode megakernel fast path (auto-disabled when the
+    # architecture/quant combination is unsupported)
+    enable_megakernel: bool = True
+
     def __post_init__(self):
         assert self.max_batch >= 1
         assert self.max_length >= 2

@@ -82,6 +82,24 @@ class ModelRuntime:
         self.dtype = jnp.bfloat16 if rt.dtype == "bfloat16" else jnp.dtype(rt.dtype)
 
         self.params = jax.tree.map(jnp.asarray, params)
+        # megakernel fast path for decode: pack the weight streams once at
+        # install when the architecture qualifies (ops/pallas/megakernel.py).
+        # Raw params stay for prefill/LoRA/fallback; DI_MEGAKERNEL=0 disables.
+        self.mega_plan = None
+        self.mega_params = None
+        if (self.use_kernel and rt.enable_megakernel and
+                EnvConfig.megakernel_enabled() and not rt.enable_lora):
+            from dashinfer_tpu.ops.pallas import megakernel as mk
+            if mk.supports(cfg, rt, params):
+                t0 = time.monotonic()
+                self.mega_plan = mk.make_plan(cfg, rt, params)
+                packed = mk.pack_params(cfg, self.mega_plan, params)
+                self.mega_params = {
+                    "packed": packed,
+                    "embed": jnp.asarray(params["embed_tokens"]["w"])}
+                logger.info("megakernel packed in %.1fs (S_layer=%d T=%d)",
+                            time.monotonic() - t0, self.mega_plan.S_layer,
+                            self.mega_plan.T_total)
         self.num_logical_pages = self._plan_pool()
         self.cache = create_kv_cache(
             cfg, rt.cache, self.num_logical_pages * cfg.num_layers,
@@ -198,15 +216,21 @@ class ModelRuntime:
 
     def _decode_fn(self, with_logprobs: bool, with_guided: bool,
                    with_lora: bool = False) -> Callable:
-        if not (with_logprobs or with_guided or with_lora):
+        plan = self.mega_plan if not with_lora else None
+        if not (with_logprobs or with_guided or with_lora) and plan is None:
             return self._decode_step
-        key = ("dec", with_logprobs, with_guided, with_lora)
+        key = ("dec", with_logprobs, with_guided, with_lora, plan is not None)
         if key not in self._prefill_steps:
             self._prefill_steps[key] = steps_mod.build_decode_step(
                 self.cfg, self.rt, use_kernel=self.use_kernel,
                 with_logprobs=with_logprobs, with_guided=with_guided,
-                with_lora=with_lora)
+                with_lora=with_lora, megakernel_plan=plan)
         return self._prefill_steps[key]
+
+    def _decode_params(self, with_lora: bool):
+        if self.mega_params is not None and not with_lora:
+            return self.mega_params
+        return self.params
 
     def _make_enforcer(self, req: Request):
         fmt = req.gen_cfg.response_format or {}
@@ -524,7 +548,7 @@ class ModelRuntime:
             kwargs["lora_pool"] = self.lora_manager.pool
         with self.profiler.phase("decode"):
             tokens, lp, self.cache, self.state = fn(
-                self.params, self.cache, self.state,
+                self._decode_params(with_lora), self.cache, self.state,
                 jnp.asarray(new_page_ids), **kwargs)
             tokens = np.asarray(tokens)
 
@@ -672,6 +696,9 @@ class ModelRuntime:
             return
         self._params_host = jax.device_get(self.params)
         self.params = None
+        if self.mega_params is not None:
+            self._mega_host = jax.device_get(self.mega_params)
+            self.mega_params = None
         logger.info("weights swapped to host RAM")
 
     def reload_weights_to_device(self):
@@ -679,6 +706,9 @@ class ModelRuntime:
             return
         self.params = jax.tree.map(jnp.asarray, self._params_host)
         self._params_host = None
+        if getattr(self, "_mega_host", None) is not None:
+            self.mega_params = jax.tree.map(jnp.asarray, self._mega_host)
+            self._mega_host = None
         logger.info("weights reloaded to device")
 
     # -- host-tier pager (reference swap pools + pinned workspace,

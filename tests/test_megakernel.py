@@ -191,3 +191,50 @@ def test_build_schedule():
     assert pairs == {(0, 0), (0, 1), (2, 0), (2, 1), (2, 2)}
     assert int(tgt[0]) == int(pt[0, 1])   # 17 // 16 = col 1
     assert int(tgt[2]) == int(pt[2, 2])
+
+
+def test_engine_serving_uses_megakernel_greedy_parity():
+    """Engine decode through the megakernel fast path (interpret mode on
+    CPU) produces the same greedy tokens as the fallback path."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from dashinfer_tpu import Engine, GenerationConfig
+    from dashinfer_tpu.config import CacheMode, QuantConfig, RuntimeConfig, \
+        CacheConfig
+    from dashinfer_tpu.loader.quantize import quantize_params
+    from dashinfer_tpu.runtime.request import GenerateRequestStatus
+
+    cfg, rt, params = _tiny(B=2)
+    rt = dataclasses.replace(
+        rt, max_length=48,
+        cache=dataclasses.replace(rt.cache, mode=CacheMode.INT8))
+    params = quantize_params(params, QuantConfig(mode="a16w4",
+                                                 group_size=128))
+
+    def run(enable_mega):
+        rt2 = dataclasses.replace(rt, enable_megakernel=enable_mega)
+        eng = Engine()
+        # use_kernel normally requires TPU; force it so the megakernel packs
+        from dashinfer_tpu.engine.model_runtime import ModelRuntime
+        runtime = ModelRuntime("mk", cfg, params, rt2, use_kernel=enable_mega)
+        if enable_mega:
+            assert runtime.mega_plan is not None, "megakernel did not engage"
+        eng._models["mk"] = runtime
+        eng.start_model("mk")
+        gen = GenerationConfig(max_length=20, do_sample=False, top_k=1,
+                               eos_token_id=-1)
+        _, h, q = eng.start_request("mk", [5, 9, 2, 41, 77, 3], gen)
+        eng.sync_request("mk", h, timeout_s=900)
+        toks = q.GetAllGeneratedTokens()
+        eng.release_model("mk")
+        return toks
+
+    # interpret-mode megakernel: prefill still runs the (non-kernel-capable)
+    # fallback — force use_kernel only for the packing decision
+    fast = run(True)
+    slow = run(False)
+    assert len(fast) == len(slow) == 14
+    # bf16 megakernel vs f32 fallback can flip a late near-tie argmax on a
+    # random tiny model; require agreement over the first 10 steps
+    assert fast[:10] == slow[:10], (fast, slow)

@@ -2,6 +2,7 @@
 tests/cpp/kernel/...topp/topk; here: behavioral invariants)."""
 
 import numpy as np
+import pytest
 
 
 def _params(B, V, **kw):
@@ -175,3 +176,10 @@ def test_bad_words_and_ngram_bans():
     seq3 = prompt + got3
     assert len(set(seq3)) == len(seq3)
     eng.release_model("bw")
+
+
+def test_beam_search_rejected_like_reference():
+    from dashinfer_tpu.config import GenerationConfig
+    g = GenerationConfig(num_beams=2)
+    with pytest.raises(ValueError, match="beam search"):
+        g.validate(100, 2048)
