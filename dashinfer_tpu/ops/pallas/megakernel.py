@@ -729,14 +729,16 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                 def qz(x):
                     xmin = jnp.min(x, axis=-1)
                     xmax = jnp.max(x, axis=-1)
+                    # (casts hop through int32 — Mosaic has no direct
+                    # f32 -> i8/u8 conversion)
                     if plan.kv_bits == 8:
                         sc_ = jnp.maximum((xmax - xmin) / 255.0, 1e-8)
                         qv = jnp.clip(jnp.round((x - xmin[..., None]) / sc_[..., None]) - 128.0, -128, 127)
                         zr = xmin + 128.0 * sc_
-                        pay = qv.astype(jnp.int8)
+                        pay = qv.astype(jnp.int32).astype(jnp.int8)
                     else:
                         sc_ = jnp.maximum((xmax - xmin) / 15.0, 1e-8)
-                        qv = jnp.clip(jnp.round((x - xmin[..., None]) / sc_[..., None]), 0, 15).astype(jnp.uint8)
+                        qv = jnp.clip(jnp.round((x - xmin[..., None]) / sc_[..., None]), 0, 15).astype(jnp.int32)
                         zr = xmin
                         lo = qv[..., :D // 2]
                         hi = qv[..., D // 2:]
@@ -759,13 +761,16 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                 nkp_buf[:] = jnp.where(lsel2, kp_row[:, None, :], nkp_buf[:])
                 nvp_buf[:] = jnp.where(lsel2, vp_row[:, None, :], nvp_buf[:])
 
-            # q into [B, KH, G8, D] padded layout
+            # q into [B, KH, G8, D] padded layout (row-wise lane slices —
+            # Mosaic-friendly, no reshape/relayout)
             if G8 != G:
                 q4[:] = jnp.zeros_like(q4)
             for b in range(B):
                 for h in range(KH):
-                    qh = q_rot[b:b + 1, h * G * D:(h + 1) * G * D]
-                    q4[b, h, :G, :] = qh.reshape(G, D).astype(jnp.bfloat16)
+                    for gq in range(G):
+                        j = (h * G + gq) * D
+                        q4[b, h, gq:gq + 1, :] = \
+                            q_rot[b:b + 1, j:j + D].astype(jnp.bfloat16)
 
             init_ml = jnp.concatenate(
                 [jnp.full((B, KH, G8, 1), _NEG_INF, jnp.float32),
@@ -935,9 +940,11 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                 for h in range(KH):
                     lv = ml_st[b, h, :, 1:2]
                     lv = jnp.where(lv == 0.0, 1.0, lv)
-                    outh = (acc_at[b, h] / lv)[:G].reshape(1, G * D)
-                    attn_out[b:b + 1, h * G * D:(h + 1) * G * D] = \
-                        outh.astype(jnp.bfloat16)
+                    outh = acc_at[b, h] / lv                  # [G8, D]
+                    for gq in range(G):
+                        j = (h * G + gq) * D
+                        attn_out[b:b + 1, j:j + D] = \
+                            outh[gq:gq + 1, :].astype(jnp.bfloat16)
             if _DEBUG:
                 pl.debug_print("att l={} xn00={} qkv00={} m000={} l000={} "
                                "acc000={} ao00={}",
@@ -1032,12 +1039,14 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                             rmw_v, rmw_sems.at[1])
                         rd_k.start(); rd_v.start()
                         rd_k.wait(); rd_v.wait()
-                        rid = jax.lax.broadcasted_iota(
-                            jnp.int32, (L, _RMW_W, F), 1)
-                        rmw_k[:] = jnp.where(rid == r, nk_buf[b][:, None, :],
-                                             rmw_k[:])
-                        rmw_v[:] = jnp.where(rid == r, nv_buf[b][:, None, :],
-                                             rmw_v[:])
+                        # static per-row 2-D selects (axis-inserting int8
+                        # reshapes don't lower on hardware)
+                        for w in range(_RMW_W):
+                            sel = r == w
+                            rmw_k[:, w, :] = jnp.where(sel, nk_buf[b],
+                                                       rmw_k[:, w, :])
+                            rmw_v[:, w, :] = jnp.where(sel, nv_buf[b],
+                                                       rmw_v[:, w, :])
                         wr_k = pltpu.make_async_copy(
                             rmw_k,
                             kpool_o.at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],

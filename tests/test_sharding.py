@@ -74,3 +74,64 @@ def test_tp_forward_matches_single_device():
     cache_s = shard_cache(cache, cfg, mesh)
     got = np.asarray(jax.jit(fwd)(params_s, cache_s))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_expert_parallel_sharding_matches_single_device():
+    """EPSPLIT: experts sharded over the model axis produce the same logits
+    as single-device (reference use_ep -> EPSPLIT, weight_splitter.cpp:856)."""
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+    from dashinfer_tpu.models import transformer
+    from dashinfer_tpu.parallel import make_mesh, shard_cache, shard_params
+
+    import dataclasses
+    from dashinfer_tpu.config import MoEConfig
+    cfg, rt, params, cache, state = ge._tiny_setup(
+        heads=8, kv_heads=4, dtype="float32")
+    # graft a tiny MoE block onto every layer
+    E, topk = 4, 2
+    L, hid = cfg.num_layers, cfg.hidden_size
+    moe_inter = 64
+    key = jax.random.PRNGKey(3)
+
+    def rnd(*shape):
+        nonlocal key
+        key, k = jax.random.split(key)
+        return jax.random.normal(k, shape, jnp.float32) * 0.05
+
+    lp = dict(params["layers"])
+    for name in ("gate_proj", "up_proj", "down_proj"):
+        lp.pop(name)
+    lp["router"] = {"w": rnd(L, hid, E)}
+    lp["experts"] = {
+        "gate_proj": rnd(L, E, hid, moe_inter),
+        "up_proj": rnd(L, E, hid, moe_inter),
+        "down_proj": rnd(L, E, moe_inter, hid),
+    }
+    params = dict(params)
+    params["layers"] = lp
+    cfg = dataclasses.replace(cfg, arch="qwen2_moe", moe=MoEConfig(
+        num_experts=E, num_experts_per_tok=topk, moe_intermediate_size=moe_inter))
+
+    B = rt.max_batch
+    pt = np.zeros((B, rt.max_pages_per_seq), np.int32)
+    for b in range(B):
+        pt[b, 0] = b
+    tokens = jnp.arange(B, dtype=jnp.int32) + 1
+    lens = jnp.full((B,), 3, jnp.int32)
+    active = jnp.ones((B,), bool)
+
+    def fwd(params, cache):
+        logits, _ = transformer.decode_forward(
+            cfg, params, tokens, cache, jnp.asarray(pt), lens, active,
+            mode=rt.cache.mode, use_kernel=False)
+        return logits
+
+    ref = np.asarray(jax.jit(fwd)(params, cache))
+
+    mesh = make_mesh((1, 4))
+    sp = shard_params(params, mesh, ep=True)
+    sc = shard_cache(cache, cfg, mesh)
+    out = np.asarray(jax.jit(fwd)(sp, sc))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
