@@ -97,6 +97,14 @@ class ModelConfig:
     mrope_section: Tuple[int, ...] = ()
     # GPT-NeoX-style parallel residual: h += attn(ln1 h) + mlp(ln2 h)
     parallel_residual: bool = False
+    # ChatGLM v1 (GLM) structure (reference converter chatglm_v1.py):
+    # alpha-scaled post-LN residuals h = ln(x)*alpha + sublayer(ln(x)) with
+    # alpha = sqrt(2*num_layers); 2-D rotary over head_dim/2 halves
+    # (position, block-position); prefix-LM attention (bidirectional over
+    # the prompt except its final token).
+    glm_residual_alpha: float = 0.0
+    rope_glm_2d: bool = False
+    prefix_lm: bool = False
 
     @property
     def q_per_kv(self) -> int:

@@ -266,7 +266,8 @@ def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
                 state.active, mode=mode, use_kernel=use_kernel,
                 lora=lora_pool if with_lora else None,
                 lora_onehot=onehot if with_lora else None,
-                pos_offsets=state.pos_offsets)
+                pos_offsets=state.pos_offsets,
+                prompt_lens=state.prompt_lens)
         if with_guided:
             logits = jnp.where(allowed, logits, -1e30)
 

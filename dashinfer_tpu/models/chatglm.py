@@ -1,21 +1,54 @@
-"""ChatGLM2/3/GLM-4 (reference converters chatglm_v2-v4; registry
+"""ChatGLM1/2/3/GLM-4 (reference converters chatglm_v1-v4; registry
 csrc/core/model/chatglm/chatglm.cpp:24-27).
 
-Architecture: MQA/GQA with fused query_key_value, rotary over head_dim/2 with
-interleaved pairs, SwiGLU with fused dense_h_to_4h. Conversion splits the
-fused tensors into the generic layout. (No offline golden test possible —
-ChatGLM HF repos need remote code; validated structurally.)"""
+v2+: MQA/GQA with fused query_key_value, rotary over head_dim/2 with
+interleaved pairs, SwiGLU with fused dense_h_to_4h. v1 (detected via config
+`position_encoding_2d`): GLM block with alpha-scaled post-LN residuals,
+2-D rotary, prefix-LM attention, GELU MLP, LayerNorm with bias, per-head
+interleaved fused QKV. Conversion splits the fused tensors into the generic
+layout. (No offline golden test possible — ChatGLM HF repos need remote
+code; v1 is validated against a hand-written torch reference in
+tests/test_chatglm_v1.py, v2+ structurally.)"""
 
+import math
 from typing import Dict
 
 import numpy as np
 
-from dashinfer_tpu.config import ModelConfig
-from dashinfer_tpu.models.common import _cast, _to_np
+from dashinfer_tpu.config import Activation, ModelConfig
+from dashinfer_tpu.models.common import _cast, _to_np, stack_layer_trees
 from dashinfer_tpu.models.registry import register_model
 
 
+def _model_config_v1(hf: dict) -> ModelConfig:
+    hidden = hf["hidden_size"]
+    heads = hf["num_attention_heads"]
+    layers = hf["num_layers"]
+    return ModelConfig(
+        arch="chatglm_v1",
+        vocab_size=hf["vocab_size"],
+        hidden_size=hidden,
+        intermediate_size=hf.get("inner_hidden_size", 4 * hidden),
+        num_layers=layers,
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=hidden // heads,
+        rms_norm_eps=hf.get("layernorm_epsilon", 1e-5),
+        rope_theta=10000.0,
+        max_position_embeddings=hf.get("max_sequence_length", 2048),
+        activation=Activation.GELU_TANH,
+        rotary_dim=(hidden // heads) // 2,
+        qkv_bias=True,
+        tie_word_embeddings=False,
+        glm_residual_alpha=math.sqrt(2.0 * layers),
+        rope_glm_2d=True,
+        prefix_lm=True,
+    )
+
+
 def _model_config(hf: dict) -> ModelConfig:
+    if hf.get("position_encoding_2d"):
+        return _model_config_v1(hf)
     hidden = hf["hidden_size"]
     heads = hf["num_attention_heads"]
     kv = hf.get("multi_query_group_num", heads) if hf.get(
@@ -39,8 +72,62 @@ def _model_config(hf: dict) -> ModelConfig:
     )
 
 
+class _ChatGLMV1Converter:
+    """ChatGLM-6B v1 checkpoints: `transformer.layers.{i}` naming, fused QKV
+    interleaved PER HEAD ([H, 3, D] packing), GELU MLP, LN with bias."""
+
+    def convert(self, tensors: Dict, cfg: ModelConfig, dtype) -> Dict:
+        t = tensors
+        H, D = cfg.num_heads, cfg.head_dim
+
+        def get(name):
+            return _to_np(t[name])
+
+        def ln(name):
+            return {"w": _cast(get(f"{name}.weight"), dtype),
+                    "b": _cast(get(f"{name}.bias"), dtype)}
+
+        def lin(name, bias=True):
+            d = {"w": _cast(get(f"{name}.weight").T, dtype)}
+            if bias and f"{name}.bias" in t:
+                d["b"] = _cast(get(f"{name}.bias"), dtype)
+            return d
+
+        def layer(i):
+            base = f"transformer.layers.{i}"
+            # fused [H, 3, D] per-head interleave -> q/k/v [H*D, hid]
+            w = get(f"{base}.attention.query_key_value.weight")
+            w = w.reshape(H, 3, D, -1)
+            b = get(f"{base}.attention.query_key_value.bias")
+            b = b.reshape(H, 3, D)
+            qkv = {}
+            for j, nm in enumerate(("q_proj", "k_proj", "v_proj")):
+                qkv[nm] = {"w": _cast(w[:, j].reshape(H * D, -1).T, dtype),
+                           "b": _cast(b[:, j].reshape(H * D), dtype)}
+            return {
+                "input_layernorm": ln(f"{base}.input_layernorm"),
+                "post_attention_layernorm": ln(
+                    f"{base}.post_attention_layernorm"),
+                **qkv,
+                "o_proj": lin(f"{base}.attention.dense"),
+                "fc1": lin(f"{base}.mlp.dense_h_to_4h"),
+                "fc2": lin(f"{base}.mlp.dense_4h_to_h"),
+            }
+
+        return {
+            "embed_tokens": {"w": _cast(
+                get("transformer.word_embeddings.weight"), dtype)},
+            "norm": ln("transformer.final_layernorm"),
+            "lm_head": {"w": _cast(get("lm_head.weight").T, dtype)},
+            "layers": stack_layer_trees(
+                [layer(i) for i in range(cfg.num_layers)]),
+        }
+
+
 class _ChatGLMConverter:
     def convert(self, tensors: Dict, cfg: ModelConfig, dtype) -> Dict:
+        if cfg.arch == "chatglm_v1":
+            return _ChatGLMV1Converter().convert(tensors, cfg, dtype)
         t = tensors
         H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 

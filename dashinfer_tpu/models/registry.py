@@ -34,6 +34,7 @@ def get_model_builder(hf_arch: str):
         import dashinfer_tpu.models.gpt2  # noqa: F401
         import dashinfer_tpu.models.bloom  # noqa: F401
         import dashinfer_tpu.models.gpt_neox  # noqa: F401
+        import dashinfer_tpu.models.qwen_v1  # noqa: F401
     if key not in _REGISTRY:
         raise KeyError(f"unsupported architecture {hf_arch}; known: "
                        f"{sorted(_REGISTRY)}")

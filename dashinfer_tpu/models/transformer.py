@@ -32,7 +32,8 @@ from dashinfer_tpu.ops import kv_ops
 from dashinfer_tpu.ops.linear import linear
 from dashinfer_tpu.ops.moe import moe_block
 from dashinfer_tpu.ops.norms import layer_norm, rms_norm
-from dashinfer_tpu.ops.rotary import (apply_rope, compute_inv_freq,
+from dashinfer_tpu.ops.rotary import (apply_rope, apply_rope_glm2d,
+                                      compute_inv_freq, glm2d_positions,
                                       mrope_cos_sin, rope_cos_sin, _mscale)
 from dashinfer_tpu.runtime.kv_cache import KVCache
 
@@ -112,6 +113,33 @@ def _attn_scale(cfg: ModelConfig) -> float:
     return 1.0 / math.sqrt(cfg.head_dim)
 
 
+def _logn_scale(cfg: ModelConfig, pos: jnp.ndarray) -> jnp.ndarray:
+    """Qwen v1 logn attention scaling: queries past the training window are
+    scaled by log_{train_len}(pos) (reference rotary_op.cpp logn attrs,
+    SURVEY.md §5.7c). pos: int32 [...] -> f32 [...]."""
+    n = max(cfg.rope_scaling.original_max_position
+            or cfg.max_position_embeddings, 2)
+    p = jnp.maximum(pos.astype(jnp.float32) + 1.0, 1.0)
+    return jnp.where(p > n, jnp.log(p) / math.log(n), 1.0)
+
+
+def _residual_combine(cfg: ModelConfig, hidden, x, x2, attn_out, mlp_fn):
+    """Shared residual wiring: standard pre-LN, NeoX parallel residual, or
+    GLM v1 alpha-scaled post-LN residuals. `x`/`x2` are the normed inputs;
+    `mlp_fn(y)` runs the MLP on y (second norm computed here when it depends
+    on the attention output)."""
+    if cfg.glm_residual_alpha:
+        a = cfg.glm_residual_alpha
+        h = x * a + attn_out
+        x2 = x2(h)
+        return x2 * a + mlp_fn(x2)
+    if cfg.parallel_residual:
+        return hidden + attn_out + mlp_fn(x2(hidden))
+    h = hidden + attn_out
+    x2 = x2(h)
+    return h + mlp_fn(x2)
+
+
 def _lm_logits(cfg: ModelConfig, params: Dict, hidden: jnp.ndarray) -> jnp.ndarray:
     """hidden: [T, hidden] -> f32 logits [T, vocab] (reference GetLastLine +
     lm_head Gemm)."""
@@ -138,7 +166,8 @@ def decode_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
                    *, mode: CacheMode, use_kernel: bool = True,
                    lora: Optional[Dict] = None,
                    lora_onehot: Optional[jnp.ndarray] = None,
-                   pos_offsets: Optional[jnp.ndarray] = None
+                   pos_offsets: Optional[jnp.ndarray] = None,
+                   prompt_lens: Optional[jnp.ndarray] = None
                    ) -> Tuple[jnp.ndarray, KVCache]:
     """tokens: [B] int32; page_tables: [B, maxP] LOGICAL page ids (logical
     page g owns physical pool rows g*L + l per layer l); lens_before: [B]
@@ -161,10 +190,21 @@ def decode_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
         hidden = hidden + params["pos_embed"]["w"][pos].astype(hidden.dtype)
     if "embed_norm" in params:  # Bloom word_embeddings_layernorm
         hidden = _norm(cfg, params["embed_norm"], hidden)
+    rot = None
     if use_rope:
         inv_freq = compute_inv_freq(cfg)
-        cos, sin = rope_cos_sin(rope_pos, inv_freq,
-                                _mscale(cfg.rope_scaling))
+        if cfg.rope_glm_2d:
+            pl_glm = prompt_lens if prompt_lens is not None else lens_before
+            p1, p2 = glm2d_positions(rope_pos, pl_glm)
+            cos1, sin1 = rope_cos_sin(p1, inv_freq)
+            cos2, sin2 = rope_cos_sin(p2, inv_freq)
+            rot = lambda u: apply_rope_glm2d(u, cos1, sin1, cos2, sin2)
+        else:
+            cos, sin = rope_cos_sin(rope_pos, inv_freq,
+                                    _mscale(cfg.rope_scaling))
+            rot = lambda u: apply_rope(u, cos, sin, cfg.rope_interleaved)
+    lgn = _logn_scale(cfg, rope_pos)[:, None, None] \
+        if cfg.rope_scaling.use_logn_attn else None
     slopes = alibi_slopes(cfg.num_heads) \
         if cfg.position_embedding == PositionEmbedding.ALIBI else None
 
@@ -188,9 +228,10 @@ def decode_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
         pt_l = page_tables * L + li  # [B, maxP] physical pool rows
         x = _norm(cfg, lp["input_layernorm"], hidden)
         q, k, v = _qkv(cfg, lp, x, delta)
-        if use_rope:
-            q = apply_rope(q, cos, sin, cfg.rope_interleaved)
-            k = apply_rope(k, cos, sin, cfg.rope_interleaved)
+        if rot is not None:
+            q, k = rot(q), rot(k)
+        if lgn is not None:
+            q = q * lgn
         page_ids = jnp.take_along_axis(pt_l, page_col[:, None], axis=1)[:, 0]
         cache2 = kv_ops.append_decode_kv(cache, mode, k, v, page_ids, offsets,
                                          active)
@@ -201,13 +242,10 @@ def decode_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
         attn_out = linear(attn_flat, lp["o_proj"])
         if delta is not None:
             attn_out = attn_out + delta("o_proj", attn_flat)
-        if cfg.parallel_residual:  # GPT-NeoX
-            x2 = _norm(cfg, lp["post_attention_layernorm"], hidden)
-            hidden = hidden + attn_out + _mlp(cfg, lp, x2, delta)
-        else:
-            hidden = hidden + attn_out
-            x2 = _norm(cfg, lp["post_attention_layernorm"], hidden)
-            hidden = hidden + _mlp(cfg, lp, x2, delta)
+        hidden = _residual_combine(
+            cfg, hidden, x,
+            lambda h: _norm(cfg, lp["post_attention_layernorm"], h),
+            attn_out, lambda y: _mlp(cfg, lp, y, delta))
         return (hidden, cache2), None
 
     xs = (params["layers"], layer_ids)
@@ -255,15 +293,28 @@ def prefill_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
             jnp.clip(pos, 0, maxp - 1)].astype(hidden.dtype)
     if "embed_norm" in params:
         hidden = _norm(cfg, params["embed_norm"], hidden)
+    rot = None
     if use_rope:
         inv_freq = compute_inv_freq(cfg)
         if positions3 is not None:
             # Qwen2-VL mRoPE: per-token [3, S] (t/h/w) positions
             cos, sin = mrope_cos_sin(positions3, inv_freq, cfg.mrope_section)
+            rot = lambda u: apply_rope(u, cos, sin, cfg.rope_interleaved)
+        elif cfg.rope_glm_2d:
+            p1, p2 = glm2d_positions(pos, total_len)
+            cos1, sin1 = rope_cos_sin(p1, inv_freq)
+            cos2, sin2 = rope_cos_sin(p2, inv_freq)
+            rot = lambda u: apply_rope_glm2d(u, cos1, sin1, cos2, sin2)
         else:
             cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
+            rot = lambda u: apply_rope(u, cos, sin, cfg.rope_interleaved)
+    lgn = _logn_scale(cfg, pos)[:, None, None] \
+        if cfg.rope_scaling.use_logn_attn else None
     slopes = alibi_slopes(cfg.num_heads) \
         if cfg.position_embedding == PositionEmbedding.ALIBI else None
+    # prefix-LM (ChatGLM v1): the prompt is bidirectional except its final
+    # token; kv positions < total_len - 1 are visible to every query
+    bidir_until = total_len - 1 if cfg.prefix_lm else None
     scale = _attn_scale(cfg)
     L = cfg.num_layers
     layer_ids = jnp.arange(L, dtype=jnp.int32)
@@ -281,26 +332,25 @@ def prefill_forward(cfg: ModelConfig, params: Dict, tokens: jnp.ndarray,
         pt_l = page_table * L + li  # [maxP_bucket] physical pool rows
         x = _norm(cfg, lp["input_layernorm"], hidden)
         q, k, v = _qkv(cfg, lp, x, delta)
-        if use_rope:
-            q = apply_rope(q, cos, sin, cfg.rope_interleaved)
-            k = apply_rope(k, cos, sin, cfg.rope_interleaved)
+        if rot is not None:
+            q, k = rot(q), rot(k)
+        if lgn is not None:
+            q = q * lgn
         cache2 = kv_ops.append_prefill_kv(cache, mode, k, v, pt_l,
                                           prefix_len, num_new)
         k_full, v_full = kv_ops.gather_kv_pages(cache2, mode, pt_l,
                                                 cfg.num_kv_heads, jnp.float32)
         attn = attn_ops.prefill_attention(q, k_full, v_full, prefix_len,
-                                          total_len, scale, alibi=slopes)
+                                          total_len, scale, alibi=slopes,
+                                          bidir_until=bidir_until)
         attn_flat = attn.reshape(S, -1)
         attn_out = linear(attn_flat, lp["o_proj"])
         if delta is not None:
             attn_out = attn_out + delta("o_proj", attn_flat)
-        if cfg.parallel_residual:
-            x2 = _norm(cfg, lp["post_attention_layernorm"], hidden)
-            hidden = hidden + attn_out + _mlp(cfg, lp, x2, delta)
-        else:
-            hidden = hidden + attn_out
-            x2 = _norm(cfg, lp["post_attention_layernorm"], hidden)
-            hidden = hidden + _mlp(cfg, lp, x2, delta)
+        hidden = _residual_combine(
+            cfg, hidden, x,
+            lambda h: _norm(cfg, lp["post_attention_layernorm"], h),
+            attn_out, lambda y: _mlp(cfg, lp, y, delta))
         return (hidden, cache2), None
 
     xs = (params["layers"], layer_ids)
@@ -357,13 +407,10 @@ def prefill_forward_captured(cfg: ModelConfig, params: Dict,
         attn = attn_ops.prefill_attention(q, k_full, v_full, prefix_len,
                                           total_len, scale, alibi=slopes)
         attn_out = linear(attn.reshape(S, -1), lp["o_proj"])
-        if cfg.parallel_residual:
-            x2 = _norm(cfg, lp["post_attention_layernorm"], hidden)
-            hidden = hidden + attn_out + _mlp(cfg, lp, x2)
-        else:
-            hidden = hidden + attn_out
-            x2 = _norm(cfg, lp["post_attention_layernorm"], hidden)
-            hidden = hidden + _mlp(cfg, lp, x2)
+        hidden = _residual_combine(
+            cfg, hidden, x,
+            lambda h: _norm(cfg, lp["post_attention_layernorm"], h),
+            attn_out, lambda y: _mlp(cfg, lp, y))
         return (hidden, cache2), hidden
 
     (hidden, cache), per_layer = jax.lax.scan(

@@ -88,13 +88,17 @@ def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       q_start: jnp.ndarray, kv_valid: jnp.ndarray,
                       scale: float,
                       sinks: Optional[jnp.ndarray] = None,
-                      alibi: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                      alibi: Optional[jnp.ndarray] = None,
+                      bidir_until=None) -> jnp.ndarray:
     """Causal attention for a prefill chunk over a (prefix + chunk) KV.
 
     q: [T, H, D] — queries at sequence positions q_start + t
     k/v: [S, KH, D] — keys at sequence positions 0..S-1 (prefix + chunk
          already merged by the caller); entries >= kv_valid are padding.
     Causal rule: query t sees keys with pos <= q_start + t and pos < kv_valid.
+    `bidir_until` (scalar) additionally exposes keys with pos < bidir_until
+    to every query — the ChatGLM v1 prefix-LM mask (reference TransMask op
+    with gmask semantics).
     """
     T, H, D = q.shape
     S, KH, _ = k.shape
@@ -110,6 +114,9 @@ def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             kpos[None, None, None, :] - qpos[None, None, :, None])
         scores = scores + bias
     mask = (kpos[None, :] <= qpos[:, None]) & (kpos[None, :] < kv_valid)
+    if bidir_until is not None:
+        mask = mask | ((kpos[None, :] < bidir_until) &
+                       (kpos[None, :] < kv_valid))
     scores = jnp.where(mask[None, None, :, :], scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("hgts,shd->thgd", probs, vf)

@@ -91,6 +91,8 @@ def _plan_stream(name: str, bits: int, K: int, N: int, gs: int,
         chunk = max(step, int(target_bytes / per_col) // step * step)
         chunk = min(chunk, _round_up(N, step))
         S = -(-N // chunk)
+        # equalize chunks across S so Np padding (dead DMA bytes) is minimal
+        chunk = _round_up(-(-N // S), step)
         Np = S * chunk
         return StreamPlan(name, bits, K, N, Kp, Np, chunk, S, gs, "n")
     # chunk over K rows (down proj)
@@ -101,6 +103,7 @@ def _plan_stream(name: str, bits: int, K: int, N: int, gs: int,
     chunk = max(step, int(target_bytes / per_row) // step * step)
     chunk = min(chunk, _round_up(K, step))
     S = -(-K // chunk)
+    chunk = _round_up(-(-K // S), step)
     Kp = S * chunk
     return StreamPlan(name, bits, K, N, Kp, Np, chunk, S, gs, "k")
 
@@ -131,6 +134,9 @@ class MegaPlan:
     dn: StreamPlan
     lm: StreamPlan
     rms_eps: float
+    # Qwen3 per-head QK RMSNorm (reference QKLayerNormNoBeta,
+    # qwen_v30.py:228-319) fused into the attention phase
+    qk_norm: bool = False
 
     @property
     def S_layer(self) -> int:
@@ -179,13 +185,22 @@ def supports(cfg: ModelConfig, rt: RuntimeConfig, params: Dict) -> bool:
         for name in ("q_proj", "o_proj", "gate_proj", "down_proj"):
             if "w_q8" in lp[name] or "w_f8" in lp[name]:
                 return False  # activation-quant leaves take the XLA path
-        if cfg.moe is not None or cfg.qk_norm:
+        if cfg.moe is not None:
             return False
+        if cfg.qk_norm:
+            # fused per-head RMS needs plain [D] norm weights
+            qn = lp.get("q_norm")
+            if qn is None or isinstance(qn, dict) or "k_norm" not in lp:
+                return False
         if cfg.head_dim != 128:
             return False
         if cfg.hidden_size % 128 or (cfg.num_heads * cfg.head_dim) % 128:
             return False
         if cfg.rope_interleaved or cfg.position_embedding.value != "rope":
+            return False
+        if cfg.rope_glm_2d or cfg.glm_residual_alpha or cfg.prefix_lm:
+            return False
+        if cfg.rotary_dim and cfg.rotary_dim != cfg.head_dim:
             return False
         if cfg.final_logit_softcap:
             return False
@@ -252,7 +267,12 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
     if env_target:
         target_chunk_bytes = int(env_target)
     if not target_chunk_bytes:
-        # fit double-buffered chunks of 5 streams in VMEM next to the scratch
+        # fit double-buffered chunks of 5 streams in VMEM next to the scratch.
+        # Measured on v5e (bench config): chunk size barely moves the step
+        # time — ~0.5 MB chunks (T=7062) gave 57 ms/step and ~7 MB chunks
+        # (T=509, needs the 100 MB vmem_limit_bytes lift) gave 63 ms/step —
+        # the bottleneck is the per-byte dequant+dot rate, not per-grid-step
+        # overhead. Keep chunks modest so dequant temporaries stay small.
         G8 = _round_up(H // KH, 8)
         kvb = 2 if rt.cache.mode == CacheMode.DEFAULT else 1
         scratch = _scratch_bytes_estimate(
@@ -303,7 +323,8 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
         Vp=lm.Np, kv_mode=mode, kv_bits=kv_bits,
         kv_dtype_name=kv_dtype_name,
         has_qkv_bias=("b" in lp["q_proj"]),
-        qkv=qkv, o=o, gu=gu, dn=dn, lm=lm, rms_eps=cfg.rms_norm_eps)
+        qkv=qkv, o=o, gu=gu, dn=dn, lm=lm, rms_eps=cfg.rms_norm_eps,
+        qk_norm=cfg.qk_norm)
 
 
 # ---------------------------------------------------------------------------
@@ -463,6 +484,17 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
     out["qkv_b"] = jnp.asarray(bp.astype(jnp.bfloat16))
     out["final_norm"] = jnp.asarray(
         np.asarray(params["norm"], np.float32)[None].astype(jnp.bfloat16))
+    if plan.qk_norm:
+        # per-head weights tiled to full lane width: row 0 = q_norm x H,
+        # row 1 = k_norm x KH (zero-padded to H*D lanes)
+        HD = plan.H * plan.D
+        qk = np.zeros((L, 2, HD), np.float32)
+        for l in range(L):
+            qk[l, 0] = np.tile(np.asarray(lp["q_norm"][l], np.float32),
+                               plan.H)
+            qk[l, 1, :plan.KH * plan.D] = np.tile(
+                np.asarray(lp["k_norm"][l], np.float32), plan.KH)
+        out["qk_norms"] = jnp.asarray(qk.astype(jnp.bfloat16))
     return out
 
 
@@ -476,9 +508,9 @@ def _dequant_chunk(w_ref, bits: int):
         return w_ref[0, 0]
     if bits == 8:
         return w_ref[0, 0].astype(jnp.bfloat16)
-    p32 = w_ref[0, 0].astype(jnp.int32)
+    p32 = w_ref[0, 0].astype(jnp.int32)  # u8 zero-extends: >>4 needs no mask
     lo = (p32 & 0xF).astype(jnp.bfloat16)
-    hi = ((p32 >> 4) & 0xF).astype(jnp.bfloat16)
+    hi = (p32 >> 4).astype(jnp.bfloat16)
     return jnp.concatenate([lo, hi], axis=-1)
 
 
@@ -629,6 +661,9 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
     arg_names.append("qkv_b")
     in_specs.append(pl.BlockSpec((1, hid), const_idx))       # final_norm
     arg_names.append("final_norm")
+    if plan.qk_norm:
+        in_specs.append(pl.BlockSpec((1, 2, HD), norm_idx))  # qk_norms
+        arg_names.append("qk_norms")
     npools = 4 if kv_quant else 2
     for _ in range(npools):
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # kv pools
@@ -715,6 +750,19 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
             qr = qkvb[:, :HD]
             kr = qkvb[:, HD:HD + KH * D]
             vr = qkvb[:, HD + KH * D:HD + 2 * KH * D]
+            if plan.qk_norm:
+                # Qwen3 per-head QK RMSNorm before rope (QKLayerNormNoBeta)
+                def rmsh(vec, nh, w):
+                    cols = []
+                    for hh in range(nh):
+                        blk = vec[:, hh * D:(hh + 1) * D]
+                        var = jnp.mean(blk * blk, axis=-1, keepdims=True)
+                        cols.append(blk * jax.lax.rsqrt(var + eps))
+                    return jnp.concatenate(cols, axis=-1) * w
+                qr = rmsh(qr, H, args["qk_norms"][0, 0][None, :]
+                          .astype(jnp.float32))
+                kr = rmsh(kr, KH, args["qk_norms"][0, 1][None, :KH * D]
+                          .astype(jnp.float32))
             cq = args["cosq"][:].astype(jnp.float32)
             sq = args["sinq"][:].astype(jnp.float32)
             ck = args["cosk"][:].astype(jnp.float32)
@@ -851,7 +899,7 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                         D2 = D // 2
                         p32 = kbuf[slot][:, h * D2:(h + 1) * D2].astype(jnp.int32)
                         klo = (p32 & 0xF).astype(jnp.float32)
-                        khi = ((p32 >> 4) & 0xF).astype(jnp.float32)
+                        khi = (p32 >> 4).astype(jnp.float32)
                         sraw = dot_nt(qh[:, :D2], klo) + dot_nt(qh[:, D2:], khi)
                         kscal = kqbuf[slot][2 * h]
                         kzero = kqbuf[slot][2 * h + 1]
@@ -888,7 +936,7 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                             D2 = D // 2
                             p32 = vbuf[slot][:, h * D2:(h + 1) * D2].astype(jnp.int32)
                             vlo = (p32 & 0xF).astype(jnp.float32)
-                            vhi = ((p32 >> 4) & 0xF).astype(jnp.float32)
+                            vhi = (p32 >> 4).astype(jnp.float32)
                             pvl = jnp.dot(pexp_s, vlo,
                                           preferred_element_type=jnp.float32)
                             pvh = jnp.dot(pexp_s, vhi,
@@ -1130,6 +1178,8 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                 tensors.append(packed[sp.name + "_s"])
                 tensors.append(packed[sp.name + "_z"])
         tensors += [packed["norms"], packed["qkv_b"], packed["final_norm"]]
+        if plan.qk_norm:
+            tensors.append(packed["qk_norms"])
         tensors += pools
         outs = pl.pallas_call(
             kernel,
@@ -1138,7 +1188,10 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
             input_output_aliases=aliases,
             interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(
-                has_side_effects=True),
+                has_side_effects=True,
+                # big streamed weight chunks: lift Mosaic's default 16 MB
+                # scoped-vmem cap toward the ~128 MB physical VMEM (v5e)
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(pt.astype(jnp.int32), lens.astype(jnp.int32),
           active.astype(jnp.int32), tgt_page.astype(jnp.int32),
           sched_b.astype(jnp.int32), sched_p.astype(jnp.int32),

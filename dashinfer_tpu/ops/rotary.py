@@ -115,6 +115,33 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
     return out
 
 
+def apply_rope_glm2d(x: jnp.ndarray, cos1, sin1, cos2, sin2) -> jnp.ndarray:
+    """ChatGLM v1 2-D rotary (position_encoding_2d): the head vector is split
+    into halves; the first half rotates by the sequence position, the second
+    by the block position (reference chatglm_v1 converter; upstream
+    modeling_chatglm v1 applies RotaryEmbedding(head_dim//2) per half).
+
+    x: [..., heads, D]; cos*/sin*: [..., D/4] (from rope_cos_sin with
+    inv_freq over D/2 dims)."""
+    h = x.shape[-1] // 2
+    a = apply_rope(x[..., :h], cos1, sin1)
+    b = apply_rope(x[..., h:], cos2, sin2)
+    return jnp.concatenate([a, b], axis=-1)
+
+
+def glm2d_positions(pos: jnp.ndarray, prompt_len) -> Tuple[jnp.ndarray,
+                                                           jnp.ndarray]:
+    """Absolute index -> (position, block position) per ChatGLM v1's gmask
+    convention: tokens before the final prompt token (<sop>) sit at
+    (i, 0); the final prompt token and everything generated sit at
+    (mask_pos, k) with mask_pos = prompt_len - 2 and k = 1, 2, ...."""
+    ctx = prompt_len - 1                      # index of <sop>
+    mask_pos = jnp.maximum(prompt_len - 2, 0)
+    p1 = jnp.where(pos < ctx, pos, mask_pos)
+    p2 = jnp.where(pos < ctx, 0, pos - ctx + 1)
+    return p1.astype(jnp.int32), p2.astype(jnp.int32)
+
+
 def mrope_cos_sin(positions_3d: jnp.ndarray, inv_freq: jnp.ndarray,
                   section: Tuple[int, ...]) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Qwen2-VL mRoPE: positions_3d [3, ...] (t/h/w), section = dims per axis

@@ -7,15 +7,17 @@ import pytest
 
 
 def _tiny(B=4, L=2, KH=1, H=2, hid=256, inter=256, vocab=512, ps=16,
-          dtype="float32"):
+          dtype="float32", qk_norm=False):
     import jax
     import jax.numpy as jnp
     from dashinfer_tpu.config import CacheConfig, CacheMode, ModelConfig, \
         RuntimeConfig
 
-    cfg = ModelConfig(arch="qwen2", vocab_size=vocab, hidden_size=hid,
+    cfg = ModelConfig(arch="qwen3" if qk_norm else "qwen2",
+                      vocab_size=vocab, hidden_size=hid,
                       intermediate_size=inter, num_layers=L, num_heads=H,
-                      num_kv_heads=KH, head_dim=128, qkv_bias=True)
+                      num_kv_heads=KH, head_dim=128,
+                      qkv_bias=not qk_norm, qk_norm=qk_norm)
     rt = RuntimeConfig(model_name="mk", max_length=ps * 4, max_batch=B,
                        cache=CacheConfig(page_size=ps, num_pages=64),
                        dtype=dtype, min_prefill_bucket=16)
@@ -44,6 +46,11 @@ def _tiny(B=4, L=2, KH=1, H=2, hid=256, inter=256, vocab=512, ps=16,
             "down_proj": {"w": rnd(L, inter, hid)},
         },
     }
+    if qk_norm:
+        params["layers"]["q_norm"] = 1.0 + 0.2 * rnd(L, 128).astype(jdt)
+        params["layers"]["k_norm"] = 1.0 - 0.2 * rnd(L, 128).astype(jdt)
+        for nm in ("q_proj", "k_proj", "v_proj"):
+            params["layers"][nm].pop("b")
     return cfg, rt, params
 
 
@@ -73,13 +80,15 @@ def _prep_cache(cfg, rt, params, mode, lens, pt):
     return cache
 
 
-@pytest.mark.parametrize("quant,kv_mode_name", [
-    ("none", "default"),
-    ("none", "int8"),
-    ("a16w4", "int8"),
-    ("a16w8", "uint4"),
+@pytest.mark.parametrize("quant,kv_mode_name,qk_norm", [
+    ("none", "default", False),
+    ("none", "int8", False),
+    ("a16w4", "int8", False),
+    ("a16w8", "uint4", False),
+    ("none", "int8", True),      # Qwen3 per-head QK RMSNorm
+    ("a16w4", "int8", True),
 ])
-def test_megakernel_matches_reference(quant, kv_mode_name):
+def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm):
     import jax
     import jax.numpy as jnp
     from dashinfer_tpu.config import CacheConfig, CacheMode, QuantConfig, \
@@ -90,7 +99,7 @@ def test_megakernel_matches_reference(quant, kv_mode_name):
     from dashinfer_tpu.ops import kv_ops
 
     kv_mode = CacheMode(kv_mode_name)
-    cfg, rt, params = _tiny()
+    cfg, rt, params = _tiny(qk_norm=qk_norm)
     rt = dataclasses.replace(
         rt, cache=dataclasses.replace(rt.cache, mode=kv_mode))
     if quant != "none":

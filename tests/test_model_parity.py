@@ -48,7 +48,8 @@ def _run_prefill_decode(cfg, params, input_ids, n_decode, page_size=16,
         tok = jnp.full((B,), out_tokens[-1], jnp.int32)
         lens = jnp.full((B,), T + i, jnp.int32)
         active = jnp.asarray([True] + [False] * (B - 1))
-        lg, cache = decode_fn(params, tok, cache, page_tables, lens, active)
+        lg, cache = decode_fn(params, tok, cache, page_tables, lens, active,
+                              prompt_lens=jnp.full((B,), T, jnp.int32))
         decode_logits.append(np.asarray(lg[0]))
         out_tokens.append(int(np.argmax(lg[0])))
     return prefill_logits, decode_logits, out_tokens

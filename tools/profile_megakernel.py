@@ -1,0 +1,119 @@
+"""Split the megakernel decode step into weight-stream vs attention cost.
+
+Reuses bench.py's pack cache and compiled kernel; runs the SAME compiled
+step with full context lens (all pages scheduled) vs len=1 (no page DMAs,
+n_sched ~ B) — the delta is the attention page-loop cost.
+
+Usage: python tools/profile_megakernel.py
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/di_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+    from dashinfer_tpu.config import (CacheConfig, CacheMode, ModelConfig,
+                                      RuntimeConfig)
+    from dashinfer_tpu.engine import steps as steps_mod
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+    from dashinfer_tpu.runtime.batch_state import make_decode_state
+    from dashinfer_tpu.runtime.kv_cache import create_kv_cache
+    import bench
+
+    cfg = ModelConfig(
+        arch="qwen2", vocab_size=152064, hidden_size=3584,
+        intermediate_size=18944, num_layers=28, num_heads=28,
+        num_kv_heads=4, head_dim=128, qkv_bias=True, rope_theta=1000000.0)
+    B = int(os.environ.get("DI_BENCH_BATCH", "16"))
+    ctx_len = int(os.environ.get("DI_BENCH_CTX", "1024"))
+    page_size = 256
+    num_logical_pages = 8 * (B * ((ctx_len + 255) // 256 + 2) // 8 + 2)
+    rt = RuntimeConfig(
+        model_name="bench", max_length=max(ctx_len + 48 + 4 + 64, 256),
+        max_batch=B,
+        cache=CacheConfig(page_size=page_size, mode=CacheMode.INT8,
+                          num_pages=num_logical_pages),
+        dtype="bfloat16")
+
+    import pickle
+    import hashlib
+    key_src = repr((cfg, rt.cache, B, os.environ.get("DI_MK_CHUNK_BYTES")))
+    cache_key = hashlib.blake2b(key_src.encode(), digest_size=8).hexdigest()
+    cache_file = os.path.join("/tmp", f"di_bench_pack_{cache_key}.pkl")
+    t0 = time.time()
+    if os.path.exists(cache_file):
+        with open(cache_file, "rb") as f:
+            plan, packed_np, embed_np = pickle.load(f)
+        print(f"pack cache hit in {time.time()-t0:.1f}s", file=sys.stderr)
+    else:
+        params_np = bench.build_qwen2_7b_params(cfg)
+        plan = mk.make_plan(cfg, rt, params_np)
+        packed_np = jax.tree.map(np.asarray, mk.pack_params(cfg, plan,
+                                                            params_np))
+        embed_np = np.asarray(params_np["embed_tokens"]["w"])
+        with open(cache_file, "wb") as f:
+            pickle.dump((plan, packed_np, embed_np), f)
+    packed = jax.tree.map(jnp.asarray, packed_np)
+    params = {"packed": packed, "embed": jnp.asarray(embed_np)}
+
+    L = cfg.num_layers
+    cache = create_kv_cache(cfg, rt.cache, num_logical_pages * L,
+                            model_dtype=jnp.bfloat16)
+    state0 = make_decode_state(cfg, rt)
+    ps = rt.cache.page_size
+    maxP = rt.max_pages_per_seq
+    pages_per_seq = (ctx_len + ps - 1) // ps
+    pt = np.zeros((B, maxP), np.int32)
+    g = 0
+    for b in range(B):
+        for j in range(min(pages_per_seq + 2, maxP)):
+            pt[b, j] = g % num_logical_pages
+            g += 1
+
+    def mkstate(lens):
+        # fresh state each call — decode donates its buffers
+        return dataclasses.replace(
+            make_decode_state(cfg, rt),
+            token_ids=jnp.arange(B, dtype=jnp.int32) + 7,
+            context_lens=jnp.full((B,), lens, jnp.int32),
+            prompt_lens=jnp.full((B,), lens, jnp.int32),
+            gen_lens=jnp.ones((B,), jnp.int32),
+            page_tables=jnp.asarray(pt),
+            active=jnp.ones((B,), bool))
+
+    decode = steps_mod.build_decode_step(cfg, rt, use_kernel=True,
+                                         megakernel_plan=plan)
+    no_new = jnp.full((B,), -1, jnp.int32)
+
+    for name, lens in [("ctx=1 (weights only)", 1),
+                       ("ctx=256 (1 page/seq)", 256),
+                       (f"ctx={ctx_len} (full)", ctx_len)]:
+        st = mkstate(lens)
+        c2 = jax.tree.map(jnp.copy, cache)
+        t0 = time.time()
+        for _ in range(4):
+            toks, _, c2, st = decode(params, c2, st, no_new)
+        np.asarray(toks)
+        print(f"{name}: warmup {time.time()-t0:.1f}s", file=sys.stderr)
+        st = mkstate(lens)
+        t0 = time.time()
+        iters = 24
+        for _ in range(iters):
+            toks, _, c2, st = decode(params, c2, st, no_new)
+            np.asarray(toks)
+        dt = (time.time() - t0) / iters
+        print(f"{name}: {dt*1e3:.2f} ms/step -> {B/dt:.1f} tok/s")
+
+
+if __name__ == "__main__":
+    main()
