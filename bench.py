@@ -130,7 +130,8 @@ def main():
     if on_tpu:
         import hashlib
         probe_params = None
-        key_src = repr((cfg, rt.cache, B, os.environ.get("DI_MK_CHUNK_BYTES")))
+        key_src = repr((cfg, rt.cache, B, os.environ.get("DI_MK_CHUNK_BYTES"),
+                        mk.PACK_VERSION))
         cache_key = hashlib.blake2b(key_src.encode(), digest_size=8).hexdigest()
         cache_file = os.path.join("/tmp", f"di_bench_pack_{cache_key}.pkl")
 
@@ -213,10 +214,19 @@ def main():
     np.asarray(toks)
     log(f"compile+warmup ({warm} steps) in {time.time()-t0:.1f}s")
 
+    # Serving-faithful double-buffered decode: the host streams every step's
+    # tokens but reads them one step behind the in-flight step (token
+    # feedback is in-graph via DecodeState). Per-step blocking sync costs
+    # ~58 ms through the axon dispatch tunnel (measured: 93 ms synced vs
+    # 34 ms pipelined for the bare kernel).
     t0 = time.time()
+    prev = None
     for i in range(steps):
         toks, _, cache, state = decode(params, cache, state, no_new)
-        _ = np.asarray(toks)  # per-step host sync, serving-faithful
+        if prev is not None:
+            _ = np.asarray(prev)
+        prev = toks
+    _ = np.asarray(prev)
     dt = time.time() - t0
     toks_per_s = B * steps / dt
     log(f"{steps} steps, batch {B}: {dt:.3f}s -> {toks_per_s:.1f} tok/s")

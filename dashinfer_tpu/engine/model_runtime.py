@@ -81,6 +81,10 @@ class ModelRuntime:
         self.use_kernel = use_kernel
         self.dtype = jnp.bfloat16 if rt.dtype == "bfloat16" else jnp.dtype(rt.dtype)
 
+        # double-buffered decode: the last launched step's (tokens, logprobs,
+        # batch) pending host-side drain — see decode_tick/_drain_inflight
+        self._inflight = None
+
         self.params = jax.tree.map(jnp.asarray, params)
         # megakernel fast path for decode: pack the weight streams once at
         # install when the architecture qualifies (ops/pallas/megakernel.py).
@@ -271,6 +275,9 @@ class ModelRuntime:
         as_engine_prefill.cpp:188)."""
         if not self.pending or self.params is None:
             return False
+        # admission mutates slot state and may need slots/pages freed by
+        # finish processing of the in-flight decode step
+        self._drain_inflight()
         slot = self.free_slot_index()
         if slot < 0:
             return False
@@ -485,10 +492,32 @@ class ModelRuntime:
     def decode_tick(self) -> int:
         """One batched decode step over all active slots. Returns number of
         active requests stepped (reference RunTextGenerationContinue,
-        as_engine_decode.cpp:183)."""
+        as_engine_decode.cpp:183).
+
+        The loop is DOUBLE-BUFFERED: the step is launched asynchronously and
+        the PREVIOUS step's tokens are drained to the host while it runs
+        (blocking per-step sync costs tens of ms of dispatch round-trip on
+        the TPU runtime; the reference similarly decouples token drain from
+        the decode tick via lock-free queues, as_engine.cpp:2221-2319).
+        Requests whose next logits depend on the previous host-visible token
+        (guided JSON, bad-words/ngram bans) force a synchronous tick, as does
+        a request one token from its length limit (so the pipeline never
+        launches a step past a finished request)."""
         act = self.active_requests()
         if not act or self.params is None:
+            self._drain_inflight()
             return 0
+        sync_mode = any(
+            r.format_enforcer is not None or r.gen_cfg.bad_words_ids or
+            r.gen_cfg.no_repeat_ngram_size for r in act)
+        near_limit = any(
+            self._cached_len.get(r.uuid, 0) >=
+            min(r.gen_cfg.max_length, self.rt.max_length) for r in act)
+        if (sync_mode or near_limit) and self._inflight is not None:
+            self._drain_inflight()
+            act = self.active_requests()
+            if not act:
+                return 0
         B, ps = self.rt.max_batch, self.rt.cache.page_size
         new_page_ids = np.full((B,), -1, np.int32)
 
@@ -550,17 +579,37 @@ class ModelRuntime:
             tokens, lp, self.cache, self.state = fn(
                 self._decode_params(with_lora), self.cache, self.state,
                 jnp.asarray(new_page_ids), **kwargs)
-            tokens = np.asarray(tokens)
 
+        # the launched step appends one token to every active slot's cache
         for req in act:
-            tok = int(tokens[req.slot])
             self._cached_len[req.uuid] += 1
+        prev, self._inflight = self._inflight, (tokens, lp, act)
+        if sync_mode:
+            self._drain_inflight()
+        elif prev is not None:
+            self._drain_batch(prev)
+        return len(act)
+
+    def _drain_inflight(self):
+        """Block on the in-flight decode step (if any) and emit its tokens."""
+        batch, self._inflight = self._inflight, None
+        if batch is not None:
+            self._drain_batch(batch)
+
+    def _drain_batch(self, batch):
+        tokens_j, lp, act = batch
+        tokens = np.asarray(tokens_j)
+        n = 0
+        for req in act:
+            if self.requests.get(req.uuid) is not req or req.slot < 0:
+                continue  # stopped/evicted while the step was in flight
+            tok = int(tokens[req.slot])
             if req.format_enforcer is not None:
                 req.format_enforcer.advance(tok)
             self._emit(req, [tok], lp, req.slot)
             self._maybe_finish(req, tok)
-        self.stat.total_gen_tokens += len(act)
-        return len(act)
+            n += 1
+        self.stat.total_gen_tokens += n
 
     # -- token emission & finish ---------------------------------------------
     def _emit(self, req: Request, toks: List[int], lp, row: int):
@@ -626,6 +675,7 @@ class ModelRuntime:
 
     # -- eviction (reference ChooseVictimRequest, as_engine_decode.cpp) ------
     def _evict_victim(self, exclude: Optional[str] = None) -> bool:
+        self._drain_inflight()  # a finished in-flight request may free pages
         cands = [r for r in self.active_requests() if r.uuid != exclude]
         if not cands:
             return False
@@ -645,6 +695,7 @@ class ModelRuntime:
         self._finish(req, GenerateRequestStatus.GenerateInterrupted)
 
     def stop_request(self, uuid: str) -> bool:
+        self._drain_inflight()
         req = self.requests.get(uuid)
         if req is None:
             return False
@@ -692,6 +743,7 @@ class ModelRuntime:
     # -- weight swap (reference UnloadModelFromDeviceMemory /
     #    ReloadModelToDeviceMemory, allspark.h:542-549; weight_manager.h:108-120)
     def unload_weights_to_host(self):
+        self._drain_inflight()
         if self._params_host is not None:
             return
         self._params_host = jax.device_get(self.params)

@@ -50,6 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dashinfer_tpu.config import CacheMode, ModelConfig, RuntimeConfig
 
+PACK_VERSION = 2   # bump when plan geometry / packed layout changes
+
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 _RMW_W = 8          # aligned row window for in-place pool writes
 _RING = 4           # page-DMA ring depth per pool
@@ -278,8 +280,8 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
         scratch = _scratch_bytes_estimate(
             rt.max_batch, cfg.num_layers, hid, H, KH, D, G8, inter, QKVN,
             rt.cache.page_size, kvb)
-        budget = 14 * (1 << 20) - scratch
-        target_chunk_bytes = max(1 << 18, min(1 << 20, budget // 10))
+        budget = 40 * (1 << 20) - scratch
+        target_chunk_bytes = max(1 << 18, min(2 << 20, budget // 11))
 
     def gs_of(leaf, K, gaxis=1):
         # stacked layer leaves are [L, G, N] (gaxis=1); unstacked [G, N]

@@ -95,11 +95,14 @@ def build(fmt: str, gs: int, cols: int, S: int):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )
+    # device arrays passed as jit ARGS (a closure would inline them as
+    # giant executable constants)
     x = jnp.ones((B, K), jnp.bfloat16)
     w = jnp.ones((S, K, store_cols), wdt)
     s = jnp.ones((S, max(groups, 1), cols), jnp.bfloat16)
     z = jnp.ones((S, max(groups, 1), cols), jnp.bfloat16)
-    f = jax.jit(lambda: fn(x, w, s, z))
+    jf = jax.jit(fn)
+    f = lambda: jf(x, w, s, z)
     return f, S * K * store_cols * (2 if fmt == "bf16" else 1)
 
 

@@ -47,7 +47,8 @@ def main():
 
     import pickle
     import hashlib
-    key_src = repr((cfg, rt.cache, B, os.environ.get("DI_MK_CHUNK_BYTES")))
+    key_src = repr((cfg, rt.cache, B, os.environ.get("DI_MK_CHUNK_BYTES"),
+                    mk.PACK_VERSION))
     cache_key = hashlib.blake2b(key_src.encode(), digest_size=8).hexdigest()
     cache_file = os.path.join("/tmp", f"di_bench_pack_{cache_key}.pkl")
     t0 = time.time()
@@ -108,11 +109,16 @@ def main():
         st = mkstate(lens)
         t0 = time.time()
         iters = 24
+        prev = None
         for _ in range(iters):
             toks, _, c2, st = decode(params, c2, st, no_new)
-            np.asarray(toks)
+            if prev is not None:
+                np.asarray(prev)
+            prev = toks
+        np.asarray(prev)
         dt = (time.time() - t0) / iters
-        print(f"{name}: {dt*1e3:.2f} ms/step -> {B/dt:.1f} tok/s")
+        print(f"{name}: {dt*1e3:.2f} ms/step -> {B/dt:.1f} tok/s "
+              "(pipelined)")
 
 
 if __name__ == "__main__":
