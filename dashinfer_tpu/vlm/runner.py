@@ -19,6 +19,19 @@ from dashinfer_tpu.utils import get_logger
 logger = get_logger("vlm.runner")
 
 
+def build_request_qwen_vl(image_embeds: Sequence[np.ndarray],
+                          image_pad_token_id: int) -> Dict:
+    """Qwen-VL v1 (QWenLMHeadModel + external ViT): each image occupies a
+    fixed run of image-pad tokens between <img>/</img> markers; embeddings
+    are injected by placeholder id and positions are standard 1-D RoPE (no
+    mRoPE). Mirrors the reference's model_type QWEN-VL flow
+    (vl_inference/runtime/qwen_vl.py) over the same RichEmbedding channel
+    (extra_embedding.hpp:17-80). Returns GenerationConfig fields."""
+    mm = [(image_pad_token_id, np.concatenate(list(image_embeds), axis=0))] \
+        if len(image_embeds) else []
+    return {"mm_info": mm}
+
+
 class VisionRunner:
     def __init__(self, vcfg: VL.VisionConfig, vparams,
                  cache_bytes: int = 256 * 1024 * 1024):
