@@ -219,10 +219,14 @@ def main():
     # feedback is in-graph via DecodeState). Per-step blocking sync costs
     # ~58 ms through the axon dispatch tunnel (measured: 93 ms synced vs
     # 34 ms pipelined for the bare kernel).
+    # the device->host RTT through this runtime is ~30 ms (profiled) — far
+    # above the ~15 ms device step — so the transfer must be STARTED at
+    # launch (copy_to_host_async) and only COLLECTED a step later
     t0 = time.time()
     prev = None
     for i in range(steps):
         toks, _, cache, state = decode(params, cache, state, no_new)
+        toks.copy_to_host_async()
         if prev is not None:
             _ = np.asarray(prev)
         prev = toks

@@ -583,6 +583,13 @@ class ModelRuntime:
         # the launched step appends one token to every active slot's cache
         for req in act:
             self._cached_len[req.uuid] += 1
+        # start the device->host token transfer NOW; the drain one tick later
+        # then finds it complete (the transfer RTT on this runtime is ~30 ms,
+        # well above the device step time — profiled via jax.profiler)
+        try:
+            tokens.copy_to_host_async()
+        except AttributeError:
+            pass
         prev, self._inflight = self._inflight, (tokens, lp, act)
         if sync_mode:
             self._drain_inflight()

@@ -124,7 +124,8 @@ def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
             logits[None], sp1, counts[None], jnp.zeros((1,), jnp.int32),
             total_len[None], max_top_k=rt.sampler_max_top_k,
             top_logprobs=n_lp,
-            banned=None if banned is None else banned[None])
+            banned=None if banned is None else banned[None],
+            exact_topk=rt.sampler_exact_topk)
         tok = out.tokens[0]
         counts = counts.at[tok].add(1)
 
@@ -274,7 +275,7 @@ def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
         out = sampling_ops.sample(
             logits, state.sampling, state.token_counts, state.gen_lens,
             lens, max_top_k=rt.sampler_max_top_k, top_logprobs=n_lp,
-            banned=banned)
+            banned=banned, exact_topk=rt.sampler_exact_topk)
 
         active = state.active
         tok = jnp.where(active, out.tokens, state.token_ids)

@@ -210,7 +210,7 @@ def supports(cfg: ModelConfig, rt: RuntimeConfig, params: Dict) -> bool:
             return False
         if rt.cache.page_size % _RMW_W:
             return False
-        if rt.max_batch > 32:
+        if rt.max_batch > 64:
             return False
         dnl = lp["down_proj"]
         if "w_q" in dnl:
@@ -252,8 +252,8 @@ def _scratch_bytes_estimate(B, L, hid, H, KH, D, G8, inter, QKVN, ps,
                  + 12 * HD + 2 * 2 * KH * D * 4)  # + rope tiles (f32, dbuf)
     rings = 2 * _RING * ps * KH * D * kv_bytes + \
         2 * _RING * max(2 * KH, 8) * ps * 4
-    rmw = 2 * L * _RMW_W * KH * D * kv_bytes + \
-        2 * L * max(2 * KH, 8) * ps * 4
+    rmw = B * (2 * L * _RMW_W * KH * D * kv_bytes +
+               2 * L * max(2 * KH, 8) * ps * 4)
     return b_dep + rings + rmw
 
 
@@ -280,7 +280,7 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
         scratch = _scratch_bytes_estimate(
             rt.max_batch, cfg.num_layers, hid, H, KH, D, G8, inter, QKVN,
             rt.cache.page_size, kvb)
-        budget = 40 * (1 << 20) - scratch
+        budget = 72 * (1 << 20) - scratch
         target_chunk_bytes = max(1 << 18, min(2 << 20, budget // 11))
 
     def gs_of(leaf, K, gaxis=1):
@@ -694,12 +694,12 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
         pltpu.VMEM((_RING, ps, F), kv_dtype),         # 16 vbuf
         pltpu.VMEM((_RING, 2 * KH, ps), jnp.float32),  # 17 kqbuf
         pltpu.VMEM((_RING, 2 * KH, ps), jnp.float32),  # 18 vqbuf
-        pltpu.VMEM((L, _RMW_W, F), kv_dtype),         # 19 rmw_k
-        pltpu.VMEM((L, _RMW_W, F), kv_dtype),         # 20 rmw_v
-        pltpu.VMEM((L, 2 * KH, ps), jnp.float32),     # 21 rmw_kq
-        pltpu.VMEM((L, 2 * KH, ps), jnp.float32),     # 22 rmw_vq
+        pltpu.VMEM((B, L, _RMW_W, F), kv_dtype),      # 19 rmw_k (per slot)
+        pltpu.VMEM((B, L, _RMW_W, F), kv_dtype),      # 20 rmw_v
+        pltpu.VMEM((B, L, 2 * KH, ps), jnp.float32),  # 21 rmw_kq
+        pltpu.VMEM((B, L, 2 * KH, ps), jnp.float32),  # 22 rmw_vq
         pltpu.SemaphoreType.DMA((4, _RING)),          # 23 page sems
-        pltpu.SemaphoreType.DMA((4,)),                # 24 rmw sems
+        pltpu.SemaphoreType.DMA((4, B)),              # 24 rmw sems
     ]
 
     NARG = len(arg_names)
@@ -811,16 +811,14 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                 nkp_buf[:] = jnp.where(lsel2, kp_row[:, None, :], nkp_buf[:])
                 nvp_buf[:] = jnp.where(lsel2, vp_row[:, None, :], nvp_buf[:])
 
-            # q into [B, KH, G8, D] padded layout (row-wise lane slices —
-            # Mosaic-friendly, no reshape/relayout)
+            # q into [B, KH, G8, D] padded layout via one reshape + KH
+            # scatter slices (measured ~18 us/layer on v5e vs ~25 us for
+            # 448 per-row lane slices — tools/probe_reshape.py)
             if G8 != G:
                 q4[:] = jnp.zeros_like(q4)
-            for b in range(B):
-                for h in range(KH):
-                    for gq in range(G):
-                        j = (h * G + gq) * D
-                        q4[b, h, gq:gq + 1, :] = \
-                            q_rot[b:b + 1, j:j + D].astype(jnp.bfloat16)
+            qre = q_rot.astype(jnp.bfloat16).reshape(B, H, D)
+            for h in range(KH):
+                q4[:, h, :G, :] = qre[:, h * G:(h + 1) * G, :]
 
             init_ml = jnp.concatenate(
                 [jnp.full((B, KH, G8, 1), _NEG_INF, jnp.float32),
@@ -963,38 +961,32 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
 
             jax.lax.fori_loop(0, n, page_body, ())
 
-            # ---- new-token column (from VMEM, not HBM) ----
-            k_un = k_rot.astype(jnp.float32)             # [B, KH*D]
-            v_un = vr.astype(jnp.float32)
-            for b in range(B):
-                for h in range(KH):
-                    qh = q4[b, h].astype(jnp.float32)    # [G8, D]
-                    kn = k_un[b:b + 1, h * D:(h + 1) * D]      # [1, D]
-                    sco = jax.lax.dot_general(
-                        qh, kn, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32) * scale_att
-                    sco = jnp.where(active[b] > 0, sco, _NEG_INF)  # [G8, 1]
-                    m_prev = ml_st[b, h, :, 0:1]
-                    l_prev = ml_st[b, h, :, 1:2]
-                    m_new = jnp.maximum(m_prev, sco)
-                    alpha = jnp.exp(m_prev - m_new)
-                    pexp = jnp.exp(sco - m_new)          # [G8, 1]
-                    vn = v_un[b:b + 1, h * D:(h + 1) * D]
-                    pv = pexp * vn                       # [G8, D]
-                    acc_at[b, h] = acc_at[b, h] * alpha + pv
-                    ml_st[b, h] = jnp.concatenate(
-                        [m_new, alpha * l_prev + pexp], axis=-1)
+            # ---- new-token column (from VMEM, not HBM), vectorized over the
+            # whole [B, KH, G8, *] state (replaces B*KH tiny M=8/N=1 MXU
+            # dots with ~10 VPU ops). Inactive slots accumulate garbage only
+            # in their own batch row — rows never mix in the dots and the
+            # lm-phase pool-write guard still protects the KV pool.
+            k3f = k3.astype(jnp.float32)                 # [B, KH, D]
+            v3f = v3.astype(jnp.float32)
+            q4f = q4[:].astype(jnp.float32)              # [B, KH, G8, D]
+            sco = jnp.sum(q4f * k3f[:, :, None, :], axis=-1,
+                          keepdims=True) * scale_att     # [B, KH, G8, 1]
+            m_prev = ml_st[:, :, :, 0:1]
+            l_prev = ml_st[:, :, :, 1:2]
+            m_new = jnp.maximum(m_prev, sco)
+            alpha = jnp.exp(m_prev - m_new)
+            pexp = jnp.exp(sco - m_new)
+            lv = alpha * l_prev + pexp
+            ml_st[:] = jnp.concatenate([m_new, lv], axis=-1)
+            lv = jnp.where(lv == 0.0, 1.0, lv)
+            accf = (acc_at[:] * alpha + pexp * v3f[:, :, None, :]) / lv
+            acc_at[:] = accf
 
-            # ---- finalize into attn_out [B, HD] ----
-            for b in range(B):
-                for h in range(KH):
-                    lv = ml_st[b, h, :, 1:2]
-                    lv = jnp.where(lv == 0.0, 1.0, lv)
-                    outh = acc_at[b, h] / lv                  # [G8, D]
-                    for gq in range(G):
-                        j = (h * G + gq) * D
-                        attn_out[b:b + 1, j:j + D] = \
-                            outh[gq:gq + 1, :].astype(jnp.bfloat16)
+            # ---- finalize into attn_out [B, HD]: KH reshape slices ----
+            for h in range(KH):
+                blk = accf[:, h, :G, :].reshape(B, G * D)
+                attn_out[:, h * G * D:(h + 1) * G * D] = \
+                    blk.astype(jnp.bfloat16)
             if _DEBUG:
                 pl.debug_print("att l={} xn00={} qkv00={} m000={} l000={} "
                                "acc000={} ao00={}",
@@ -1071,52 +1063,70 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
             def _first():
                 x_norm[:] = _rms(x_resid[:], args["final_norm"][0],
                                  eps).astype(jnp.bfloat16)
-                # flush the step's new-token KV: one RMW window per slot
+                # Flush the step's new-token KV: one RMW window per slot,
+                # BATCHED — all slots' reads go in flight before any merge,
+                # and all writes before any wait (a per-slot serialized
+                # start/wait chain is O(B) DMA round trips and dominated the
+                # step at batch 32). Slots hold distinct logical pages, so
+                # windows never overlap.
+                def slot_win(b):
+                    g = tgt_page[b]
+                    off = lens[b] % ps
+                    w0 = pl.multiple_of((off // _RMW_W) * _RMW_W, _RMW_W)
+                    return g * L, w0, off
+
                 for b in range(B):
                     @pl.when(active[b] > 0)
                     def _(b=b):
-                        g = tgt_page[b]
-                        off = lens[b] % ps
-                        w0 = pl.multiple_of((off // _RMW_W) * _RMW_W, _RMW_W)
-                        r = off - w0
-                        row0 = g * L
-
-                        rd_k = pltpu.make_async_copy(
+                        row0, w0, off = slot_win(b)
+                        pltpu.make_async_copy(
                             args["k"].at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
-                            rmw_k, rmw_sems.at[0])
-                        rd_v = pltpu.make_async_copy(
+                            rmw_k.at[b], rmw_sems.at[0, b]).start()
+                        pltpu.make_async_copy(
                             args["v"].at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
-                            rmw_v, rmw_sems.at[1])
-                        rd_k.start(); rd_v.start()
-                        rd_k.wait(); rd_v.wait()
+                            rmw_v.at[b], rmw_sems.at[1, b]).start()
+                        if kv_quant:
+                            pltpu.make_async_copy(
+                                args["kq"].at[pl.ds(row0, L)], rmw_kq.at[b],
+                                rmw_sems.at[2, b]).start()
+                            pltpu.make_async_copy(
+                                args["vq"].at[pl.ds(row0, L)], rmw_vq.at[b],
+                                rmw_sems.at[3, b]).start()
+
+                for b in range(B):
+                    @pl.when(active[b] > 0)
+                    def _(b=b):
+                        row0, w0, off = slot_win(b)
+                        r = off - w0
+                        pltpu.make_async_copy(
+                            args["k"].at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
+                            rmw_k.at[b], rmw_sems.at[0, b]).wait()
+                        pltpu.make_async_copy(
+                            args["v"].at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
+                            rmw_v.at[b], rmw_sems.at[1, b]).wait()
                         # static per-row 2-D selects (axis-inserting int8
                         # reshapes don't lower on hardware)
                         for w in range(_RMW_W):
                             sel = r == w
-                            rmw_k[:, w, :] = jnp.where(sel, nk_buf[b],
-                                                       rmw_k[:, w, :])
-                            rmw_v[:, w, :] = jnp.where(sel, nv_buf[b],
-                                                       rmw_v[:, w, :])
-                        wr_k = pltpu.make_async_copy(
-                            rmw_k,
+                            rmw_k[b, :, w, :] = jnp.where(
+                                sel, nk_buf[b], rmw_k[b, :, w, :])
+                            rmw_v[b, :, w, :] = jnp.where(
+                                sel, nv_buf[b], rmw_v[b, :, w, :])
+                        pltpu.make_async_copy(
+                            rmw_k.at[b],
                             kpool_o.at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
-                            rmw_sems.at[0])
-                        wr_v = pltpu.make_async_copy(
-                            rmw_v,
+                            rmw_sems.at[0, b]).start()
+                        pltpu.make_async_copy(
+                            rmw_v.at[b],
                             vpool_o.at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
-                            rmw_sems.at[1])
-                        wr_k.start(); wr_v.start()
-                        wr_k.wait(); wr_v.wait()
-
+                            rmw_sems.at[1, b]).start()
                         if kv_quant:
-                            rd_kq = pltpu.make_async_copy(
-                                args["kq"].at[pl.ds(row0, L)], rmw_kq,
-                                rmw_sems.at[2])
-                            rd_vq = pltpu.make_async_copy(
-                                args["vq"].at[pl.ds(row0, L)], rmw_vq,
-                                rmw_sems.at[3])
-                            rd_kq.start(); rd_vq.start()
-                            rd_kq.wait(); rd_vq.wait()
+                            pltpu.make_async_copy(
+                                args["kq"].at[pl.ds(row0, L)], rmw_kq.at[b],
+                                rmw_sems.at[2, b]).wait()
+                            pltpu.make_async_copy(
+                                args["vq"].at[pl.ds(row0, L)], rmw_vq.at[b],
+                                rmw_sems.at[3, b]).wait()
                             lane2 = jax.lax.broadcasted_iota(
                                 jnp.int32, (L, ps), 1)
                             hit = lane2 == off
@@ -1128,18 +1138,36 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                                                       j * KH + h + 1]
                                     vcol = nvp_buf[b][:, j * KH + h:
                                                       j * KH + h + 1]
-                                    rmw_kq[:, 2 * h + j, :] = jnp.where(
-                                        hit, kcol, rmw_kq[:, 2 * h + j, :])
-                                    rmw_vq[:, 2 * h + j, :] = jnp.where(
-                                        hit, vcol, rmw_vq[:, 2 * h + j, :])
-                            wr_kq = pltpu.make_async_copy(
-                                rmw_kq, kqpool_o.at[pl.ds(row0, L)],
-                                rmw_sems.at[2])
-                            wr_vq = pltpu.make_async_copy(
-                                rmw_vq, vqpool_o.at[pl.ds(row0, L)],
-                                rmw_sems.at[3])
-                            wr_kq.start(); wr_vq.start()
-                            wr_kq.wait(); wr_vq.wait()
+                                    rmw_kq[b, :, 2 * h + j, :] = jnp.where(
+                                        hit, kcol, rmw_kq[b, :, 2 * h + j, :])
+                                    rmw_vq[b, :, 2 * h + j, :] = jnp.where(
+                                        hit, vcol, rmw_vq[b, :, 2 * h + j, :])
+                            pltpu.make_async_copy(
+                                rmw_kq.at[b], kqpool_o.at[pl.ds(row0, L)],
+                                rmw_sems.at[2, b]).start()
+                            pltpu.make_async_copy(
+                                rmw_vq.at[b], vqpool_o.at[pl.ds(row0, L)],
+                                rmw_sems.at[3, b]).start()
+
+                for b in range(B):
+                    @pl.when(active[b] > 0)
+                    def _(b=b):
+                        row0, w0, off = slot_win(b)
+                        pltpu.make_async_copy(
+                            rmw_k.at[b],
+                            kpool_o.at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
+                            rmw_sems.at[0, b]).wait()
+                        pltpu.make_async_copy(
+                            rmw_v.at[b],
+                            vpool_o.at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
+                            rmw_sems.at[1, b]).wait()
+                        if kv_quant:
+                            pltpu.make_async_copy(
+                                rmw_kq.at[b], kqpool_o.at[pl.ds(row0, L)],
+                                rmw_sems.at[2, b]).wait()
+                            pltpu.make_async_copy(
+                                rmw_vq.at[b], vqpool_o.at[pl.ds(row0, L)],
+                                rmw_sems.at[3, b]).wait()
 
             y = _stream_dot(plan, lm, x_norm[:],
                             args["lm_w"], args.get("lm_s"), args.get("lm_z"),

@@ -22,7 +22,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B = 16
+B = int(__import__("os").environ.get("DI_SB_B", "16"))
 K = 3584
 
 

@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from dashinfer_tpu.ops.pallas.megakernel import (_plan_stream, _stream_dot,
                                                  _round_up)
 
-B = 16
+B = int(os.environ.get("DI_SB_B", "16"))
 HID, INTER, V, L = 3584, 18944, 152064, 28
 QKVN = (28 + 2 * 4) * 128
 
