@@ -99,6 +99,8 @@ def main():
             intermediate_size=18944, num_layers=28, num_heads=28,
             num_kv_heads=4, head_dim=128, qkv_bias=True,
             rope_theta=1000000.0)
+        # best measured config: bs=16 x 8-step windows = 1009.7 tok/s
+        # (bs=32 = 894-920; its kernel B-scales ~2x — see STATUS known gaps)
         B = int(os.environ.get("DI_BENCH_BATCH", "16"))
         ctx_len = int(os.environ.get("DI_BENCH_CTX", "1024"))
         steps, warm = 48, 4
@@ -203,6 +205,59 @@ def main():
         page_tables=jnp.asarray(pt),
         active=jnp.ones((B,), bool),
     )
+
+    # multi-step decode: N scanned steps per launch (the engine's
+    # decode_steps_per_launch fast path) amortize the per-launch dispatch
+    # overhead; page crossings inside each window are precomputed like the
+    # scheduler does.
+    NSTEP = int(os.environ.get("DI_BENCH_MULTISTEP", "8"))
+    if NSTEP > 1:
+        decode = steps_mod.build_multi_decode_step(
+            cfg, rt, NSTEP, use_kernel=on_tpu, megakernel_plan=plan)
+
+        def page_window(state_lens):
+            npi = np.full((NSTEP, B), -1, np.int32)
+            # bench slots never cross maxP; crossings are deterministic
+            for b in range(B):
+                for i in range(NSTEP):
+                    t = int(state_lens[b]) + i
+                    if t % ps == 0:
+                        npi[i, b] = pt[b, min(t // ps, maxP - 1)]
+            return jnp.asarray(npi)
+
+        lens_h = np.full((B,), ctx_len, np.int64)
+        t0 = time.time()
+        for i in range(warm):
+            toks, cache, state = decode(params, cache, state,
+                                        page_window(lens_h))
+            lens_h += NSTEP
+        np.asarray(toks)
+        log(f"compile+warmup ({warm}x{NSTEP} steps) in {time.time()-t0:.1f}s")
+
+        t0 = time.time()
+        prev = None
+        nlaunch = max(steps // NSTEP, 1)
+        for i in range(nlaunch):
+            toks, cache, state = decode(params, cache, state,
+                                        page_window(lens_h))
+            lens_h += NSTEP
+            toks.copy_to_host_async()
+            if prev is not None:
+                _ = np.asarray(prev)
+            prev = toks
+        _ = np.asarray(prev)
+        dt = time.time() - t0
+        toks_per_s = B * nlaunch * NSTEP / dt
+        log(f"{nlaunch}x{NSTEP} steps, batch {B}: {dt:.3f}s "
+            f"-> {toks_per_s:.1f} tok/s")
+        print(json.dumps({
+            "metric": "decode tokens/sec/chip (Qwen2-7B-shape UINT4 weights, "
+                      f"INT8 KV, paged attention, bs={B}, ctx={ctx_len})",
+            "value": round(toks_per_s, 2),
+            "unit": "tok/s",
+            "vs_baseline": round(toks_per_s / BASELINE_TOKS, 2),
+        }))
+        return
 
     decode = steps_mod.build_decode_step(cfg, rt, use_kernel=on_tpu,
                                          megakernel_plan=plan)

@@ -292,6 +292,33 @@ class Engine:
         done.wait(timeout=120)
         return self
 
+    # -- generic non-generative forward (reference "Operator" model,
+    #    csrc/core/model/operator.cpp:19 — run the graph once, no sampler;
+    #    for reward / embedding / classification heads) ----------------------
+    def run_forward(self, name: str, input_ids: List[int]) -> Dict:
+        """Returns {"logits": [T, V] f32, "last_hidden_state": [T, hid]}."""
+        runtime = self._models[name]
+        loop = self._loops.get(name)
+        if loop is None:
+            return runtime.run_forward(input_ids)
+        done = threading.Event()
+        box: List = []
+
+        def do():
+            try:
+                box.append(runtime.run_forward(input_ids))
+            except Exception as e:  # surfaced to the caller below
+                box.append(e)
+            done.set()
+
+        loop.submit(do)
+        done.wait(timeout=600)
+        if not box:
+            raise TimeoutError("run_forward timed out")
+        if isinstance(box[0], Exception):
+            raise box[0]
+        return box[0]
+
     # -- text convenience (reference start_request_text, engine.py:379-416) --
     def start_request_text(self, name: str, tokenizer, prompt: str,
                            gen_cfg: Optional[GenerationConfig] = None):

@@ -11,6 +11,7 @@ all layers, mirroring the reference's per-layer span batch
 """
 
 import dataclasses
+import functools
 import math
 import time
 from collections import deque
@@ -235,6 +236,15 @@ class ModelRuntime:
         if self.mega_params is not None and not with_lora:
             return self.mega_params
         return self.params
+
+    def _multi_decode_fn(self) -> Callable:
+        key = ("multidec", self.rt.decode_steps_per_launch,
+               self.mega_plan is not None)
+        if key not in self._prefill_steps:
+            self._prefill_steps[key] = steps_mod.build_multi_decode_step(
+                self.cfg, self.rt, self.rt.decode_steps_per_launch,
+                use_kernel=self.use_kernel, megakernel_plan=self.mega_plan)
+        return self._prefill_steps[key]
 
     def _make_enforcer(self, req: Request):
         fmt = req.gen_cfg.response_format or {}
@@ -519,6 +529,53 @@ class ModelRuntime:
             if not act:
                 return 0
         B, ps = self.rt.max_batch, self.rt.cache.page_size
+
+        # -- multi-step fast path: N decode steps per launch (lax.scan) ------
+        # eligible only when no request needs per-token host interaction and
+        # every request has at least N tokens of budget left, so the window
+        # never runs past a length limit (EOS/stop-words may still finish a
+        # request mid-window; its later rows are discarded at drain time).
+        N = self.rt.decode_steps_per_launch
+        if N > 1 and not sync_mode and not any(
+                r.gen_cfg.logprobs or r.gen_cfg.lora_name is not None
+                for r in act):
+            ok = all(
+                r.uuid in self._cached_len and
+                min(r.gen_cfg.max_length, self.rt.max_length) -
+                self._cached_len[r.uuid] >= N for r in act)
+            if ok:
+                needs = []   # (req, step_i) page crossings inside the window
+                for req in act:
+                    clen = self._cached_len[req.uuid]
+                    for i in range(N):
+                        if (clen + i) % ps == 0:
+                            needs.append((req, i))
+                pages = None
+                try:
+                    pages = self.allocator.alloc(len(needs)) if needs else []
+                except NoFreePages:
+                    pass  # fall through to the single-step path (it evicts)
+                if pages is not None:
+                    npi = np.full((N, B), -1, np.int32)
+                    for (req, i), g in zip(needs, pages):
+                        req.logical_pages.append([g])
+                        npi[i, req.slot] = g
+                    fn = self._multi_decode_fn()
+                    with self.profiler.phase(f"decode_x{N}"):
+                        tokens, self.cache, self.state = fn(
+                            self._decode_params(False), self.cache,
+                            self.state, jnp.asarray(npi))
+                    for req in act:
+                        self._cached_len[req.uuid] += N
+                    try:
+                        tokens.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                    prev, self._inflight = self._inflight, (tokens, None, act)
+                    if prev is not None:
+                        self._drain_batch(prev)
+                    return len(act)
+
         new_page_ids = np.full((B,), -1, np.int32)
 
         # allocate pages for slots whose incoming token starts a new page
@@ -606,16 +663,23 @@ class ModelRuntime:
     def _drain_batch(self, batch):
         tokens_j, lp, act = batch
         tokens = np.asarray(tokens_j)
+        # single-step launches yield [B]; multi-step launches yield [N, B]
+        rows = tokens[None, :] if tokens.ndim == 1 else tokens
         n = 0
         for req in act:
             if self.requests.get(req.uuid) is not req or req.slot < 0:
                 continue  # stopped/evicted while the step was in flight
-            tok = int(tokens[req.slot])
-            if req.format_enforcer is not None:
-                req.format_enforcer.advance(tok)
-            self._emit(req, [tok], lp, req.slot)
-            self._maybe_finish(req, tok)
-            n += 1
+            slot = req.slot
+            for row in rows:
+                tok = int(row[slot])
+                if req.format_enforcer is not None:
+                    req.format_enforcer.advance(tok)
+                self._emit(req, [tok], lp, slot)
+                self._maybe_finish(req, tok)
+                n += 1
+                if req.status not in (GenerateRequestStatus.Generating,
+                                      GenerateRequestStatus.ContextFinished):
+                    break  # finished mid-window; later rows are garbage
         self.stat.total_gen_tokens += n
 
     # -- token emission & finish ---------------------------------------------
@@ -746,6 +810,38 @@ class ModelRuntime:
                 return KVCache(k=k, v=v, k_qparams=kq, v_qparams=vq)
             self._scatter_rows = jax.jit(sct, donate_argnums=(0,))
         self.cache = self._scatter_rows(self.cache, rows, blob)
+
+    # -- generic non-generative forward (reference "Operator" model,
+    #    csrc/core/model/operator.cpp:19: runs the graph without the
+    #    generation loop, for reward/embedding-style models) ----------------
+    def run_forward(self, input_ids: List[int]) -> Dict[str, np.ndarray]:
+        """One full forward over the prompt; no slot, no sampling. Returns
+        {"logits": [T, V] f32, "last_hidden_state": [T, hid]}. KV pages are
+        scratch — allocated for the call and freed before returning."""
+        from dashinfer_tpu.models import transformer
+        T = len(input_ids)
+        bucket = self.bucket_for(T)
+        ps = self.rt.cache.page_size
+        npages = -(-bucket // ps)
+        # throwaway KV cache sized to this call: the forward is functional
+        # and must not force XLA to copy the serving pool (no donation here)
+        scratch = create_kv_cache(
+            self.cfg, dataclasses.replace(self.rt.cache, num_pages=npages),
+            npages * self.cfg.num_layers, model_dtype=self.dtype)
+        key = ("opfwd", bucket)
+        if key not in self._prefill_steps:
+            self._prefill_steps[key] = jax.jit(functools.partial(
+                transformer.prefill_forward_captured, self.cfg,
+                mode=self.rt.cache.mode))
+        toks = np.zeros((bucket,), np.int32)
+        toks[:T] = input_ids
+        per_layer, logits = self._prefill_steps[key](
+            self.params, jnp.asarray(toks), scratch,
+            jnp.arange(npages, dtype=jnp.int32), jnp.int32(0), jnp.int32(T))
+        return {
+            "logits": np.asarray(logits)[:T],
+            "last_hidden_state": np.asarray(per_layer)[-1][:T],
+        }
 
     # -- weight swap (reference UnloadModelFromDeviceMemory /
     #    ReloadModelToDeviceMemory, allspark.h:542-549; weight_manager.h:108-120)

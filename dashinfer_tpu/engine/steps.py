@@ -302,6 +302,73 @@ def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
     return jax.jit(step, donate_argnums=(1, 2))
 
 
+def build_multi_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
+                            n_steps: int, *, use_kernel: bool,
+                            megakernel_plan=None) -> Callable:
+    """N decode steps in ONE jitted call (lax.scan over the single-step
+    body): fn(params, cache, state, new_page_ids [N, B]) -> (tokens [N, B],
+    cache, state).
+
+    Token feedback, sampling, and state bookkeeping are already in-graph, so
+    the only per-step host input is page installation — which the scheduler
+    can precompute N steps ahead (page crossings are deterministic in
+    context_lens; reference decode admission math model.cpp:1480-1521).
+    Amortizes per-launch dispatch overhead (~6 ms through this runtime's
+    tunnel) across N device steps. Feature-restricted on purpose: logprobs /
+    guided JSON / bad-words / LoRA need per-token host interaction and take
+    the single-step path."""
+    mode = rt.cache.mode
+    ps = rt.cache.page_size
+    if megakernel_plan is not None:
+        from dashinfer_tpu.ops.pallas import megakernel as _mk
+        _mega_fn = _mk.build_decode_megakernel(megakernel_plan)
+
+    def one_step(params, carry, new_page_ids):
+        cache, state = carry
+        B = state.max_batch
+        lens = state.context_lens
+        col = jnp.clip(lens // ps, 0, state.page_tables.shape[1] - 1)
+        b_idx = jnp.arange(B, dtype=jnp.int32)
+        old = state.page_tables[b_idx, col]
+        vals = jnp.where(new_page_ids >= 0, new_page_ids, old)
+        page_tables = state.page_tables.at[b_idx, col].set(vals)
+
+        if megakernel_plan is not None:
+            logits, cache = _megakernel_forward(
+                cfg, megakernel_plan, _mega_fn, params, state, cache,
+                page_tables, lens)
+        else:
+            logits, cache = transformer.decode_forward(
+                cfg, params, state.token_ids, cache, page_tables, lens,
+                state.active, mode=mode, use_kernel=use_kernel,
+                pos_offsets=state.pos_offsets,
+                prompt_lens=state.prompt_lens)
+        out = sampling_ops.sample(
+            logits, state.sampling, state.token_counts, state.gen_lens,
+            lens, max_top_k=rt.sampler_max_top_k, top_logprobs=0,
+            exact_topk=rt.sampler_exact_topk)
+        active = state.active
+        tok = jnp.where(active, out.tokens, state.token_ids)
+        inc = active.astype(jnp.int32)
+        counts = state.token_counts.at[
+            jnp.arange(B), jnp.clip(tok, 0, cfg.vocab_size - 1)].add(inc)
+        state = DecodeState(
+            token_ids=tok, context_lens=lens + inc,
+            prompt_lens=state.prompt_lens, gen_lens=state.gen_lens + inc,
+            page_tables=page_tables, active=active, token_counts=counts,
+            lora_idx=state.lora_idx, pos_offsets=state.pos_offsets,
+            sampling=state.sampling)
+        return (cache, state), tok
+
+    def step(params, cache: KVCache, state: DecodeState, new_page_ids):
+        (cache, state), toks = jax.lax.scan(
+            functools.partial(one_step, params), (cache, state),
+            new_page_ids, length=n_steps)
+        return toks, cache, state
+
+    return jax.jit(step, donate_argnums=(1, 2))
+
+
 def build_deactivate(cfg: ModelConfig, rt: RuntimeConfig) -> Callable:
     """jitted fn(state, slot_mask [B] bool) -> state with slots released."""
 

@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dashinfer_tpu.config import CacheMode, ModelConfig, RuntimeConfig
 
-PACK_VERSION = 2   # bump when plan geometry / packed layout changes
+PACK_VERSION = 3   # bump when plan geometry / packed layout changes
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 _RMW_W = 8          # aligned row window for in-place pool writes
@@ -270,18 +270,24 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
         target_chunk_bytes = int(env_target)
     if not target_chunk_bytes:
         # fit double-buffered chunks of 5 streams in VMEM next to the scratch.
-        # Measured on v5e (bench config): chunk size barely moves the step
-        # time — ~0.5 MB chunks (T=7062) gave 57 ms/step and ~7 MB chunks
-        # (T=509, needs the 100 MB vmem_limit_bytes lift) gave 63 ms/step —
-        # the bottleneck is the per-byte dequant+dot rate, not per-grid-step
-        # overhead. Keep chunks modest so dequant temporaries stay small.
+        # Measured on v5e (bench config, bs=16): chunk size barely moves the
+        # step time between ~0.5 MB and ~2 MB — the bottleneck is the
+        # per-byte dequant+dot rate, not per-grid-step overhead. But the
+        # grouped-dequant dot materializes [groups, B, cols] f32 temporaries
+        # that scale with BATCH: at bs=32 a 2 MB chunk collapses the kernel
+        # 14.6 -> 60 ms (Mosaic VMEM spill), while 768 KB chunks restore it
+        # (measured 918 tok/s e2e). Cap chunk bytes at 24 MB / B so the
+        # temporaries stay bounded as batch grows.
         G8 = _round_up(H // KH, 8)
         kvb = 2 if rt.cache.mode == CacheMode.DEFAULT else 1
         scratch = _scratch_bytes_estimate(
             rt.max_batch, cfg.num_layers, hid, H, KH, D, G8, inter, QKVN,
             rt.cache.page_size, kvb)
         budget = 72 * (1 << 20) - scratch
-        target_chunk_bytes = max(1 << 18, min(2 << 20, budget // 11))
+        batch_cap = (24 << 20) // max(rt.max_batch, 1) if rt.max_batch > 16 \
+            else 2 << 20
+        target_chunk_bytes = max(1 << 18,
+                                 min(2 << 20, batch_cap, budget // 11))
 
     def gs_of(leaf, K, gaxis=1):
         # stacked layer leaves are [L, G, N] (gaxis=1); unstacked [G, N]

@@ -47,12 +47,20 @@ def pack_u4_weight(q: np.ndarray) -> np.ndarray:
 
 
 def unpack_u4_weight_np_like(packed, xp):
-    """packed: [K, N/2] -> [K, N] float32-ish using module xp (np or jnp)."""
+    """packed: [K, N/2] -> [K, N] int levels using module xp (np or jnp).
+
+    With numpy the unpack stays in uint8 end to end (int32 temporaries
+    quadruple the memory traffic and dominated megakernel pack time)."""
     K, half = packed.shape
     N = half * 2
-    p32 = packed.astype(xp.int32)
-    lo = p32 & 0xF
-    hi = (p32 >> 4) & 0xF
+    if xp is np:
+        p = np.ascontiguousarray(packed)
+        lo = p & np.uint8(0xF)
+        hi = p >> np.uint8(4)
+    else:
+        p32 = packed.astype(xp.int32)
+        lo = p32 & 0xF
+        hi = (p32 >> 4) & 0xF
     if weight_uses_tile128(N):
         lo_t = lo.reshape(K, N // 256, 128)
         hi_t = hi.reshape(K, N // 256, 128)

@@ -178,3 +178,21 @@ def test_chunked_prefill_matches_hf():
     got = q.GetAllGeneratedTokens()
     eng.release_model("ck")
     assert got == golden
+
+
+def test_run_forward_generic_operator(engine_setup):
+    """Non-generative forward (reference generic "Operator" model,
+    operator.cpp:19): full-sequence logits match the HF oracle and the API
+    leaves the serving pool untouched."""
+    eng, model, hf_cfg = engine_setup
+    rng = np.random.RandomState(13)
+    prompt = rng.randint(1, hf_cfg.vocab_size, size=9).tolist()
+
+    before = eng.get_engine_stat("tiny")["used_span"]
+    out = eng.run_forward("tiny", prompt)
+    assert out["logits"].shape == (9, hf_cfg.vocab_size)
+    assert out["last_hidden_state"].shape == (9, hf_cfg.hidden_size)
+    ref = hf_util.hf_full_logits(model, prompt)
+    np.testing.assert_allclose(out["logits"], np.asarray(ref), atol=2e-3,
+                               rtol=2e-3)
+    assert eng.get_engine_stat("tiny")["used_span"] == before

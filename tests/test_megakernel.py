@@ -186,6 +186,62 @@ def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm):
                 assert got.shape == want.shape
 
 
+def test_make_plan_batch_aware_chunks():
+    """Chunk bytes must shrink as batch grows: the grouped-dequant dot
+    materializes [groups, B, cols] f32 temporaries, and at bs=32 a 2 MB
+    chunk spills VMEM (kernel 14.6 -> 60 ms measured on v5e)."""
+    from dashinfer_tpu.config import CacheConfig, CacheMode, ModelConfig, \
+        RuntimeConfig
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+
+    cfg = ModelConfig(
+        arch="qwen2", vocab_size=152064, hidden_size=3584,
+        intermediate_size=18944, num_layers=28, num_heads=28,
+        num_kv_heads=4, head_dim=128, qkv_bias=True, rope_theta=1000000.0)
+    L, hid, inter, V = 28, 3584, 18944, 152064
+    gs = 128
+
+    def qleaf(kin, kout, layers=True):
+        shape = (L, kin, kout // 2) if layers else (kin, kout // 2)
+        gshape = (L, kin // gs, kout) if layers else (kin // gs, kout)
+        return {"w_q": np.zeros(shape, np.uint8),
+                "scale": np.zeros(gshape, np.float32),
+                "zero": np.zeros(gshape, np.float32)}
+
+    params = {
+        "embed_tokens": {"w": np.zeros((V, hid), np.float32)},
+        "norm": np.ones((hid,), np.float32),
+        "lm_head": qleaf(hid, V, layers=False),
+        "layers": {
+            "input_layernorm": np.ones((L, hid), np.float32),
+            "post_attention_layernorm": np.ones((L, hid), np.float32),
+            "q_proj": qleaf(hid, 28 * 128),
+            "k_proj": qleaf(hid, 4 * 128),
+            "v_proj": qleaf(hid, 4 * 128),
+            "o_proj": qleaf(28 * 128, hid),
+            "gate_proj": qleaf(hid, inter),
+            "up_proj": qleaf(hid, inter),
+            "down_proj": qleaf(inter, hid),
+        },
+    }
+
+    def plan_for(B):
+        rt = RuntimeConfig(
+            model_name="bench", max_length=1152, max_batch=B,
+            cache=CacheConfig(page_size=256, mode=CacheMode.INT8,
+                              num_pages=B * 8),
+            dtype="bfloat16")
+        return mk.make_plan(cfg, rt, params)
+
+    p16, p32 = plan_for(16), plan_for(32)
+    # bs=16 keeps large chunks (at the streaming floor); bs=32 must cap at
+    # 24 MB / 32 = 768 KB, reproducing the measured-good geometry
+    assert p16.qkv.chunk > p32.qkv.chunk
+    assert p32.qkv.chunk == 256 and p32.qkv.S == 18
+    assert p32.dn.chunk == 384
+    assert p32.S_layer == 231 and p32.T_total == 7062
+
+
 def test_build_schedule():
     import jax.numpy as jnp
     from dashinfer_tpu.ops.pallas.megakernel import build_schedule
