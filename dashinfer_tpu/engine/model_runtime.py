@@ -95,10 +95,14 @@ class ModelRuntime:
         if (self.use_kernel and rt.enable_megakernel and
                 EnvConfig.megakernel_enabled() and not rt.enable_lora):
             from dashinfer_tpu.ops.pallas import megakernel as mk
-            if mk.supports(cfg, rt, params):
+            # reference decoder_weight_only_ (device_context.h:148-149):
+            # a8w8 models decode through the weight-only megakernel while
+            # prefill keeps activation-quant GEMMs on the raw params
+            mk_params = mk.weight_only_decode_view(params)
+            if mk_params is not None and mk.supports(cfg, rt, mk_params):
                 t0 = time.monotonic()
-                self.mega_plan = mk.make_plan(cfg, rt, params)
-                packed = mk.pack_params(cfg, self.mega_plan, params)
+                self.mega_plan = mk.make_plan(cfg, rt, mk_params)
+                packed = mk.pack_params(cfg, self.mega_plan, mk_params)
                 self.mega_params = {
                     "packed": packed,
                     "embed": jnp.asarray(params["embed_tokens"]["w"])}

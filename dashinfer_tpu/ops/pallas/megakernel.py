@@ -180,6 +180,61 @@ def _weight_bits(leaf: Dict) -> int:
     return 8 if leaf["w_q"].dtype == jnp.int8 else 4
 
 
+def weight_only_decode_view(params: Dict) -> Optional[Dict]:
+    """Reference `decoder_weight_only_` behavior (device_context.h:87-89,
+    148-149): an A8W8 model runs activation-quant GEMMs in prefill but falls
+    back to WEIGHT-ONLY GEMV in decode. Here: re-express each symmetric
+    per-channel int8 leaf {w_q8 [.., K, N], wscale [.., 1, N]} as the
+    megakernel's group-wise asymmetric format (gs=128 groups with replicated
+    scales, zero=0) so decode streams it unchanged on the fast path.
+
+    Returns params untouched when no a8w8 leaves exist, a converted shallow
+    copy when they do, or None when the model can't take the weight-only
+    path (fp8 payloads; K not 128-aligned)."""
+    import numpy as np
+
+    def convert(leaf):
+        if not isinstance(leaf, dict) or "w_q8" not in leaf:
+            return leaf
+        w = np.asarray(leaf["w_q8"])
+        s = np.asarray(leaf["wscale"], np.float32)
+        K = w.shape[-2]
+        if K % 128:
+            raise ValueError
+        G = K // 128
+        gshape = s.shape[:-2] + (G, s.shape[-1])
+        out = {"w_q": w,
+               "scale": np.broadcast_to(s, gshape),
+               "zero": np.zeros(gshape, np.float32)}
+        if "b" in leaf:
+            out["b"] = leaf["b"]
+        return out
+
+    try:
+        found = False
+        new_layers = {}
+        for name, leaf in params["layers"].items():
+            if isinstance(leaf, dict) and "w_f8" in leaf:
+                return None
+            nl = convert(leaf)
+            found |= nl is not leaf
+            new_layers[name] = nl
+        lm = params.get("lm_head")
+        if isinstance(lm, dict) and "w_f8" in lm:
+            return None
+        new_lm = convert(lm) if isinstance(lm, dict) else lm
+        found |= new_lm is not lm
+        if not found:
+            return params
+        out = dict(params)
+        out["layers"] = new_layers
+        if new_lm is not lm:
+            out["lm_head"] = new_lm
+        return out
+    except (ValueError, KeyError):
+        return None
+
+
 def supports(cfg: ModelConfig, rt: RuntimeConfig, params: Dict) -> bool:
     """Eligibility for the megakernel fast path (fallback otherwise)."""
     try:

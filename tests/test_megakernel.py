@@ -87,6 +87,7 @@ def _prep_cache(cfg, rt, params, mode, lens, pt):
     ("a16w8", "uint4", False),
     ("none", "int8", True),      # Qwen3 per-head QK RMSNorm
     ("a16w4", "int8", True),
+    ("a8w8", "int8", False),     # decoder_weight_only_ view (§2.11)
 ])
 def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm):
     import jax
@@ -106,6 +107,16 @@ def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm):
         from dashinfer_tpu.loader.quantize import quantize_params
         params = quantize_params(params, QuantConfig(mode=quant,
                                                      group_size=128))
+    if quant == "a8w8":
+        # reference decoder_weight_only_ (device_context.h:148-149): decode
+        # runs the weight-only view of the symmetric per-channel int8 leaves;
+        # both paths below consume the view, so parity is exact-class
+        view = mk.weight_only_decode_view(params)
+        assert view is not params
+        assert "w_q" in view["layers"]["q_proj"]
+        assert view["layers"]["q_proj"]["scale"].shape[1] == \
+            cfg.hidden_size // 128
+        params = view
 
     assert mk.supports(cfg, rt, params)
     plan = mk.make_plan(cfg, rt, params, target_chunk_bytes=64 * 1024)
@@ -303,3 +314,45 @@ def test_engine_serving_uses_megakernel_greedy_parity():
     # bf16 megakernel vs f32 fallback can flip a late near-tie argmax on a
     # random tiny model; require agreement over the first 10 steps
     assert fast[:10] == slow[:10], (fast, slow)
+
+
+def test_engine_serving_a8w8_weight_only_decode():
+    """An A8W8 model installs the weight-only megakernel view for decode
+    (reference decoder_weight_only_, device_context.h:148-149) and serves
+    greedy tokens matching the fallback path."""
+    import dataclasses
+    from dashinfer_tpu import Engine, GenerationConfig
+    from dashinfer_tpu.config import CacheMode, QuantConfig
+    from dashinfer_tpu.loader.quantize import quantize_params
+
+    cfg, rt, params = _tiny(B=2)
+    rt = dataclasses.replace(
+        rt, max_length=48,
+        cache=dataclasses.replace(rt.cache, mode=CacheMode.INT8))
+    params = quantize_params(params, QuantConfig(mode="a8w8"))
+    assert "w_q8" in params["layers"]["q_proj"]
+
+    def run(enable_mega):
+        rt2 = dataclasses.replace(rt, enable_megakernel=enable_mega)
+        eng = Engine()
+        from dashinfer_tpu.engine.model_runtime import ModelRuntime
+        runtime = ModelRuntime("a8", cfg, params, rt2, use_kernel=enable_mega)
+        if enable_mega:
+            assert runtime.mega_plan is not None, \
+                "weight-only view did not engage the megakernel"
+        eng._models["a8"] = runtime
+        eng.start_model("a8")
+        gen = GenerationConfig(max_length=20, do_sample=False, top_k=1,
+                               eos_token_id=-1)
+        _, h, q = eng.start_request("a8", [5, 9, 2, 41, 77, 3], gen)
+        eng.sync_request("a8", h, timeout_s=900)
+        toks = q.GetAllGeneratedTokens()
+        eng.release_model("a8")
+        return toks
+
+    fast = run(True)
+    slow = run(False)   # activation-quant decode (XLA path)
+    assert len(fast) == len(slow) == 14
+    # weight-only decode vs activation-quant decode: same weights, slightly
+    # different numerics class — require early-step agreement
+    assert fast[:8] == slow[:8], (fast, slow)
