@@ -113,6 +113,18 @@ def quantize_params(params: Dict, quant: QuantConfig) -> Dict:
                 return tree
             return {k: walk(v, f"{path}{k}/" if path or True else k)
                     for k, v in tree.items()}
+        if (getattr(tree, "ndim", 0) == 4 and pattern.match(path)
+                and not act_quant):
+            # stacked MoE expert weights [L, E, in, out] -> per-(layer,
+            # expert) weight-only quant (reference MOEA8W8 quantizes experts
+            # the same per-matrix way, moe_op_a8w8_gpu.cpp)
+            w = np.asarray(tree, np.float32)
+            L, E = w.shape[:2]
+            out = _quantize_stacked(w.reshape(L * E, *w.shape[2:]), bits,
+                                    quant.group_size)
+            n_q += 1
+            return {k: v.reshape((L, E) + v.shape[1:])
+                    for k, v in out.items()}
         return tree
 
     out = walk(params)

@@ -31,9 +31,34 @@ def _act(cfg: ModelConfig, x):
     return jax.nn.relu(x)
 
 
+def _expert_stack(leaf, dtype) -> jnp.ndarray:
+    """Expert weights: raw [E, K, N] array, or weight-only quantized leaf
+    {"w_q" [E, K, N(/2)], "scale"/"zero" [E, G, N]} -> dense [E, K, N].
+    The dequant is elementwise so XLA fuses it into the consuming grouped
+    matmul rather than materializing the full bf16 stack."""
+    if not isinstance(leaf, dict):
+        return leaf
+    w_q, scale, zero = leaf["w_q"], leaf["scale"], leaf["zero"]
+    if w_q.dtype == jnp.int8:
+        q = w_q.astype(jnp.float32)
+    else:
+        from dashinfer_tpu.ops.u4pack import unpack_u4_weight_np_like
+        E, K, half = w_q.shape
+        # tile-128 packing is row-independent, so the E-stack flattens
+        q = unpack_u4_weight_np_like(w_q.reshape(E * K, half), jnp) \
+            .astype(jnp.float32).reshape(E, K, half * 2)
+    E, K, N = q.shape
+    G = scale.shape[1]
+    gs = K // G
+    qg = q.reshape(E, G, gs, N)
+    w = qg * scale[:, :, None, :] + zero[:, :, None, :]
+    return w.reshape(E, K, N).astype(dtype)
+
+
 def moe_block(cfg: ModelConfig, x: jnp.ndarray, lp: Dict) -> jnp.ndarray:
     """x: [T, hidden]; lp["router"]: {"w": [hidden, E]}; lp["experts"]:
-    {"gate_proj"/"up_proj": [E, hidden, Im], "down_proj": [E, Im, hidden]}.
+    {"gate_proj"/"up_proj": [E, hidden, Im], "down_proj": [E, Im, hidden]}
+    (raw bf16 or weight-only-quantized leaves).
     Optional lp["shared_expert"] dense MLP + lp["shared_expert_gate"].
     """
     moe = cfg.moe
@@ -61,18 +86,20 @@ def moe_block(cfg: ModelConfig, x: jnp.ndarray, lp: Dict) -> jnp.ndarray:
     def ragged(lhs, rhs):
         return jax.lax.ragged_dot(lhs, rhs, group_sizes)
 
-    g = ragged(xs, lp["experts"]["gate_proj"])              # [T*k, Im]
-    u = ragged(xs, lp["experts"]["up_proj"])
+    g = ragged(xs, _expert_stack(lp["experts"]["gate_proj"], x.dtype))
+    u = ragged(xs, _expert_stack(lp["experts"]["up_proj"], x.dtype))
     h = _act(cfg, g) * u
-    out = ragged(h.astype(x.dtype), lp["experts"]["down_proj"])  # [T*k, H]
+    out = ragged(h.astype(x.dtype),
+                 _expert_stack(lp["experts"]["down_proj"], x.dtype))
 
     out = out * sorted_w[:, None].astype(out.dtype)
     combined = jnp.zeros((T, H), out.dtype).at[sorted_token].add(out)
 
     if "shared_expert" in lp:
+        from dashinfer_tpu.ops.linear import linear
         se = lp["shared_expert"]
-        sg = _act(cfg, jnp.dot(x, se["gate_proj"]["w"])) * jnp.dot(x, se["up_proj"]["w"])
-        shared = jnp.dot(sg, se["down_proj"]["w"])
+        sg = _act(cfg, linear(x, se["gate_proj"])) * linear(x, se["up_proj"])
+        shared = linear(sg, se["down_proj"])
         if "shared_expert_gate" in lp:
             gate = jax.nn.sigmoid(
                 jnp.dot(x.astype(jnp.float32),

@@ -139,9 +139,29 @@ class MegaPlan:
     # Qwen3 per-head QK RMSNorm (reference QKLayerNormNoBeta,
     # qwen_v30.py:228-319) fused into the attention phase
     qk_norm: bool = False
+    # MoE (reference MOE op + CalcExpert shared expert, moe_op.cpp): when
+    # E > 0 the gu/dn streams are PER-EXPERT (every expert's weights stream
+    # through every step; non-selected experts contribute with gate 0 — zero
+    # extra bytes, the stream is the cost), sgu/sdn are the shared expert,
+    # and a router phase computes softmax top-k gates in-kernel.
+    E: int = 0
+    k_top: int = 0
+    norm_topk: bool = False
+    has_shared: bool = False
+    has_shared_gate: bool = False
+    EP: int = 128                  # router lane padding (E + shared gate col)
+    sgu: Optional[StreamPlan] = None
+    sdn: Optional[StreamPlan] = None
+    shared_inter: int = 0
 
     @property
     def S_layer(self) -> int:
+        if self.E:
+            s = self.qkv.S + 1 + self.o.S + 1 + \
+                self.E * (self.gu.S + self.dn.S)
+            if self.has_shared:
+                s += self.sgu.S + self.sdn.S
+            return s
         return self.qkv.S + 1 + self.o.S + self.gu.S + self.dn.S
 
     @property
@@ -162,6 +182,22 @@ class MegaPlan:
         return self.qkv.S + 1
 
     @property
+    def base_router(self) -> int:      # MoE only
+        return self.base_o + self.o.S
+
+    @property
+    def base_exp(self) -> int:         # MoE only
+        return self.base_router + 1
+
+    @property
+    def base_sgu(self) -> int:         # MoE only
+        return self.base_exp + self.E * (self.gu.S + self.dn.S)
+
+    @property
+    def base_sdn(self) -> int:         # MoE only
+        return self.base_sgu + self.sgu.S
+
+    @property
     def base_gu(self) -> int:
         return self.base_o + self.o.S
 
@@ -174,9 +210,9 @@ class MegaPlan:
         return self.D // 2 if self.kv_bits == 4 else self.D
 
 
-def _weight_bits(leaf: Dict) -> int:
-    if "w_q" not in leaf:
-        return 16
+def _weight_bits(leaf) -> int:
+    if not isinstance(leaf, dict) or "w_q" not in leaf:
+        return 16   # raw array (MoE expert stack) or {"w": ...}
     return 8 if leaf["w_q"].dtype == jnp.int8 else 4
 
 
@@ -235,15 +271,90 @@ def weight_only_decode_view(params: Dict) -> Optional[Dict]:
         return None
 
 
+def _expert_leaf_bits(leaf) -> int:
+    return _weight_bits(leaf)
+
+
+def _expert_gs(leaf, K: int) -> int:
+    """Group size of a (possibly quantized) expert stack [L, E, ...]."""
+    if not isinstance(leaf, dict) or "w_q" not in leaf:
+        return 0
+    G = leaf["scale"].shape[2]
+    return K if G == 1 else K // G
+
+
+def _moe_supports(cfg: ModelConfig, lp: Dict) -> bool:
+    moe = cfg.moe
+    if moe.mlp_only_layers:
+        return False                 # mixed dense/MoE layer scan
+    if moe.num_experts + 1 > 128:    # router lanes (+1 shared-gate col)
+        return False
+    if moe.num_experts_per_tok > 8:
+        return False
+    ex = lp.get("experts")
+    if not isinstance(ex, dict):
+        return False
+    for name in ("gate_proj", "up_proj", "down_proj"):
+        leaf = ex.get(name)
+        if leaf is None or (isinstance(leaf, dict) and
+                            ("w_q8" in leaf or "w_f8" in leaf)):
+            return False
+    if _expert_leaf_bits(ex["gate_proj"]) != _expert_leaf_bits(ex["up_proj"]):
+        return False
+    Im = moe.moe_intermediate_size
+    hid = cfg.hidden_size
+    for name, K in (("gate_proj", hid), ("up_proj", hid),
+                    ("down_proj", Im)):
+        gs = _expert_gs(ex[name], K)
+        if gs and gs % 128 and gs != K:
+            return False
+    # per-channel k-chunked down stream has the same geometry restriction
+    # as the dense path
+    gs_dn = _expert_gs(ex["down_proj"], Im)
+    if gs_dn == Im and Im > 2048:
+        return False
+    if moe.shared_expert_intermediate_size:
+        se = lp.get("shared_expert")
+        if not isinstance(se, dict):
+            return False
+        sIm = moe.shared_expert_intermediate_size
+        for name, K in (("gate_proj", hid), ("up_proj", hid),
+                        ("down_proj", sIm)):
+            leaf = se.get(name)
+            if leaf is None or "w_q8" in leaf or "w_f8" in leaf or \
+                    "b" in leaf:
+                return False
+            if "w_q" in leaf:
+                gs = K // leaf["scale"].shape[1]
+                if gs % 128 and gs != K:
+                    return False
+        if _weight_bits(se["gate_proj"]) != _weight_bits(se["up_proj"]):
+            return False
+        dnl = se["down_proj"]
+        if "w_q" in dnl:
+            gs = sIm // dnl["scale"].shape[1]
+            if gs == sIm and sIm > 2048:
+                return False
+    if "router" not in lp:
+        return False
+    return True
+
+
 def supports(cfg: ModelConfig, rt: RuntimeConfig, params: Dict) -> bool:
     """Eligibility for the megakernel fast path (fallback otherwise)."""
     try:
         lp = params["layers"]
-        for name in ("q_proj", "o_proj", "gate_proj", "down_proj"):
+        moe = cfg.moe is not None
+        if moe:
+            if not _moe_supports(cfg, lp):
+                return False
+        else:
+            for name in ("gate_proj", "down_proj"):
+                if "w_q8" in lp[name] or "w_f8" in lp[name]:
+                    return False
+        for name in ("q_proj", "o_proj"):
             if "w_q8" in lp[name] or "w_f8" in lp[name]:
                 return False  # activation-quant leaves take the XLA path
-        if cfg.moe is not None:
-            return False
         if cfg.qk_norm:
             # fused per-head RMS needs plain [D] norm weights
             qn = lp.get("q_norm")
@@ -267,23 +378,28 @@ def supports(cfg: ModelConfig, rt: RuntimeConfig, params: Dict) -> bool:
             return False
         if rt.max_batch > 64:
             return False
-        dnl = lp["down_proj"]
-        if "w_q" in dnl:
-            Kdn = dnl["w_q"].shape[1]
-            gs_dn = Kdn // dnl["scale"].shape[1]
-            if gs_dn == Kdn and Kdn > 2048:
+        if not moe:
+            dnl = lp["down_proj"]
+            if "w_q" in dnl:
+                Kdn = dnl["w_q"].shape[1]
+                gs_dn = Kdn // dnl["scale"].shape[1]
+                if gs_dn == Kdn and Kdn > 2048:
+                    return False
+            for name in ("gate_proj", "up_proj", "down_proj"):
+                if "b" in lp[name]:
+                    return False
+            if _weight_bits(lp["gate_proj"]) != _weight_bits(lp["up_proj"]):
                 return False
-        for name in ("o_proj", "gate_proj", "up_proj", "down_proj"):
-            if "b" in lp[name]:
-                return False
-        # uniform bits within each fused stream
-        if _weight_bits(lp["gate_proj"]) != _weight_bits(lp["up_proj"]):
+        if "b" in lp["o_proj"]:
             return False
+        # uniform bits within the fused qkv stream
         for name in ("q_proj", "k_proj", "v_proj"):
             if _weight_bits(lp[name]) != _weight_bits(lp["q_proj"]):
                 return False
         # group sizes must divide the 128-aligned chunking
-        for name in ("q_proj", "o_proj", "gate_proj", "down_proj"):
+        gnames = ("q_proj", "o_proj") if moe else \
+            ("q_proj", "o_proj", "gate_proj", "down_proj")
+        for name in gnames:
             leaf = lp[name]
             if "w_q" in leaf:
                 K = leaf["w_q"].shape[1]
@@ -330,16 +446,17 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
         # per-byte dequant+dot rate, not per-grid-step overhead. But the
         # grouped-dequant dot materializes [groups, B, cols] f32 temporaries
         # that scale with BATCH: at bs=32 a 2 MB chunk collapses the kernel
-        # 14.6 -> 60 ms (Mosaic VMEM spill), while 768 KB chunks restore it
-        # (measured 918 tok/s e2e). Cap chunk bytes at 24 MB / B so the
-        # temporaries stay bounded as batch grows.
+        # 14.6 -> 60 ms (Mosaic VMEM spill). Swept at bs=32 (multi-step e2e):
+        # 768 KB -> 894 tok/s, 1 MB -> 1294 tok/s (sweet spot below the
+        # spill cliff); bs=64 at 384 KB collapses again (224 tok/s). Cap
+        # chunk bytes at 32 MB / B beyond bs=16.
         G8 = _round_up(H // KH, 8)
         kvb = 2 if rt.cache.mode == CacheMode.DEFAULT else 1
         scratch = _scratch_bytes_estimate(
             rt.max_batch, cfg.num_layers, hid, H, KH, D, G8, inter, QKVN,
             rt.cache.page_size, kvb)
         budget = 72 * (1 << 20) - scratch
-        batch_cap = (24 << 20) // max(rt.max_batch, 1) if rt.max_batch > 16 \
+        batch_cap = (32 << 20) // max(rt.max_batch, 1) if rt.max_batch > 16 \
             else 2 << 20
         target_chunk_bytes = max(1 << 18,
                                  min(2 << 20, batch_cap, budget // 11))
@@ -360,11 +477,33 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
                                                     else 128))
         o = dataclasses.replace(o, S=-(-hid // o.chunk), Np=hid)
     o = dataclasses.replace(o, S=hid // o.chunk, Np=hid)
-    gu = _plan_stream("gu", _weight_bits(lp["gate_proj"]), hid, 2 * inter,
-                      gs_of(lp["gate_proj"], hid), target_chunk_bytes)
-    dn = _plan_stream("dn", _weight_bits(lp["down_proj"]), inter, hid,
-                      gs_of(lp["down_proj"], inter), target_chunk_bytes,
-                      chunk_axis="k")
+    moe = cfg.moe
+    sgu = sdn = None
+    sh_inter = 0
+    if moe is not None:
+        ex = lp["experts"]
+        inter = moe.moe_intermediate_size
+        gu = _plan_stream("gu", _weight_bits(ex["gate_proj"]), hid,
+                          2 * inter, _expert_gs(ex["gate_proj"], hid),
+                          target_chunk_bytes)
+        dn = _plan_stream("dn", _weight_bits(ex["down_proj"]), inter, hid,
+                          _expert_gs(ex["down_proj"], inter),
+                          target_chunk_bytes, chunk_axis="k")
+        if moe.shared_expert_intermediate_size:
+            se = lp["shared_expert"]
+            sh_inter = moe.shared_expert_intermediate_size
+            sgu = _plan_stream("sg", _weight_bits(se["gate_proj"]), hid,
+                               2 * sh_inter, gs_of(se["gate_proj"], hid),
+                               target_chunk_bytes)
+            sdn = _plan_stream("sd", _weight_bits(se["down_proj"]), sh_inter,
+                               hid, gs_of(se["down_proj"], sh_inter),
+                               target_chunk_bytes, chunk_axis="k")
+    else:
+        gu = _plan_stream("gu", _weight_bits(lp["gate_proj"]), hid, 2 * inter,
+                          gs_of(lp["gate_proj"], hid), target_chunk_bytes)
+        dn = _plan_stream("dn", _weight_bits(lp["down_proj"]), inter, hid,
+                          gs_of(lp["down_proj"], inter), target_chunk_bytes,
+                          chunk_axis="k")
     lm_leaf = params["lm_head"] if not cfg.tie_word_embeddings else \
         {"w": params["embed_tokens"]["w"]}
     lm = _plan_stream("lm", _weight_bits(lm_leaf), hid, V,
@@ -387,7 +526,14 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
         kv_dtype_name=kv_dtype_name,
         has_qkv_bias=("b" in lp["q_proj"]),
         qkv=qkv, o=o, gu=gu, dn=dn, lm=lm, rms_eps=cfg.rms_norm_eps,
-        qk_norm=cfg.qk_norm)
+        qk_norm=cfg.qk_norm,
+        E=moe.num_experts if moe else 0,
+        k_top=moe.num_experts_per_tok if moe else 0,
+        norm_topk=moe.norm_topk_prob if moe else False,
+        has_shared=sgu is not None,
+        has_shared_gate=(moe is not None and
+                         "shared_expert_gate" in lp),
+        sgu=sgu, sdn=sdn, shared_inter=sh_inter)
 
 
 # ---------------------------------------------------------------------------
@@ -458,6 +604,41 @@ def _leaf_to_int(leaf: Dict, bits: int) -> Tuple[np.ndarray, np.ndarray,
         np.asarray(leaf["zero"], np.float32)
 
 
+def _chunk_leaves(sp: StreamPlan, leaves):
+    """Concat leaves along N, chunk per the stream plan. Returns
+    (payload [S, rows, cols], sc, zc) with sc/zc None for bf16."""
+    parts_q, parts_s, parts_z = [], [], []
+    for leaf in leaves:
+        if sp.bits == 16:
+            parts_q.append(np.asarray(leaf["w"], np.float32))
+        else:
+            q, s, z = _leaf_to_int(leaf, sp.bits)
+            parts_q.append(q)
+            parts_s.append(s)
+            parts_z.append(z)
+    qcat = np.concatenate(parts_q, axis=1) if len(parts_q) > 1 else parts_q[0]
+    if sp.bits == 16:
+        buf = np.zeros((sp.Kp, sp.Np), np.float32)
+        buf[:qcat.shape[0], :qcat.shape[1]] = qcat
+        if sp.chunk_axis == "n":
+            ch = buf.reshape(sp.Kp, sp.S, sp.chunk).transpose(1, 0, 2)
+        else:
+            ch = buf.reshape(sp.S, sp.chunk, sp.Np)
+        return ch.astype(jnp.bfloat16), None, None
+    scat = np.concatenate(parts_s, axis=1) if len(parts_s) > 1 else parts_s[0]
+    zcat = np.concatenate(parts_z, axis=1) if len(parts_z) > 1 else parts_z[0]
+    sc, zc = _chunk_qparams(sp, scat, zcat)
+    return _chunk_payload(sp, qcat), sc, zc
+
+
+def _expert_leaf(stack, l: int, e: int) -> Dict:
+    """Per-(layer, expert) leaf view of an expert stack."""
+    if isinstance(stack, dict):
+        return {"w_q": stack["w_q"][l, e], "scale": stack["scale"][l, e],
+                "zero": stack["zero"][l, e]}
+    return {"w": stack[l, e]}
+
+
 def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
     """Build the megakernel's streamed-weight arrays from the engine's
     stacked params pytree (one-time cost at install)."""
@@ -468,35 +649,31 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
     def pack_stream(sp: StreamPlan, leaves_per_layer):
         pays, scs, zcs = [], [], []
         for l in range(L):
-            parts_q, parts_s, parts_z = [], [], []
-            for leaf in leaves_per_layer(l):
-                if sp.bits == 16:
-                    parts_q.append(np.asarray(leaf["w"], np.float32))
-                else:
-                    q, s, z = _leaf_to_int(leaf, sp.bits)
-                    parts_q.append(q)
-                    parts_s.append(s)
-                    parts_z.append(z)
-            qcat = np.concatenate(parts_q, axis=1) if len(parts_q) > 1 \
-                else parts_q[0]
-            if sp.bits == 16:
-                buf = np.zeros((sp.Kp if sp.chunk_axis == "n" else sp.Kp,
-                                sp.Np), np.float32)
-                buf[:qcat.shape[0], :qcat.shape[1]] = qcat
-                if sp.chunk_axis == "n":
-                    ch = buf.reshape(sp.Kp, sp.S, sp.chunk).transpose(1, 0, 2)
-                else:
-                    ch = buf.reshape(sp.S, sp.chunk, sp.Np)
-                pays.append(ch.astype(jnp.bfloat16))
-            else:
-                scat = np.concatenate(parts_s, axis=1) if len(parts_s) > 1 \
-                    else parts_s[0]
-                zcat = np.concatenate(parts_z, axis=1) if len(parts_z) > 1 \
-                    else parts_z[0]
-                pays.append(_chunk_payload(sp, qcat))
-                sc, zc = _chunk_qparams(sp, scat, zcat)
+            pay, sc, zc = _chunk_leaves(sp, leaves_per_layer(l))
+            pays.append(pay)
+            if sc is not None:
                 scs.append(sc)
                 zcs.append(zc)
+        out[sp.name + "_w"] = jnp.asarray(np.stack(pays))
+        if sp.bits != 16:
+            out[sp.name + "_s"] = jnp.asarray(np.stack(scs))
+            out[sp.name + "_z"] = jnp.asarray(np.stack(zcs))
+
+    def pack_expert_stream(sp: StreamPlan, leaves_per_expert):
+        """[L, E*S, rows, cols]: expert e's chunks at rows e*S .. (e+1)*S."""
+        pays, scs, zcs = [], [], []
+        for l in range(L):
+            ep, es, ez = [], [], []
+            for e in range(plan.E):
+                pay, sc, zc = _chunk_leaves(sp, leaves_per_expert(l, e))
+                ep.append(pay)
+                if sc is not None:
+                    es.append(sc)
+                    ez.append(zc)
+            pays.append(np.concatenate(ep, axis=0))
+            if es:
+                scs.append(np.concatenate(es, axis=0))
+                zcs.append(np.concatenate(ez, axis=0))
         out[sp.name + "_w"] = jnp.asarray(np.stack(pays))
         if sp.bits != 16:
             out[sp.name + "_s"] = jnp.asarray(np.stack(scs))
@@ -507,11 +684,34 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
         jax.tree.map(lambda a: a[l], lp["k_proj"]),
         jax.tree.map(lambda a: a[l], lp["v_proj"])])
     pack_stream(plan.o, lambda l: [jax.tree.map(lambda a: a[l], lp["o_proj"])])
-    pack_stream(plan.gu, lambda l: [
-        jax.tree.map(lambda a: a[l], lp["gate_proj"]),
-        jax.tree.map(lambda a: a[l], lp["up_proj"])])
-    pack_stream(plan.dn, lambda l: [
-        jax.tree.map(lambda a: a[l], lp["down_proj"])])
+    if plan.E:
+        ex = lp["experts"]
+        pack_expert_stream(plan.gu, lambda l, e: [
+            _expert_leaf(ex["gate_proj"], l, e),
+            _expert_leaf(ex["up_proj"], l, e)])
+        pack_expert_stream(plan.dn, lambda l, e: [
+            _expert_leaf(ex["down_proj"], l, e)])
+        if plan.has_shared:
+            se = lp["shared_expert"]
+            pack_stream(plan.sgu, lambda l: [
+                jax.tree.map(lambda a: a[l], se["gate_proj"]),
+                jax.tree.map(lambda a: a[l], se["up_proj"])])
+            pack_stream(plan.sdn, lambda l: [
+                jax.tree.map(lambda a: a[l], se["down_proj"])])
+        # router (+ shared gate col E) padded to EP lanes, bf16
+        rw = np.zeros((L, plan.hid, plan.EP), np.float32)
+        for l in range(L):
+            rw[l, :, :plan.E] = np.asarray(lp["router"]["w"][l], np.float32)
+            if plan.has_shared_gate:
+                rw[l, :, plan.E:plan.E + 1] = np.asarray(
+                    lp["shared_expert_gate"]["w"][l], np.float32)
+        out["router_w"] = jnp.asarray(rw.astype(jnp.bfloat16))
+    else:
+        pack_stream(plan.gu, lambda l: [
+            jax.tree.map(lambda a: a[l], lp["gate_proj"]),
+            jax.tree.map(lambda a: a[l], lp["up_proj"])])
+        pack_stream(plan.dn, lambda l: [
+            jax.tree.map(lambda a: a[l], lp["down_proj"])])
 
     # lm head packed once (leading dim 1 so index maps stay uniform)
     lm_leaf = params["lm_head"] if not cfg.tie_word_embeddings else \
@@ -578,11 +778,20 @@ def _dequant_chunk(w_ref, bits: int):
 
 
 def _stream_dot(plan: MegaPlan, sp: StreamPlan, x_bf16, w_ref, s_ref, z_ref,
-                chunk_idx):
+                chunk_idx, wdeq: bool = False):
     """One chunk's matmul with fused group-wise dequant.
 
     x_bf16: [B, Kc] (Kc = sp.Kp for n-chunked, sp.chunk for k-chunked).
-    Returns f32 [B, cols]."""
+    Returns f32 [B, cols].
+
+    Two dequant placements:
+    - result-side (default): MXU dot on the raw int payload, per-group
+      affine on the [G, B, cols] result — cheapest VPU work when
+      G*B << rows (small batch).
+    - weight-side (wdeq): dequantize the weight tile [rows, cols] once
+      (B-independent), then ONE plain dot — trades a bigger VPU tile for
+      no grouped-dot temporaries; candidate fix for the batch-scaling
+      observed at B >= 32."""
     q = _dequant_chunk(w_ref, sp.bits)                       # [rows, cols]
     B = x_bf16.shape[0]
     if sp.bits == 16:
@@ -599,6 +808,15 @@ def _stream_dot(plan: MegaPlan, sp: StreamPlan, x_bf16, w_ref, s_ref, z_ref,
         xsum = jnp.sum(x_bf16.astype(jnp.float32), axis=1, keepdims=True)
         return part * s_ref[0, 0].astype(jnp.float32) + \
             xsum * z_ref[0, 0].astype(jnp.float32)
+    if wdeq:
+        cols = q.shape[1]
+        s = s_ref[0, 0].astype(jnp.float32)                  # [G, cols]
+        z = z_ref[0, 0].astype(jnp.float32)
+        qf = q.astype(jnp.float32).reshape(groups, gs, cols)
+        w = (qf * s[:, None, :] + z[:, None, :]).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            x_bf16, w.reshape(rows, cols), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     xg = x_bf16.reshape(B, groups, gs).swapaxes(0, 1)        # [G, B, gs]
     qg = q.reshape(groups, gs, -1)                           # [G, gs, cols]
     part = jax.lax.dot_general(
@@ -644,8 +862,12 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
     eps = plan.rms_eps
     scale_att = 1.0 / math.sqrt(D)
     Gmax = max(hid, HD, dn.Kp) // 128
+    MOE = plan.E > 0
+    E, SE = plan.E, plan.gu.S + plan.dn.S
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # weight-side dequant experiment switch (see _stream_dot docstring)
+    wdeq = bool(__import__("os").environ.get("DI_MK_WDEQ"))
 
     NSCAL = 7  # pt, lens, active, tgt_page, sched_b, sched_p, n_sched
 
@@ -702,13 +924,42 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
     ]
     arg_names = ["x0", "cosq", "sinq", "cosk", "sink"]
 
-    stream_defs = [
-        (qkv, stream_idx(plan.base_qkv, qkv.S)),
-        (o_sp, stream_idx(plan.base_o, o_sp.S)),
-        (gu, stream_idx(plan.base_gu, gu.S)),
-        (dn, stream_idx(plan.base_dn, dn.S)),
-        (lm, lm_idx),
-    ]
+    def expert_sub_idx(sub_off, count):
+        """Chunk selector for an expert stream [L, E*count, ...]: expert
+        e's chunks live at rows e*count..; within the expert's sub-phase
+        the chunk advances, outside it freezes (prefetch then leads into
+        the next expert's first chunk)."""
+        def idx(t, *_):
+            l = layer_of(t)
+            s = t - l * S_layer
+            c_all = jnp.clip(s - plan.base_exp, 0, E * SE - 1)
+            e = c_all // SE
+            w = c_all - e * SE
+            c = e * count + jnp.clip(w - sub_off, 0, count - 1)
+            return (l, c, 0, 0)
+        return idx
+
+    if MOE:
+        stream_defs = [
+            (qkv, stream_idx(plan.base_qkv, qkv.S)),
+            (o_sp, stream_idx(plan.base_o, o_sp.S)),
+            (gu, expert_sub_idx(0, gu.S)),
+            (dn, expert_sub_idx(gu.S, dn.S)),
+        ]
+        if plan.has_shared:
+            stream_defs += [
+                (plan.sgu, stream_idx(plan.base_sgu, plan.sgu.S)),
+                (plan.sdn, stream_idx(plan.base_sdn, plan.sdn.S)),
+            ]
+        stream_defs.append((lm, lm_idx))
+    else:
+        stream_defs = [
+            (qkv, stream_idx(plan.base_qkv, qkv.S)),
+            (o_sp, stream_idx(plan.base_o, o_sp.S)),
+            (gu, stream_idx(plan.base_gu, gu.S)),
+            (dn, stream_idx(plan.base_dn, dn.S)),
+            (lm, lm_idx),
+        ]
     for sp, idx in stream_defs:
         in_specs.append(payload_spec(sp, idx))
         arg_names.append(sp.name + "_w")
@@ -727,6 +978,9 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
     if plan.qk_norm:
         in_specs.append(pl.BlockSpec((1, 2, HD), norm_idx))  # qk_norms
         arg_names.append("qk_norms")
+    if MOE:
+        in_specs.append(pl.BlockSpec((1, hid, plan.EP), norm_idx))
+        arg_names.append("router_w")
     npools = 4 if kv_quant else 2
     for _ in range(npools):
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # kv pools
@@ -743,7 +997,9 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
         pltpu.VMEM((B, qkv.Np), jnp.float32),         # 2 qkv_out
         pltpu.VMEM((B, KH, G8, D), jnp.bfloat16),     # 3 q4
         pltpu.VMEM((B, HD), jnp.bfloat16),            # 4 attn_out
-        pltpu.VMEM((B, max(gu.Np, dn.Kp)), jnp.bfloat16),  # 5 gu_out
+        pltpu.VMEM((B, max([gu.Np, dn.Kp] +
+                           ([plan.sgu.Np, plan.sdn.Kp] if plan.has_shared
+                            else []))), jnp.bfloat16),     # 5 gu_out
         pltpu.VMEM((B, hid), jnp.float32),            # 7 acc_dn
         pltpu.VMEM((B, KH, G8, 2), jnp.float32),      # 8 ml_st (m, l lanes)
         pltpu.VMEM((B, KH, G8, D), jnp.float32),      # 10 acc_at
@@ -762,6 +1018,8 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
         pltpu.SemaphoreType.DMA((4, _RING)),          # 23 page sems
         pltpu.SemaphoreType.DMA((4, B)),              # 24 rmw sems
     ]
+    if MOE:
+        scratch_shapes.append(pltpu.VMEM((B, plan.EP), jnp.float32))  # gates
 
     NARG = len(arg_names)
     name_pos = {n: i for i, n in enumerate(arg_names)}
@@ -778,10 +1036,16 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
             kqpool_o = refs[NSCAL + NARG + 3]
             vqpool_o = refs[NSCAL + NARG + 4]
         sc = refs[NSCAL + NARG + 1 + npools:]
-        (x_resid, x_norm, qkv_out, q4, attn_out, gu_out, acc_dn,
-         ml_st, acc_at, nk_buf, nv_buf, nkp_buf, nvp_buf,
-         kbuf, vbuf, kqbuf, vqbuf, rmw_k, rmw_v, rmw_kq, rmw_vq,
-         page_sems, rmw_sems) = sc
+        if MOE:
+            (x_resid, x_norm, qkv_out, q4, attn_out, gu_out, acc_dn,
+             ml_st, acc_at, nk_buf, nv_buf, nkp_buf, nvp_buf,
+             kbuf, vbuf, kqbuf, vqbuf, rmw_k, rmw_v, rmw_kq, rmw_vq,
+             page_sems, rmw_sems, gates_st) = sc
+        else:
+            (x_resid, x_norm, qkv_out, q4, attn_out, gu_out, acc_dn,
+             ml_st, acc_at, nk_buf, nv_buf, nkp_buf, nvp_buf,
+             kbuf, vbuf, kqbuf, vqbuf, rmw_k, rmw_v, rmw_kq, rmw_vq,
+             page_sems, rmw_sems) = sc
 
         t = pl.program_id(0)
         l = layer_of(t)
@@ -802,7 +1066,8 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
             c = s
             y = _stream_dot(plan, qkv, x_norm[:],
                             args["qkv_w"],
-                            args.get("qkv_s"), args.get("qkv_z"), c)
+                            args.get("qkv_s"), args.get("qkv_z"), c,
+                            wdeq=wdeq)
             pl_store_cols(qkv_out, c * qkv.chunk, qkv.chunk, y)
 
         # ---------------- attention phase ----------------
@@ -1061,7 +1326,8 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
         def _o():
             c = s - plan.base_o
             y = _stream_dot(plan, o_sp, attn_out[:],
-                            args["o_w"], args.get("o_s"), args.get("o_z"), c)
+                            args["o_w"], args.get("o_s"), args.get("o_z"), c,
+                            wdeq=wdeq)
             # o.Np == hid (chunk divides hid; see make_plan), so chunk adds
             # land exactly on the residual columns
             cur = x_resid[:, pl.ds(pl.multiple_of(c * o_sp.chunk, 128),
@@ -1069,51 +1335,168 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
             x_resid[:, pl.ds(pl.multiple_of(c * o_sp.chunk, 128),
                              o_sp.chunk)] = cur + y
 
-        # ---------------- gate/up phase ----------------
-        @pl.when(jnp.logical_and(
-            ~in_lm, jnp.logical_and(s >= plan.base_gu, s < plan.base_dn)))
-        def _gu():
-            @pl.when(s == plan.base_gu)
-            def _():
+        def swiglu_into_guout(inter_v, Kp_dn):
+            """gate|up halves in gu_out -> activation in gu_out[:, :inter_v]
+            (zero-padded to the down stream's Kp); reset the accumulator."""
+            gate = gu_out[:, :inter_v].astype(jnp.float32)
+            up = gu_out[:, inter_v:2 * inter_v].astype(jnp.float32)
+            act = (gate * jax.lax.logistic(gate) * up).astype(jnp.bfloat16)
+            gu_out[:, :inter_v] = act
+            if Kp_dn > inter_v:
+                gu_out[:, inter_v:Kp_dn] = jnp.zeros(
+                    (B, Kp_dn - inter_v), jnp.bfloat16)
+            acc_dn[:] = jnp.zeros_like(acc_dn)
+
+        if not MOE:
+            # ---------------- gate/up phase (dense) ----------------
+            @pl.when(jnp.logical_and(
+                ~in_lm, jnp.logical_and(s >= plan.base_gu, s < plan.base_dn)))
+            def _gu():
+                @pl.when(s == plan.base_gu)
+                def _():
+                    x_norm[:] = _rms(x_resid[:], args["norms"][0, 1],
+                                     eps).astype(jnp.bfloat16)
+                c = s - plan.base_gu
+                y = _stream_dot(plan, gu, x_norm[:],
+                                args["gu_w"], args.get("gu_s"),
+                                args.get("gu_z"), c, wdeq=wdeq)
+                pl_store_cols(gu_out, c * gu.chunk, gu.chunk,
+                              y.astype(jnp.bfloat16))
+
+            # ---------------- down phase (dense) ----------------
+            @pl.when(jnp.logical_and(~in_lm, s >= plan.base_dn))
+            def _dn():
+                c = s - plan.base_dn
+
+                @pl.when(c == 0)
+                def _():
+                    swiglu_into_guout(plan.inter, dn.Kp)
+
+                xc = pl_load_cols(gu_out, c * dn.chunk, dn.chunk)
+                y = _stream_dot(plan, dn, xc,
+                                args["dn_w"], args.get("dn_s"),
+                                args.get("dn_z"), c, wdeq=wdeq)
+                acc_dn[:] = acc_dn[:] + y[:, :hid]
+
+                @pl.when(c == dn.S - 1)
+                def _():
+                    x_resid[:] = x_resid[:] + acc_dn[:]
+                    if _DEBUG:
+                        pl.debug_print("dn l={} xr00={} gu00={} dn00={}",
+                                       l, x_resid[0, 0], gu_out[0, 0],
+                                       acc_dn[0, 0])
+        else:
+            # ---------------- router phase (MoE) ----------------
+            # (reference MOE op softmax+topk routing, moe_op.cpp; gates for
+            # every expert live in VMEM — non-selected experts get gate 0 and
+            # their streamed chunks contribute nothing)
+            lane_ep = jax.lax.broadcasted_iota(jnp.int32, (B, plan.EP), 1)
+
+            @pl.when(jnp.logical_and(~in_lm, s == plan.base_router))
+            def _router():
                 x_norm[:] = _rms(x_resid[:], args["norms"][0, 1],
                                  eps).astype(jnp.bfloat16)
-            c = s - plan.base_gu
-            y = _stream_dot(plan, gu, x_norm[:],
-                            args["gu_w"], args.get("gu_s"), args.get("gu_z"),
-                            c)
-            pl_store_cols(gu_out, c * gu.chunk, gu.chunk,
-                          y.astype(jnp.bfloat16))
+                rw = args["router_w"][0]                     # [hid, EP]
+                logits = jax.lax.dot_general(
+                    x_norm[:], rw, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [B, EP]
+                ml = jnp.where(lane_ep < E, logits, _NEG_INF)
+                m = jnp.max(ml, axis=-1, keepdims=True)
+                p = jnp.exp(ml - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                gates = jnp.zeros((B, plan.EP), jnp.float32)
+                pw = p
+                for _ in range(plan.k_top):
+                    mi = jnp.max(pw, axis=-1, keepdims=True)
+                    fl = jnp.min(jnp.where(pw >= mi, lane_ep, plan.EP),
+                                 axis=-1, keepdims=True)
+                    sel = lane_ep == fl
+                    gates = jnp.where(sel, p, gates)
+                    pw = jnp.where(sel, -1.0, pw)
+                if plan.norm_topk:
+                    gates = gates / jnp.sum(gates, axis=-1, keepdims=True)
+                if plan.has_shared:
+                    if plan.has_shared_gate:
+                        sval = jnp.sum(
+                            jnp.where(lane_ep == E, logits, 0.0),
+                            axis=-1, keepdims=True)
+                        sg = jax.lax.logistic(sval)
+                    else:
+                        sg = jnp.ones((B, 1), jnp.float32)
+                    gates = jnp.where(lane_ep == E, sg, gates)
+                gates_st[:] = gates
 
-        # ---------------- down phase ----------------
-        @pl.when(jnp.logical_and(~in_lm, s >= plan.base_dn))
-        def _dn():
-            c = s - plan.base_dn
+            in_exp = jnp.logical_and(s >= plan.base_exp, s < plan.base_sgu)
+            c_all = jnp.clip(s - plan.base_exp, 0, E * SE - 1)
+            e_idx = c_all // SE
+            w_in = c_all - e_idx * SE
 
-            @pl.when(c == 0)
-            def _():
-                gate = gu_out[:, :plan.inter].astype(jnp.float32)
-                up = gu_out[:, plan.inter:2 * plan.inter].astype(jnp.float32)
-                act = (gate * jax.lax.logistic(gate) * up).astype(jnp.bfloat16)
-                # activation reuses gu_out's gate half as storage
-                gu_out[:, :plan.inter] = act
-                if dn.Kp > plan.inter:
-                    gu_out[:, plan.inter:dn.Kp] = jnp.zeros(
-                        (B, dn.Kp - plan.inter), jnp.bfloat16)
-                acc_dn[:] = jnp.zeros_like(acc_dn)
+            # ---------------- expert gate/up (MoE) ----------------
+            @pl.when(jnp.logical_and(
+                ~in_lm, jnp.logical_and(in_exp, w_in < gu.S)))
+            def _egu():
+                c = w_in
+                y = _stream_dot(plan, gu, x_norm[:],
+                                args["gu_w"], args.get("gu_s"),
+                                args.get("gu_z"), c, wdeq=wdeq)
+                pl_store_cols(gu_out, c * gu.chunk, gu.chunk,
+                              y.astype(jnp.bfloat16))
 
-            xc = pl_load_cols(gu_out, c * dn.chunk, dn.chunk)
-            y = _stream_dot(plan, dn, xc,
-                            args["dn_w"], args.get("dn_s"), args.get("dn_z"),
-                            c)
-            acc_dn[:] = acc_dn[:] + y[:, :hid]
+                @pl.when(c == gu.S - 1)
+                def _():
+                    swiglu_into_guout(plan.inter, dn.Kp)
 
-            @pl.when(c == dn.S - 1)
-            def _():
-                x_resid[:] = x_resid[:] + acc_dn[:]
-                if _DEBUG:
-                    pl.debug_print("dn l={} xr00={} gu00={} h00={} dn00={}",
-                                   l, x_resid[0, 0], gu_out[0, 0],
-                                   h_act[0, 0], acc_dn[0, 0])
+            # ---------------- expert down (MoE) ----------------
+            @pl.when(jnp.logical_and(
+                ~in_lm, jnp.logical_and(in_exp, w_in >= gu.S)))
+            def _edn():
+                c = w_in - gu.S
+                xc = pl_load_cols(gu_out, c * dn.chunk, dn.chunk)
+                y = _stream_dot(plan, dn, xc,
+                                args["dn_w"], args.get("dn_s"),
+                                args.get("dn_z"), c, wdeq=wdeq)
+                acc_dn[:] = acc_dn[:] + y[:, :hid]
+
+                @pl.when(c == dn.S - 1)
+                def _():
+                    ge = jnp.sum(
+                        jnp.where(lane_ep == e_idx, gates_st[:], 0.0),
+                        axis=-1, keepdims=True)              # [B, 1]
+                    x_resid[:] = x_resid[:] + ge * acc_dn[:]
+
+            if plan.has_shared:
+                sgu_, sdn_ = plan.sgu, plan.sdn
+
+                # ---------------- shared expert (CalcExpert) ----------------
+                @pl.when(jnp.logical_and(~in_lm, jnp.logical_and(
+                    s >= plan.base_sgu, s < plan.base_sdn)))
+                def _sgu():
+                    c = s - plan.base_sgu
+                    y = _stream_dot(plan, sgu_, x_norm[:],
+                                    args["sg_w"], args.get("sg_s"),
+                                    args.get("sg_z"), c, wdeq=wdeq)
+                    pl_store_cols(gu_out, c * sgu_.chunk, sgu_.chunk,
+                                  y.astype(jnp.bfloat16))
+
+                    @pl.when(c == sgu_.S - 1)
+                    def _():
+                        swiglu_into_guout(plan.shared_inter, sdn_.Kp)
+
+                @pl.when(jnp.logical_and(~in_lm, s >= plan.base_sdn))
+                def _sdn():
+                    c = s - plan.base_sdn
+                    xc = pl_load_cols(gu_out, c * sdn_.chunk, sdn_.chunk)
+                    y = _stream_dot(plan, sdn_, xc,
+                                    args["sd_w"], args.get("sd_s"),
+                                    args.get("sd_z"), c, wdeq=wdeq)
+                    acc_dn[:] = acc_dn[:] + y[:, :hid]
+
+                    @pl.when(c == sdn_.S - 1)
+                    def _():
+                        sgv = jnp.sum(
+                            jnp.where(lane_ep == E, gates_st[:], 0.0),
+                            axis=-1, keepdims=True)
+                        x_resid[:] = x_resid[:] + sgv * acc_dn[:]
 
         # ---------------- lm phase ----------------
         @pl.when(in_lm)
@@ -1232,7 +1615,7 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
 
             y = _stream_dot(plan, lm, x_norm[:],
                             args["lm_w"], args.get("lm_s"), args.get("lm_z"),
-                            c)
+                            c, wdeq=wdeq)
             logits_ref[:] = y
 
     # dynamic-column helpers over VMEM scratch (dim -1 slices must be
@@ -1271,6 +1654,8 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
         tensors += [packed["norms"], packed["qkv_b"], packed["final_norm"]]
         if plan.qk_norm:
             tensors.append(packed["qk_norms"])
+        if MOE:
+            tensors.append(packed["router_w"])
         tensors += pools
         outs = pl.pallas_call(
             kernel,

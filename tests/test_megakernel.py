@@ -246,11 +246,10 @@ def test_make_plan_batch_aware_chunks():
 
     p16, p32 = plan_for(16), plan_for(32)
     # bs=16 keeps large chunks (at the streaming floor); bs=32 must cap at
-    # 24 MB / 32 = 768 KB, reproducing the measured-good geometry
+    # 32 MB / 32 = 1 MB, reproducing the swept-best geometry (1294 tok/s;
+    # 2 MB spills VMEM, 768 KB loses streaming rate)
     assert p16.qkv.chunk > p32.qkv.chunk
-    assert p32.qkv.chunk == 256 and p32.qkv.S == 18
-    assert p32.dn.chunk == 384
-    assert p32.S_layer == 231 and p32.T_total == 7062
+    assert p32.qkv.chunk == 512 and p32.qkv.S == 9
 
 
 def test_build_schedule():
@@ -355,4 +354,170 @@ def test_engine_serving_a8w8_weight_only_decode():
     assert len(fast) == len(slow) == 14
     # weight-only decode vs activation-quant decode: same weights, slightly
     # different numerics class — require early-step agreement
+    assert fast[:8] == slow[:8], (fast, slow)
+
+
+def _tiny_moe(B=3, L=2, KH=1, H=2, hid=256, Im=256, E=4, k=2, vocab=512,
+              ps=16, shared=True, shared_gate=True, norm_topk=True):
+    import jax
+    import jax.numpy as jnp
+    from dashinfer_tpu.config import CacheConfig, CacheMode, MoEConfig, \
+        ModelConfig, RuntimeConfig
+
+    cfg = ModelConfig(
+        arch="qwen2_moe", vocab_size=vocab, hidden_size=hid,
+        intermediate_size=Im, num_layers=L, num_heads=H, num_kv_heads=KH,
+        head_dim=128, qkv_bias=True,
+        moe=MoEConfig(num_experts=E, num_experts_per_tok=k,
+                      moe_intermediate_size=Im,
+                      shared_expert_intermediate_size=Im if shared else 0,
+                      norm_topk_prob=norm_topk))
+    rt = RuntimeConfig(model_name="mkmoe", max_length=ps * 4, max_batch=B,
+                       cache=CacheConfig(page_size=ps, num_pages=64,
+                                         mode=CacheMode.INT8),
+                       dtype="float32", min_prefill_bucket=16)
+    key = jax.random.PRNGKey(1)
+
+    def rnd(*shape):
+        nonlocal key
+        key, kk = jax.random.split(key)
+        return jax.random.normal(kk, shape, jnp.float32) * 0.05
+
+    D = 128
+    layers = {
+        "input_layernorm": 1.0 + 0.1 * rnd(L, hid),
+        "post_attention_layernorm": 1.0 + 0.1 * rnd(L, hid),
+        "q_proj": {"w": rnd(L, hid, H * D), "b": rnd(L, H * D) * 0.2},
+        "k_proj": {"w": rnd(L, hid, KH * D), "b": rnd(L, KH * D) * 0.2},
+        "v_proj": {"w": rnd(L, hid, KH * D), "b": rnd(L, KH * D) * 0.2},
+        "o_proj": {"w": rnd(L, H * D, hid)},
+        "router": {"w": rnd(L, hid, E) * 4.0},
+        "experts": {
+            "gate_proj": rnd(L, E, hid, Im),
+            "up_proj": rnd(L, E, hid, Im),
+            "down_proj": rnd(L, E, Im, hid),
+        },
+    }
+    if shared:
+        layers["shared_expert"] = {
+            "gate_proj": {"w": rnd(L, hid, Im)},
+            "up_proj": {"w": rnd(L, hid, Im)},
+            "down_proj": {"w": rnd(L, Im, hid)},
+        }
+        if shared_gate:
+            layers["shared_expert_gate"] = {"w": rnd(L, hid, 1)}
+    params = {
+        "embed_tokens": {"w": rnd(vocab, hid)},
+        "norm": jnp.ones((hid,), jnp.float32),
+        "lm_head": {"w": rnd(hid, vocab)},
+        "layers": layers,
+    }
+    return cfg, rt, params
+
+
+@pytest.mark.parametrize("quant,shared,shared_gate", [
+    ("none", True, True),
+    ("none", False, False),
+    ("a16w8", True, True),       # quantized experts + shared expert
+    ("a16w4", True, False),
+])
+def test_megakernel_moe_matches_reference(quant, shared, shared_gate):
+    """MoE megakernel (router + gated expert streams + shared expert) vs
+    the XLA moe_block path (reference MOE op, moe_op.cpp)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from dashinfer_tpu.config import CacheMode, QuantConfig
+    from dashinfer_tpu.models import transformer
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+    from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
+                                          _mscale)
+
+    cfg, rt, params = _tiny_moe(shared=shared, shared_gate=shared_gate)
+    if quant != "none":
+        from dashinfer_tpu.loader.quantize import quantize_params
+        params = quantize_params(params, QuantConfig(mode=quant,
+                                                     group_size=128))
+        assert params["layers"]["experts"]["gate_proj"]["w_q"].ndim == 4
+
+    assert mk.supports(cfg, rt, params), "MoE model must take the fast path"
+    plan = mk.make_plan(cfg, rt, params, target_chunk_bytes=48 * 1024)
+    assert plan.E == 4 and plan.k_top == 2
+    packed = mk.pack_params(cfg, plan, params)
+    fn = mk.build_decode_megakernel(plan, interpret=True)
+
+    B, L, ps = rt.max_batch, cfg.num_layers, rt.cache.page_size
+    maxP = rt.max_pages_per_seq
+    lens = np.asarray([17, 9, 0], np.int32)[:B]
+    active = np.asarray([1, 1, 0], np.int32)[:B]
+    pt = np.zeros((B, maxP), np.int32)
+    g = 1
+    for b in range(B):
+        for j in range(maxP):
+            pt[b, j] = g
+            g += 1
+    cache = _prep_cache(cfg, rt, params, CacheMode.INT8, lens, pt)
+    tokens = jnp.asarray([7, 11, 0], jnp.int32)[:B]
+
+    ref_logits, _ = transformer.decode_forward(
+        cfg, params, tokens, jax.tree.map(jnp.copy, cache), jnp.asarray(pt),
+        jnp.asarray(lens), jnp.asarray(active > 0), mode=CacheMode.INT8,
+        use_kernel=False)
+
+    x0 = params["embed_tokens"]["w"][tokens].astype(jnp.bfloat16)
+    inv_freq = compute_inv_freq(cfg)
+    cos, sin = rope_cos_sin(jnp.asarray(lens), inv_freq,
+                            _mscale(cfg.rope_scaling))
+    H, KH = cfg.num_heads, cfg.num_kv_heads
+    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+    sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
+        jnp.asarray(pt), jnp.asarray(lens), jnp.asarray(active > 0), ps)
+    pools = [cache.k, cache.v, cache.k_qparams, cache.v_qparams]
+    outs = fn(packed, x0, jnp.tile(cos, (1, H)), jnp.tile(sin, (1, H)),
+              jnp.tile(cos, (1, KH)), jnp.tile(sin, (1, KH)),
+              jnp.asarray(pt), jnp.asarray(lens), jnp.asarray(active),
+              tgt_page, sched_b, sched_p, n_sched, *pools)
+    logits = np.asarray(outs[0])[:, :cfg.vocab_size]
+
+    ref = np.asarray(ref_logits)
+    for b in range(B):
+        if active[b] == 0:
+            continue
+        denom = np.abs(ref[b]).max() + 1e-6
+        rel = np.abs(logits[b] - ref[b]).max() / denom
+        assert rel < 0.08, (b, rel)
+        assert int(np.argmax(logits[b])) == int(np.argmax(ref[b])), b
+
+
+def test_engine_serving_moe_megakernel_greedy_parity():
+    """Qwen2-MoE-style model serves through the MoE megakernel fast path
+    with greedy tokens matching the XLA fallback."""
+    import dataclasses
+    from dashinfer_tpu import Engine, GenerationConfig
+
+    cfg, rt, params = _tiny_moe()
+    rt = dataclasses.replace(rt, max_length=48)
+
+    def run(enable_mega):
+        rt2 = dataclasses.replace(rt, enable_megakernel=enable_mega)
+        eng = Engine()
+        from dashinfer_tpu.engine.model_runtime import ModelRuntime
+        runtime = ModelRuntime("moe", cfg, params, rt2,
+                               use_kernel=enable_mega)
+        if enable_mega:
+            assert runtime.mega_plan is not None and runtime.mega_plan.E == 4
+        eng._models["moe"] = runtime
+        eng.start_model("moe")
+        gen = GenerationConfig(max_length=18, do_sample=False, top_k=1,
+                               eos_token_id=-1)
+        _, h, q = eng.start_request("moe", [5, 9, 2, 41, 77, 3], gen)
+        eng.sync_request("moe", h, timeout_s=900)
+        toks = q.GetAllGeneratedTokens()
+        eng.release_model("moe")
+        return toks
+
+    fast = run(True)
+    slow = run(False)
+    assert len(fast) == len(slow) == 12
     assert fast[:8] == slow[:8], (fast, slow)

@@ -144,3 +144,31 @@ def test_a8w8_e2e_close_to_fp():
     q_logits, _, _ = _run_prefill_decode(cfg, qparams, ids, 4)
     corr = np.corrcoef(fp_logits, q_logits)[0, 1]
     assert corr > 0.999, corr
+
+
+def test_moe_expert_quantization_close_to_fp():
+    """4-D expert stacks quantize per-(layer, expert) and the MoE block
+    consumes the quantized leaves (reference MOEA8W8 quantizes experts
+    per-matrix, moe_op_a8w8_gpu.cpp)."""
+    import tests.hf_util as hf_util
+    from dashinfer_tpu.config import QuantConfig
+    from dashinfer_tpu.loader import build_from_torch_model
+    from dashinfer_tpu.loader.quantize import quantize_params
+    from tests.test_model_parity import _run_prefill_decode
+
+    hf_cfg = hf_util.tiny_qwen2_moe_config()
+    model = hf_util.make_torch_model(hf_cfg)
+    cfg, params = build_from_torch_model(model, hf_cfg.to_dict(), "float32")
+    rng = np.random.RandomState(4)
+    ids = rng.randint(1, hf_cfg.vocab_size, size=10).tolist()
+    fp_logits, _, _ = _run_prefill_decode(cfg, params, ids, 4)
+
+    qparams = quantize_params(params, QuantConfig(mode="a16w8",
+                                                  group_size=-1))
+    ex = qparams["layers"]["experts"]["gate_proj"]
+    assert isinstance(ex, dict) and ex["w_q"].ndim == 4
+    # shared expert (3-D stack) quantized too
+    assert "w_q" in qparams["layers"]["shared_expert"]["gate_proj"]
+    q_logits, _, _ = _run_prefill_decode(cfg, qparams, ids, 4)
+    corr = np.corrcoef(fp_logits, q_logits)[0, 1]
+    assert corr > 0.999, corr
