@@ -72,6 +72,59 @@ def build_qwen2_7b_params(cfg, quantize_lm=True, rng_seed=0):
     return params
 
 
+def build_qwen15_moe_params(cfg, rng_seed=0):
+    """Random UINT4 expert/dense weights for the Qwen1.5-MoE-A2.7B shape."""
+    import jax.numpy as jnp
+
+    L, hid, V = cfg.num_layers, cfg.hidden_size, cfg.vocab_size
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    moe = cfg.moe
+    E, Im, sIm = moe.num_experts, moe.moe_intermediate_size, \
+        moe.shared_expert_intermediate_size
+    gs = 128
+    rng = np.random.RandomState(rng_seed)
+
+    def qlin(kin, kout, lead=(), bias=False):
+        shape = lead + (kin, kout // 2)
+        gshape = lead + (kin // gs, kout)
+        d = {"w_q": rng.randint(0, 256, size=shape).astype(np.uint8),
+             "scale": (rng.rand(*gshape) * 0.002 + 1e-4).astype(np.float32)}
+        d["zero"] = -d["scale"] * 8.0
+        if bias:
+            d["b"] = np.zeros(lead + (kout,), jnp.bfloat16)
+        return d
+
+    def emb(n, m):
+        return (rng.randn(n, m).astype(np.float32) * 0.02).astype(jnp.bfloat16)
+
+    return {
+        "embed_tokens": {"w": emb(V, hid)},
+        "norm": np.ones((hid,), jnp.bfloat16),
+        "lm_head": qlin(hid, V),
+        "layers": {
+            "input_layernorm": np.ones((L, hid), jnp.bfloat16),
+            "post_attention_layernorm": np.ones((L, hid), jnp.bfloat16),
+            "q_proj": qlin(hid, H * D, (L,), bias=True),
+            "k_proj": qlin(hid, KH * D, (L,), bias=True),
+            "v_proj": qlin(hid, KH * D, (L,), bias=True),
+            "o_proj": qlin(H * D, hid, (L,)),
+            "router": {"w": (rng.randn(L, hid, E) * 0.05).astype(np.float32)},
+            "experts": {
+                "gate_proj": qlin(hid, Im, (L, E)),
+                "up_proj": qlin(hid, Im, (L, E)),
+                "down_proj": qlin(Im, hid, (L, E)),
+            },
+            "shared_expert": {
+                "gate_proj": qlin(hid, sIm, (L,)),
+                "up_proj": qlin(hid, sIm, (L,)),
+                "down_proj": qlin(sIm, hid, (L,)),
+            },
+            "shared_expert_gate": {
+                "w": (rng.randn(L, hid, 1) * 0.05).astype(np.float32)},
+        },
+    }
+
+
 def main():
     import dataclasses
 
@@ -93,7 +146,27 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
-    if on_tpu:
+    # DI_BENCH_MODEL=moe benches the Qwen1.5-MoE-A2.7B shape through the
+    # MoE megakernel (router + gated expert streams, docs/megakernel.md)
+    model_kind = os.environ.get("DI_BENCH_MODEL", "dense")
+
+    if on_tpu and model_kind == "moe":
+        from dashinfer_tpu.config import MoEConfig
+        cfg = ModelConfig(
+            arch="qwen2_moe", vocab_size=151936, hidden_size=2048,
+            intermediate_size=5632, num_layers=24, num_heads=16,
+            num_kv_heads=16, head_dim=128, qkv_bias=True,
+            rope_theta=1000000.0,
+            moe=MoEConfig(num_experts=60, num_experts_per_tok=4,
+                          moe_intermediate_size=1408,
+                          shared_expert_intermediate_size=5632,
+                          norm_topk_prob=False))
+        B = int(os.environ.get("DI_BENCH_BATCH", "32"))
+        ctx_len = int(os.environ.get("DI_BENCH_CTX", "1024"))
+        steps, warm = 48, 4
+        page_size = 256
+        num_logical_pages = 8 * (B * ((ctx_len + 255) // 256 + 2) // 8 + 2)
+    elif on_tpu:
         cfg = ModelConfig(
             arch="qwen2", vocab_size=152064, hidden_size=3584,
             intermediate_size=18944, num_layers=28, num_heads=28,
@@ -149,7 +222,10 @@ def main():
         except Exception:
             packed_cached = None
     if packed_cached is None:
-        params_np = build_qwen2_7b_params(cfg, quantize_lm=on_tpu)
+        if model_kind == "moe" and on_tpu:
+            params_np = build_qwen15_moe_params(cfg)
+        else:
+            params_np = build_qwen2_7b_params(cfg, quantize_lm=on_tpu)
         log(f"host params built in {time.time()-t0:.1f}s")
 
     use_mega = packed_cached is not None or mk.supports(cfg, rt, params_np)
@@ -250,8 +326,10 @@ def main():
         toks_per_s = B * nlaunch * NSTEP / dt
         log(f"{nlaunch}x{NSTEP} steps, batch {B}: {dt:.3f}s "
             f"-> {toks_per_s:.1f} tok/s")
+        shape_name = "Qwen1.5-MoE-A2.7B-shape" if model_kind == "moe" \
+            else "Qwen2-7B-shape"
         print(json.dumps({
-            "metric": "decode tokens/sec/chip (Qwen2-7B-shape UINT4 weights, "
+            "metric": f"decode tokens/sec/chip ({shape_name} UINT4 weights, "
                       f"INT8 KV, paged attention, bs={B}, ctx={ctx_len})",
             "value": round(toks_per_s, 2),
             "unit": "tok/s",
@@ -290,8 +368,10 @@ def main():
     toks_per_s = B * steps / dt
     log(f"{steps} steps, batch {B}: {dt:.3f}s -> {toks_per_s:.1f} tok/s")
 
+    shape_name = "Qwen1.5-MoE-A2.7B-shape" if model_kind == "moe" \
+        else "Qwen2-7B-shape"
     print(json.dumps({
-        "metric": "decode tokens/sec/chip (Qwen2-7B-shape UINT4 weights, "
+        "metric": f"decode tokens/sec/chip ({shape_name} UINT4 weights, "
                   f"INT8 KV, paged attention, bs={B}, ctx={ctx_len})",
         "value": round(toks_per_s, 2),
         "unit": "tok/s",

@@ -51,6 +51,33 @@ def dequantize_weight(wd: Dict, out_dtype=jnp.bfloat16) -> jnp.ndarray:
     return w.reshape(in_dim, -1).astype(out_dtype)
 
 
+def _quant_matmul_large_m(x: jnp.ndarray, wd: Dict) -> jnp.ndarray:
+    """Large-M (prefill) quantized matmul: x [..., K] @ dequant(wd) -> f32.
+
+    Formulated so XLA fuses the whole dequant into the dot operand instead
+    of materializing an f32 [K, N] weight (measured on v5e, gate_proj
+    S=1024: 6.25 ms -> 3.27 ms vs 2.79 ms for a pure bf16 matmul):
+      x @ (q*s_rep + z_rep) == x @ (q .* s_rep)  +  xsum_g @ zero
+    The scale product runs in bf16 inside the fused dot operand (sub-0.5%
+    rounding, far below u4 quantization noise); the zero term is an exact
+    tiny [M, G] x [G, N] f32 dot."""
+    w_q, scale, zero = wd["w_q"], wd["scale"], wd["zero"]
+    if weight_bits(wd) == 4:
+        from dashinfer_tpu.ops.u4pack import unpack_u4_weight_np_like
+        q = unpack_u4_weight_np_like(w_q, jnp).astype(jnp.bfloat16)
+    else:
+        q = w_q.astype(jnp.bfloat16)
+    K = q.shape[0]
+    G = scale.shape[0]
+    gs = K // G
+    sb = jnp.repeat(scale.astype(jnp.bfloat16), gs, axis=0)    # [K, N]
+    part = jnp.dot(x.astype(jnp.bfloat16), q * sb,
+                   preferred_element_type=jnp.float32)
+    xg = jnp.sum(x.astype(jnp.float32).reshape(
+        x.shape[:-1] + (G, gs)), axis=-1)                      # [..., G]
+    return part + jnp.dot(xg, zero, preferred_element_type=jnp.float32)
+
+
 def linear(x: jnp.ndarray, wd: Dict, out_dtype=None) -> jnp.ndarray:
     """x: [..., in] @ w [in, out] (+ b)."""
     out_dtype = out_dtype or x.dtype
@@ -67,9 +94,7 @@ def linear(x: jnp.ndarray, wd: Dict, out_dtype=None) -> jnp.ndarray:
         if _qmm.use_fused_gemv(m, wd):
             out = _qmm.quant_matmul(x, wd, out_dtype)
         else:
-            w = dequantize_weight(wd, jnp.bfloat16)
-            out = jnp.dot(x.astype(jnp.bfloat16), w,
-                          preferred_element_type=jnp.float32).astype(out_dtype)
+            out = _quant_matmul_large_m(x, wd).astype(out_dtype)
     else:
         out = jnp.dot(x, wd["w"],
                       preferred_element_type=jnp.float32).astype(out_dtype)
