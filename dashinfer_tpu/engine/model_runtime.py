@@ -124,6 +124,26 @@ class ModelRuntime:
         self._deactivate = steps_mod.build_deactivate(cfg, rt)
 
         self.buckets = self._make_buckets()
+        # prefill megakernel fast path: one packed weight-stream set (shared
+        # across buckets — stream geometry is bucket-independent) + a plan
+        # per qualifying bucket. DI_PREFILL_MEGAKERNEL=0 disables.
+        self._pmk_plans: Dict[int, object] = {}
+        if (self.mega_params is not None and
+                EnvConfig.prefill_megakernel_enabled()):
+            from dashinfer_tpu.ops.pallas import prefill_megakernel as pmk
+            qual = [b for b in self.buckets
+                    if b <= 1024 and b % 128 == 0 and
+                    pmk.supports_prefill(cfg, rt, params, b)]
+            if qual:
+                t0 = time.monotonic()
+                for b in qual:
+                    self._pmk_plans[b] = pmk.make_prefill_plan(
+                        cfg, rt, params, b)
+                self.mega_params["prefill_packed"] = pmk.pack_prefill_params(
+                    cfg, self._pmk_plans[qual[0]], params)
+                logger.info(
+                    "prefill megakernel packed in %.1fs (buckets %s)",
+                    time.monotonic() - t0, qual)
         self.pending: deque = deque()           # Requests awaiting prefill
         self.requests: Dict[str, Request] = {}  # uuid -> Request (all live)
         self.slots: List[Optional[Request]] = [None] * rt.max_batch
@@ -187,14 +207,16 @@ class ModelRuntime:
                     with_guided: bool = False,
                     with_lora: bool = False,
                     with_banned: bool = False,
-                    with_mm: bool = False) -> Callable:
+                    with_mm: bool = False,
+                    mega: bool = False) -> Callable:
         key = (bucket, with_logprobs, with_guided, with_lora, with_banned,
-               with_mm)
+               with_mm, mega)
         if key not in self._prefill_steps:
             self._prefill_steps[key] = steps_mod.build_prefill_step(
                 self.cfg, self.rt, bucket, use_kernel=self.use_kernel,
                 with_logprobs=with_logprobs, with_guided=with_guided,
-                with_lora=with_lora, with_mm=with_mm)
+                with_lora=with_lora, with_mm=with_mm,
+                mega_plan=self._pmk_plans[bucket] if mega else None)
         return self._prefill_steps[key]
 
     def _mm_prefill_inputs(self, req: Request, tok_buf, bucket: int,
@@ -388,11 +410,17 @@ class ModelRuntime:
             mm_kwargs = self._mm_prefill_inputs(req, tok_buf, bucket,
                                                 prefix_len)
         init = self._slot_init(req, slot)
+        # prefill megakernel fast path: whole-bucket fresh prefill only
+        # (prefix-cache hits, chunked continuations, LoRA, multimodal take
+        # the XLA path — see prefill_megakernel.supports_prefill)
+        use_mega = (bucket in self._pmk_plans and prefix_len == 0 and
+                    base_counts is None and not with_lora and not with_mm and
+                    self.mega_params is not None)
         fn = self._prefill_fn(bucket, with_lp,
                               with_guided=req.format_enforcer is not None,
                               with_lora=with_lora,
                               with_banned=banned is not None,
-                              with_mm=with_mm)
+                              with_mm=with_mm, mega=use_mega)
         t0 = time.monotonic()
         try:
             kwargs = dict(mm_kwargs)
@@ -407,7 +435,8 @@ class ModelRuntime:
                 kwargs["lora_pool"] = self.lora_manager.pool
             with self.profiler.phase(f"prefill[{bucket}]"):
                 tok, lp, self.cache, self.state = fn(
-                    self.params, self.cache, self.state,
+                    self.mega_params if use_mega else self.params,
+                    self.cache, self.state,
                     jnp.asarray(tok_buf), jnp.asarray(page_row),
                     jnp.int32(prefix_len), jnp.int32(total_len), init,
                     **kwargs)

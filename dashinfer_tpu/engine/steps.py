@@ -82,29 +82,73 @@ def _slot_sampling_params(init: SlotInit) -> SamplingParams:
     )
 
 
+def _prefill_mega_forward(cfg, plan, fn, params, cache, tokens, page_row,
+                          n_tokens):
+    """Whole-prefill forward via the Pallas prefill megakernel
+    (ops/pallas/prefill_megakernel.py). params = mega params dict with
+    'prefill_packed' and 'embed'. Requires prefix_len == 0."""
+    from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
+                                          _mscale)
+    x0 = params["embed"][tokens].astype(jnp.bfloat16)
+    inv_freq = compute_inv_freq(cfg)
+    pos = jnp.arange(plan.S, dtype=jnp.int32)
+    cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
+    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+    pools = [cache.k, cache.v]
+    if cache.k_qparams is not None:
+        pools += [cache.k_qparams, cache.v_qparams]
+    outs = fn(params["prefill_packed"], x0, cos, sin,
+              page_row * cfg.num_layers, n_tokens, *pools)
+    logits = outs[0][0, :cfg.vocab_size]
+    new_pools = outs[1:]
+    if cache.k_qparams is not None:
+        cache = KVCache(k=new_pools[0], v=new_pools[1],
+                        k_qparams=new_pools[2], v_qparams=new_pools[3])
+    else:
+        cache = KVCache(k=new_pools[0], v=new_pools[1],
+                        k_qparams=None, v_qparams=None)
+    return logits, cache
+
+
 def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
                        *, use_kernel: bool, with_logprobs: bool = False,
                        with_guided: bool = False,
                        with_lora: bool = False,
-                       with_mm: bool = False) -> Callable:
+                       with_mm: bool = False,
+                       mega_plan=None) -> Callable:
     """Returns jitted fn(params, cache, state, tokens[S], page_row[maxPb],
     prefix_len, total_len, init: SlotInit[, allowed [V] bool]) ->
-    (token, lp, cache, state). page_row holds LOGICAL page ids."""
+    (token, lp, cache, state). page_row holds LOGICAL page ids.
+
+    With `mega_plan`, the model forward runs as ONE Pallas prefill
+    megakernel; params must be the mega params dict ('prefill_packed' +
+    'embed') and the caller guarantees prefix_len == 0 (no prefix-cache
+    hit, no chunked continuation), no LoRA, no multimodal embeds."""
     mode = rt.cache.mode
     V = cfg.vocab_size
     n_lp = rt.max_top_logprobs if with_logprobs else 0
+    if mega_plan is not None:
+        assert not (with_lora or with_mm)
+        from dashinfer_tpu.ops.pallas import prefill_megakernel as _pmk
+        _pmk_fn = _pmk.build_prefill_megakernel(mega_plan)
 
     def step(params, cache: KVCache, state: DecodeState, tokens, page_row,
              prefix_len, total_len, init: SlotInit, base_counts=None,
              allowed=None, lora_pool=None, banned=None, embeds=None,
              positions3=None):
-        logits, cache = transformer.prefill_forward(
-            cfg, params, tokens, cache, page_row, prefix_len, total_len,
-            mode=mode, use_kernel=use_kernel,
-            lora=lora_pool if with_lora else None,
-            lora_idx=init.lora_idx if with_lora else None,
-            embeds=embeds if with_mm else None,
-            positions3=positions3 if with_mm else None)
+        if mega_plan is not None:
+            logits, cache = _prefill_mega_forward(
+                cfg, mega_plan, _pmk_fn, params, cache, tokens, page_row,
+                total_len)
+        else:
+            logits, cache = transformer.prefill_forward(
+                cfg, params, tokens, cache, page_row, prefix_len, total_len,
+                mode=mode, use_kernel=use_kernel,
+                lora=lora_pool if with_lora else None,
+                lora_idx=init.lora_idx if with_lora else None,
+                embeds=embeds if with_mm else None,
+                positions3=positions3 if with_mm else None)
         if with_guided:
             logits = jnp.where(allowed, logits, -1e30)
 

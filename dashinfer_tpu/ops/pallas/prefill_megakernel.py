@@ -1,0 +1,687 @@
+"""Whole-model PREFILL megakernel: one pallas_call per prefill.
+
+Why: the XLA prefill path reaches ~42 GB/s effective weight bandwidth even
+with dequant fused into the dot operand (ops/linear._quant_matmul_large_m),
+because XLA's fused-operand dot re-expands the u4 payload per output tile.
+Streaming every weight chunk through VMEM exactly once (the decode
+megakernel's scheme, megakernel.py) is bandwidth-optimal: at in128 the
+prefill is weight-stream-bound (~3.5 GB u4 -> ~15-20 ms floor) and at
+in1024 compute-bound (~75-90 ms) — measured XLA path: 155 / 242 ms.
+
+Structure (1-D grid, T = L * S_layer + S_lm):
+  per layer: [qkv chunks (M=S) | attention+KV-writeout | o chunks |
+              interleaved mlp chunks]
+  then:      [lm chunks on the LAST valid token (M=8 pad)]
+
+The MLP streams INTERLEAVE gate/up/down per intermediate-dim chunk c:
+  act_c = silu(x_norm @ G_c) * (x_norm @ U_c);  acc += act_c @ D_c
+so no [S, 2*inter] activation buffer is ever materialized (77 MB at
+S=1024 — the reason the decode layout can't be reused for prefill).
+
+Attention (one grid step per layer): bias + rope on the accumulated
+qkv_out, per-head causal softmax over the full [S, S] score tile in VMEM
+(S <= 1024), then the layer's K/V quantized per token and written STRAIGHT
+to the paged pools with per-page async copies (fresh pages owned by this
+request — no read-modify-write; garbage rows past the real length stay
+within owned pages and are masked by `lens` at read time).
+
+Scope (supports_prefill): dense RoPE archs incl. QK-norm, prefix_len == 0,
+bucket <= 1024, whole buckets only — prefix-cache hits, chunked
+continuations, LoRA, and multimodal embeds use the XLA path. Reference
+equivalents: flash/xformer prefill + contextCopySpanLauncher
+(span_attn_op_cuda.cpp), SURVEY.md §2.6.
+"""
+
+import dataclasses
+import functools
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dashinfer_tpu.config import CacheMode, ModelConfig, RuntimeConfig
+from dashinfer_tpu.ops.pallas.megakernel import (
+    MegaPlan, StreamPlan, _chunk_leaves, _dequant_chunk, _leaf_to_int,
+    _plan_stream, _rms, _rot_half_heads, _round_up, _weight_bits,
+    weight_only_decode_view, _NEG_INF)
+
+PREFILL_PACK_VERSION = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class PrefillPlan:
+    S: int                 # padded bucket length (tokens)
+    L: int
+    hid: int
+    H: int
+    KH: int
+    D: int
+    QKVN: int
+    ps: int
+    maxPb: int             # pages covering S
+    Vp: int
+    kv_mode: CacheMode
+    kv_bits: int
+    kv_dtype_name: str
+    has_qkv_bias: bool
+    qkv: StreamPlan
+    o: StreamPlan
+    pg: StreamPlan         # gate, n-chunked over inter
+    pu: StreamPlan         # up, same geometry
+    pd: StreamPlan         # down, k-chunked over inter with chunk == pg.chunk
+    lm: StreamPlan
+    rms_eps: float
+    qk_norm: bool = False
+
+    @property
+    def S_layer(self) -> int:
+        return self.qkv.S + 1 + self.o.S + self.pg.S
+
+    @property
+    def T_total(self) -> int:
+        return self.L * self.S_layer + self.lm.S
+
+    @property
+    def base_att(self) -> int:
+        return self.qkv.S
+
+    @property
+    def base_o(self) -> int:
+        return self.qkv.S + 1
+
+    @property
+    def base_mlp(self) -> int:
+        return self.base_o + self.o.S
+
+    @property
+    def kv_store_dim(self) -> int:
+        return self.D // 2 if self.kv_bits == 4 else self.D
+
+
+def supports_prefill(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
+                     bucket: int) -> bool:
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+    if cfg.moe is not None:
+        return False
+    if bucket > 1024 or bucket % 128:
+        return False
+    view = weight_only_decode_view(params)
+    if view is None:
+        return False
+    if not mk.supports(cfg, rt, view):
+        return False
+    lp = view["layers"]
+    # the interleaved mlp stream needs gate/up/down chunked IDENTICALLY
+    # over inter: uniform bits and 128-aligned (or per-channel) groups
+    bits = {_weight_bits(lp[n]) for n in ("gate_proj", "up_proj",
+                                          "down_proj")}
+    if len(bits) != 1:
+        return False
+    dnl = lp["down_proj"]
+    if "w_q" in dnl:
+        Kdn = dnl["w_q"].shape[1]
+        gs = Kdn // dnl["scale"].shape[1]
+        if gs % 128:   # per-chunk groups must tile the inter chunks
+            return False
+    return True
+
+
+def make_prefill_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
+                      bucket: int,
+                      target_chunk_bytes: int = 1 << 20) -> PrefillPlan:
+    params = weight_only_decode_view(params)
+    lp = params["layers"]
+    hid = cfg.hidden_size
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    QKVN = (H + 2 * KH) * D
+    inter = cfg.intermediate_size
+    V = cfg.vocab_size
+    ps = rt.cache.page_size
+
+    def gs_of(leaf, K, gaxis=1):
+        if "w_q" not in leaf:
+            return 0
+        g = leaf["scale"].shape[gaxis]
+        return K if g == 1 else K // g
+
+    qkv = _plan_stream("qkv", _weight_bits(lp["q_proj"]), hid, QKVN,
+                       gs_of(lp["q_proj"], hid), target_chunk_bytes)
+    o = _plan_stream("o", _weight_bits(lp["o_proj"]), H * D, hid,
+                     gs_of(lp["o_proj"], H * D), target_chunk_bytes)
+    while hid % o.chunk:
+        o = dataclasses.replace(o, chunk=o.chunk - (256 if o.bits == 4
+                                                    else 128))
+    o = dataclasses.replace(o, S=hid // o.chunk, Np=hid)
+
+    # interleaved mlp: ONE chunk width over inter shared by gate/up/down
+    bits = _weight_bits(lp["gate_proj"])
+    gs_g = gs_of(lp["gate_proj"], hid)
+    gs_d = gs_of(lp["down_proj"], inter)
+    step = 256 if bits == 4 else 128
+    if gs_d:
+        step = max(step, 128)
+    per_col = hid * (0.5 if bits == 4 else 1 if bits == 8 else 2) * 3
+    cols = max(step, int(target_chunk_bytes / per_col) // step * step)
+    cols = min(cols, _round_up(inter, step))
+    Smd = -(-inter // cols)
+    cols = _round_up(-(-inter // Smd), step)
+    Smd = -(-inter // cols)
+    interp = Smd * cols
+    pg = StreamPlan("pg", bits, hid, inter, hid, interp, cols, Smd, gs_g, "n")
+    pu = dataclasses.replace(pg, name="pu")
+    pd = StreamPlan("pd", bits, inter, hid, interp, _round_up(hid, 128),
+                    cols, Smd, gs_d, "k")
+
+    lm_leaf = params["lm_head"] if not cfg.tie_word_embeddings else \
+        {"w": params["embed_tokens"]["w"]}
+    lm = _plan_stream("lm", _weight_bits(lm_leaf), hid, V,
+                      gs_of(lm_leaf, hid, gaxis=0), target_chunk_bytes)
+
+    mode = rt.cache.mode
+    kv_bits = {CacheMode.DEFAULT: 16, CacheMode.INT8: 8,
+               CacheMode.UINT4: 4}[mode]
+    if mode == CacheMode.DEFAULT:
+        kv_dtype_name = "float32" if rt.dtype == "float32" else "bfloat16"
+    else:
+        kv_dtype_name = "int8" if mode == CacheMode.INT8 else "uint8"
+    return PrefillPlan(
+        S=bucket, L=cfg.num_layers, hid=hid, H=H, KH=KH, D=D, QKVN=QKVN,
+        ps=ps, maxPb=-(-bucket // ps), Vp=lm.Np, kv_mode=mode,
+        kv_bits=kv_bits, kv_dtype_name=kv_dtype_name,
+        has_qkv_bias=("b" in lp["q_proj"]),
+        qkv=qkv, o=o, pg=pg, pu=pu, pd=pd, lm=lm,
+        rms_eps=cfg.rms_norm_eps, qk_norm=cfg.qk_norm)
+
+
+def pack_prefill_params(cfg: ModelConfig, plan: PrefillPlan,
+                        params: Dict) -> Dict:
+    """Streamed-weight arrays for the prefill kernel (one-time at install)."""
+    params = weight_only_decode_view(params)
+    lp = jax.tree.map(np.asarray, params["layers"])
+    L = plan.L
+    out: Dict[str, Any] = {}
+
+    def pack(sp: StreamPlan, leaves_per_layer):
+        pays, scs, zcs = [], [], []
+        for l in range(L):
+            pay, sc, zc = _chunk_leaves(sp, leaves_per_layer(l))
+            pays.append(pay)
+            if sc is not None:
+                scs.append(sc)
+                zcs.append(zc)
+        out[sp.name + "_w"] = jnp.asarray(np.stack(pays))
+        if sp.bits != 16:
+            out[sp.name + "_s"] = jnp.asarray(np.stack(scs))
+            out[sp.name + "_z"] = jnp.asarray(np.stack(zcs))
+
+    pack(plan.qkv, lambda l: [
+        jax.tree.map(lambda a: a[l], lp["q_proj"]),
+        jax.tree.map(lambda a: a[l], lp["k_proj"]),
+        jax.tree.map(lambda a: a[l], lp["v_proj"])])
+    pack(plan.o, lambda l: [jax.tree.map(lambda a: a[l], lp["o_proj"])])
+    pack(plan.pg, lambda l: [jax.tree.map(lambda a: a[l], lp["gate_proj"])])
+    pack(plan.pu, lambda l: [jax.tree.map(lambda a: a[l], lp["up_proj"])])
+    pack(plan.pd, lambda l: [jax.tree.map(lambda a: a[l], lp["down_proj"])])
+
+    lm_leaf = params["lm_head"] if not cfg.tie_word_embeddings else \
+        {"w": np.asarray(params["embed_tokens"]["w"]).T}
+    sp = plan.lm
+    if sp.bits == 16:
+        buf = np.zeros((sp.Kp, sp.Np), np.float32)
+        w = np.asarray(lm_leaf["w"], np.float32)
+        buf[:w.shape[0], :w.shape[1]] = w
+        ch = buf.reshape(sp.Kp, sp.S, sp.chunk).transpose(1, 0, 2)
+        out["lm_w"] = jnp.asarray(ch.astype(jnp.bfloat16))[None]
+    else:
+        q, s, z = _leaf_to_int(lm_leaf, sp.bits)
+        from dashinfer_tpu.ops.pallas.megakernel import (_chunk_payload,
+                                                         _chunk_qparams)
+        out["lm_w"] = jnp.asarray(_chunk_payload(sp, q))[None]
+        sc, zc = _chunk_qparams(sp, s, z)
+        out["lm_s"] = jnp.asarray(sc)[None]
+        out["lm_z"] = jnp.asarray(zc)[None]
+
+    out["norms"] = jnp.asarray(np.stack(
+        [np.stack([np.asarray(lp["input_layernorm"][l], np.float32),
+                   np.asarray(lp["post_attention_layernorm"][l], np.float32)])
+         for l in range(L)]).astype(jnp.bfloat16))
+    if plan.has_qkv_bias:
+        bias = np.concatenate(
+            [np.asarray(lp["q_proj"]["b"], np.float32),
+             np.asarray(lp["k_proj"]["b"], np.float32),
+             np.asarray(lp["v_proj"]["b"], np.float32)], axis=1)
+    else:
+        bias = np.zeros((L, plan.QKVN), np.float32)
+    bp = np.zeros((L, 1, plan.QKVN), np.float32)
+    bp[:, 0, :bias.shape[1]] = bias
+    out["qkv_b"] = jnp.asarray(bp.astype(jnp.bfloat16))
+    out["final_norm"] = jnp.asarray(
+        np.asarray(params["norm"], np.float32)[None].astype(jnp.bfloat16))
+    if plan.qk_norm:
+        HD = plan.H * plan.D
+        qk = np.zeros((L, 2, HD), np.float32)
+        for l in range(L):
+            qk[l, 0] = np.tile(np.asarray(lp["q_norm"][l], np.float32),
+                               plan.H)
+            qk[l, 1, :plan.KH * plan.D] = np.tile(
+                np.asarray(lp["k_norm"][l], np.float32), plan.KH)
+        out["qk_norms"] = jnp.asarray(qk.astype(jnp.bfloat16))
+    return out
+
+
+def _wdeq_tile(sp: StreamPlan, w_ref, s_ref, z_ref):
+    """Dequantize the current chunk's weight tile to bf16 [rows, cols]
+    (weight-side dequant: at M = S tokens the [rows, cols] tile is far
+    smaller than result-side [G, S, cols] temporaries)."""
+    q = _dequant_chunk(w_ref, sp.bits)
+    if sp.bits == 16:
+        return q
+    rows, cols = q.shape
+    gs = sp.gs if sp.gs else rows
+    groups = rows // gs
+    s = s_ref[0, 0].astype(jnp.float32)
+    z = z_ref[0, 0].astype(jnp.float32)
+    if groups == 1:
+        return (q.astype(jnp.float32) * s + z).astype(jnp.bfloat16)
+    qf = q.astype(jnp.float32).reshape(groups, gs, cols)
+    w = qf * s[:, None, :] + z[:, None, :]
+    return w.reshape(rows, cols).astype(jnp.bfloat16)
+
+
+def build_prefill_megakernel(plan: PrefillPlan,
+                             interpret: Optional[bool] = None):
+    """Returns fn(packed, x0 [S, hid] bf16, cos [S, D], sin [S, D],
+    page_row [maxPb] PHYSICAL-page base rows (g*L), n_tokens scalar,
+    k, v[, kq, vq]) -> (logits [8, Vp] f32 (row 0 real), k, v, kq, vq)."""
+    S, L, hid = plan.S, plan.L, plan.hid
+    H, KH, D = plan.H, plan.KH, plan.D
+    HD = H * D
+    ps, maxPb = plan.ps, plan.maxPb
+    S_layer, T_total = plan.S_layer, plan.T_total
+    kv_quant = plan.kv_mode != CacheMode.DEFAULT
+    Dsc = plan.kv_store_dim
+    F = KH * Dsc
+    qkv, o_sp, pg, pu, pd, lm = (plan.qkv, plan.o, plan.pg, plan.pu,
+                                 plan.pd, plan.lm)
+    eps = plan.rms_eps
+    scale_att = 1.0 / math.sqrt(D)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    NSCAL = 2  # page_row, n_tokens
+
+    def layer_of(t):
+        return jnp.minimum(t // S_layer, L - 1)
+
+    def stream_idx(base, count):
+        def idx(t, *_):
+            l = layer_of(t)
+            s = t - l * S_layer
+            c = jnp.clip(s - base, 0, count - 1)
+            return (l, c, 0, 0)
+        return idx
+
+    def lm_idx(t, *_):
+        c = jnp.clip(t - L * S_layer, 0, lm.S - 1)
+        return (0, c, 0, 0)
+
+    def norm_idx(t, *_):
+        return (layer_of(t), 0, 0)
+
+    def out_idx(t, *_):
+        c = jnp.clip(t - L * S_layer, 0, lm.S - 1)
+        return (0, c)
+
+    def payload_spec(sp: StreamPlan, idx):
+        rows = sp.Kp if sp.chunk_axis == "n" else sp.chunk
+        return pl.BlockSpec((1, 1, rows, sp.store_cols), idx)
+
+    def qparam_spec(sp: StreamPlan, idx):
+        gs = sp.gs if sp.gs else (sp.Kp if sp.chunk_axis == "n" else sp.chunk)
+        if sp.chunk_axis == "n":
+            g = max(sp.Kp // gs, 1)
+            cols = sp.chunk
+        else:
+            g = max(sp.chunk // gs, 1)
+            cols = sp.Np
+        return pl.BlockSpec((1, 1, g, cols), idx)
+
+    in_specs = [
+        pl.BlockSpec((S, hid), lambda t, *_: (0, 0)),   # x0
+        pl.BlockSpec((S, D), lambda t, *_: (0, 0)),     # cos (half-dim x2)
+        pl.BlockSpec((S, D), lambda t, *_: (0, 0)),     # sin
+    ]
+    arg_names = ["x0", "cos", "sin"]
+
+    stream_defs = [
+        (qkv, stream_idx(0, qkv.S)),
+        (o_sp, stream_idx(plan.base_o, o_sp.S)),
+        (pg, stream_idx(plan.base_mlp, pg.S)),
+        (pu, stream_idx(plan.base_mlp, pu.S)),
+        (pd, stream_idx(plan.base_mlp, pd.S)),
+        (lm, lm_idx),
+    ]
+    for sp, idx in stream_defs:
+        in_specs.append(payload_spec(sp, idx))
+        arg_names.append(sp.name + "_w")
+        if sp.bits != 16:
+            in_specs.append(qparam_spec(sp, idx))
+            arg_names.append(sp.name + "_s")
+            in_specs.append(qparam_spec(sp, idx))
+            arg_names.append(sp.name + "_z")
+
+    in_specs.append(pl.BlockSpec((1, 2, hid), norm_idx))
+    arg_names.append("norms")
+    in_specs.append(pl.BlockSpec((1, 1, plan.QKVN), norm_idx))
+    arg_names.append("qkv_b")
+    in_specs.append(pl.BlockSpec((1, hid), lambda t, *_: (0, 0)))
+    arg_names.append("final_norm")
+    if plan.qk_norm:
+        in_specs.append(pl.BlockSpec((1, 2, HD), norm_idx))
+        arg_names.append("qk_norms")
+    npools = 4 if kv_quant else 2
+    for _ in range(npools):
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    arg_names += ["k", "v", "kq", "vq"][:npools]
+
+    out_specs = [pl.BlockSpec((8, lm.chunk), out_idx)] + \
+        [pl.BlockSpec(memory_space=pl.ANY)] * npools
+
+    kv_dtype = jnp.dtype(plan.kv_dtype_name)
+
+    scratch_shapes = [
+        pltpu.VMEM((S, hid), jnp.float32),           # 0 x_resid
+        pltpu.VMEM((S, hid), jnp.bfloat16),          # 1 x_norm
+        pltpu.VMEM((S, qkv.Np), jnp.float32),        # 2 qkv_out
+        pltpu.VMEM((S, HD), jnp.bfloat16),           # 3 attn_out
+        pltpu.VMEM((S, hid), jnp.float32),           # 4 acc_mlp
+        pltpu.VMEM((S, F), kv_dtype),                # 5 kpay
+        pltpu.VMEM((S, F), kv_dtype),                # 6 vpay
+        pltpu.VMEM((2 * KH, S), jnp.float32),        # 7 kq_rows
+        pltpu.VMEM((2 * KH, S), jnp.float32),        # 8 vq_rows
+        pltpu.VMEM((8, hid), jnp.bfloat16),          # 9 x_last
+        pltpu.SemaphoreType.DMA((4, maxPb)),         # 10 page write sems
+    ]
+
+    NARG = len(arg_names)
+
+    def kernel(*refs):
+        page_row, n_tok = refs[:NSCAL]
+        args = {n: refs[NSCAL + i] for i, n in enumerate(arg_names)}
+        logits_ref = refs[NSCAL + NARG]
+        kpool_o = refs[NSCAL + NARG + 1]
+        vpool_o = refs[NSCAL + NARG + 2]
+        if kv_quant:
+            kqpool_o = refs[NSCAL + NARG + 3]
+            vqpool_o = refs[NSCAL + NARG + 4]
+        sc = refs[NSCAL + NARG + 1 + npools:]
+        (x_resid, x_norm, qkv_out, attn_out, acc_mlp, kpay, vpay,
+         kq_rows, vq_rows, x_last, wsems) = sc
+
+        t = pl.program_id(0)
+        l = layer_of(t)
+        s = t - l * S_layer
+        in_lm = t >= L * S_layer
+        n = n_tok[0]
+
+        def page_write_copies(j, lay):
+            """The layer `lay` page-j write-out descriptors (same objects
+            for start and wait so semaphore byte counts match)."""
+            width = min(ps, S - j * ps)
+            phys = page_row[j] + lay
+            cps = [
+                pltpu.make_async_copy(
+                    kpay.at[pl.ds(j * ps, width), :],
+                    kpool_o.at[phys, pl.ds(0, width), :], wsems.at[0, j]),
+                pltpu.make_async_copy(
+                    vpay.at[pl.ds(j * ps, width), :],
+                    vpool_o.at[phys, pl.ds(0, width), :], wsems.at[1, j]),
+            ]
+            if kv_quant:
+                cps.append(pltpu.make_async_copy(
+                    kq_rows.at[:, pl.ds(j * ps, width)],
+                    kqpool_o.at[phys, :, pl.ds(0, width)], wsems.at[2, j]))
+                cps.append(pltpu.make_async_copy(
+                    vq_rows.at[:, pl.ds(j * ps, width)],
+                    vqpool_o.at[phys, :, pl.ds(0, width)], wsems.at[3, j]))
+            return cps
+
+        @pl.when(t == 0)
+        def _init():
+            x_resid[:] = args["x0"][:].astype(jnp.float32)
+
+        # ---------------- qkv phase ----------------
+        @pl.when(jnp.logical_and(~in_lm, s < plan.base_att))
+        def _qkv():
+            @pl.when(s == 0)
+            def _():
+                # wait for the PREVIOUS layer's page write-out before the
+                # stashes are overwritten this layer
+                @pl.when(l > 0)
+                def _():
+                    for j in range(maxPb):
+                        @pl.when(j * ps < n)
+                        def _(j=j):
+                            for cp in page_write_copies(j, l - 1):
+                                cp.wait()
+                x_norm[:] = _rms(x_resid[:], args["norms"][0, 0],
+                                 eps).astype(jnp.bfloat16)
+            c = s
+            w = _wdeq_tile(qkv, args["qkv_w"], args.get("qkv_s"),
+                           args.get("qkv_z"))
+            y = jax.lax.dot_general(
+                x_norm[:], w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            qkv_out[:, pl.ds(pl.multiple_of(c * qkv.chunk, 128),
+                             qkv.chunk)] = y
+
+        # ---------------- attention + KV write-out ----------------
+        @pl.when(jnp.logical_and(~in_lm, s == plan.base_att))
+        def _att():
+            bias = args["qkv_b"][0, 0].astype(jnp.float32)   # [QKVN]
+            cos1 = args["cos"][:].astype(jnp.float32)        # [S, D]
+            sin1 = args["sin"][:].astype(jnp.float32)
+            if plan.qk_norm:
+                qkn = args["qk_norms"][0]                    # [2, HD] bf16
+
+            def head_slice(base_col, idx, w_norm=None):
+                """bias + optional per-head RMS + rope for one [S, D] head."""
+                v = qkv_out[:, base_col + idx * D:base_col + (idx + 1) * D] \
+                    + bias[None, base_col + idx * D:base_col + (idx + 1) * D]
+                if w_norm is not None:
+                    var = jnp.mean(v * v, axis=-1, keepdims=True)
+                    v = v * jax.lax.rsqrt(var + eps) * w_norm
+                return v * cos1 + _rot_half_heads(v, D) * sin1
+
+            def qz_head(x):
+                """Quantize one [S, D] head -> (payload [S, Dsc], scale,
+                zero [S])."""
+                xmin = jnp.min(x, axis=-1)
+                xmax = jnp.max(x, axis=-1)
+                if plan.kv_bits == 8:
+                    sc_ = jnp.maximum((xmax - xmin) / 255.0, 1e-8)
+                    qv = jnp.clip(jnp.round(
+                        (x - xmin[:, None]) / sc_[:, None]) - 128.0,
+                        -128, 127)
+                    zr = xmin + 128.0 * sc_
+                    pay = qv.astype(jnp.int32).astype(jnp.int8)
+                else:
+                    sc_ = jnp.maximum((xmax - xmin) / 15.0, 1e-8)
+                    qv = jnp.clip(jnp.round(
+                        (x - xmin[:, None]) / sc_[:, None]),
+                        0, 15).astype(jnp.int32)
+                    zr = xmin
+                    pay = (qv[:, :D // 2] | (qv[:, D // 2:] << 4)) \
+                        .astype(jnp.uint8)
+                return pay, sc_, zr
+
+            row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+            causal = col <= row
+            G = H // KH
+            for h in range(KH):
+                wk = qkn[1, None, h * D:(h + 1) * D].astype(jnp.float32) \
+                    if plan.qk_norm else None
+                kh = head_slice(HD, h, wk)                    # [S, D] roped
+                vcol = HD + KH * D + h * D
+                vh = qkv_out[:, vcol:vcol + D] + bias[None, vcol:vcol + D]
+                for g in range(G):
+                    hh = h * G + g
+                    wq = qkn[0, None, hh * D:(hh + 1) * D] \
+                        .astype(jnp.float32) if plan.qk_norm else None
+                    qh = head_slice(0, hh, wq)
+                    sco = jax.lax.dot_general(
+                        qh, kh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale_att
+                    sco = jnp.where(causal, sco, _NEG_INF)
+                    m = jnp.max(sco, axis=-1, keepdims=True)
+                    p = jnp.exp(sco - m)
+                    p = p / jnp.sum(p, axis=-1, keepdims=True)
+                    ov = jnp.dot(p.astype(jnp.bfloat16),
+                                 vh.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+                    attn_out[:, hh * D:(hh + 1) * D] = \
+                        ov.astype(jnp.bfloat16)
+
+                # quantize + stash this kv head, column block h of the pools
+                if kv_quant:
+                    kp, ks, kz = qz_head(kh)
+                    vp, vs, vz = qz_head(vh)
+                    kpay[:, h * Dsc:(h + 1) * Dsc] = kp
+                    vpay[:, h * Dsc:(h + 1) * Dsc] = vp
+                    kq_rows[2 * h, :] = ks
+                    kq_rows[2 * h + 1, :] = kz
+                    vq_rows[2 * h, :] = vs
+                    vq_rows[2 * h + 1, :] = vz
+                else:
+                    kpay[:, h * Dsc:(h + 1) * Dsc] = kh.astype(kv_dtype)
+                    vpay[:, h * Dsc:(h + 1) * Dsc] = vh.astype(kv_dtype)
+
+            for j in range(maxPb):
+                @pl.when(j * ps < n)
+                def _(j=j):
+                    for cp in page_write_copies(j, l):
+                        cp.start()
+
+        # ---------------- o phase ----------------
+        @pl.when(jnp.logical_and(
+            ~in_lm, jnp.logical_and(s >= plan.base_o, s < plan.base_mlp)))
+        def _o():
+            c = s - plan.base_o
+            w = _wdeq_tile(o_sp, args["o_w"], args.get("o_s"),
+                           args.get("o_z"))
+            y = jax.lax.dot_general(
+                attn_out[:], w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            cur = x_resid[:, pl.ds(pl.multiple_of(c * o_sp.chunk, 128),
+                                   o_sp.chunk)]
+            x_resid[:, pl.ds(pl.multiple_of(c * o_sp.chunk, 128),
+                             o_sp.chunk)] = cur + y
+
+        # ---------------- interleaved mlp phase ----------------
+        @pl.when(jnp.logical_and(~in_lm, s >= plan.base_mlp))
+        def _mlp():
+            c = s - plan.base_mlp
+
+            @pl.when(c == 0)
+            def _():
+                x_norm[:] = _rms(x_resid[:], args["norms"][0, 1],
+                                 eps).astype(jnp.bfloat16)
+                acc_mlp[:] = jnp.zeros_like(acc_mlp)
+
+            wg = _wdeq_tile(pg, args["pg_w"], args.get("pg_s"),
+                            args.get("pg_z"))
+            wu = _wdeq_tile(pu, args["pu_w"], args.get("pu_s"),
+                            args.get("pu_z"))
+            wd = _wdeq_tile(pd, args["pd_w"], args.get("pd_s"),
+                            args.get("pd_z"))
+            g_ = jax.lax.dot_general(
+                x_norm[:], wg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            u_ = jax.lax.dot_general(
+                x_norm[:], wu, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            act = (g_ * jax.lax.logistic(g_) * u_).astype(jnp.bfloat16)
+            y = jax.lax.dot_general(
+                act, wd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_mlp[:] = acc_mlp[:] + y[:, :hid]
+
+            @pl.when(c == pg.S - 1)
+            def _():
+                x_resid[:] = x_resid[:] + acc_mlp[:]
+
+        # ---------------- lm phase (last valid token only) ----------------
+        @pl.when(in_lm)
+        def _lm():
+            c = t - L * S_layer
+
+            @pl.when(c == 0)
+            def _first():
+                # gather the last valid token's hidden into row 0 (padded
+                # to 8 sublanes); normed with the final norm
+                ridx = jax.lax.broadcasted_iota(jnp.int32, (S, hid), 0)
+                sel = ridx == (n - 1)
+                last = jnp.sum(jnp.where(sel, x_resid[:], 0.0), axis=0,
+                               keepdims=True)                    # [1, hid]
+                lastn = _rms(last, args["final_norm"][0], eps)
+                x_last[:] = jnp.broadcast_to(
+                    lastn.astype(jnp.bfloat16), (8, hid))
+                # final wait for the last layer's page writes
+                for j in range(maxPb):
+                    @pl.when(j * ps < n)
+                    def _(j=j):
+                        for cp in page_write_copies(j, L - 1):
+                            cp.wait()
+
+            w = _wdeq_tile(lm, args["lm_w"], args.get("lm_s"),
+                           args.get("lm_z"))
+            logits_ref[:] = jax.lax.dot_general(
+                x_last[:], w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=NSCAL,
+        grid=(T_total,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+    )
+
+    out_shape = [jax.ShapeDtypeStruct((8, plan.Vp), jnp.float32)]
+
+    def fn(packed: Dict, x0, cos, sin, page_row, n_tokens,
+           k, v, kq=None, vq=None):
+        pools = [k, v] + ([kq, vq] if kv_quant else [])
+        shapes = out_shape + [
+            jax.ShapeDtypeStruct(p.shape, p.dtype) for p in pools]
+        pool0 = NSCAL + NARG - npools
+        aliases = {pool0 + i: 1 + i for i in range(npools)}
+        tensors = [x0, cos, sin]
+        for sp, _ in stream_defs:
+            tensors.append(packed[sp.name + "_w"])
+            if sp.bits != 16:
+                tensors.append(packed[sp.name + "_s"])
+                tensors.append(packed[sp.name + "_z"])
+        tensors += [packed["norms"], packed["qkv_b"], packed["final_norm"]]
+        if plan.qk_norm:
+            tensors.append(packed["qk_norms"])
+        tensors += pools
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=shapes,
+            input_output_aliases=aliases,
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(page_row.astype(jnp.int32), n_tokens.astype(jnp.int32)[None],
+          *tensors)
+        return (outs[0],) + tuple(outs[1:])
+
+    return fn

@@ -68,6 +68,10 @@ class EnvConfig:
         return _get("DI_MEGAKERNEL", "1") != "0"
 
     @staticmethod
+    def prefill_megakernel_enabled() -> bool:
+        return _get("DI_PREFILL_MEGAKERNEL", "1") != "0"
+
+    @staticmethod
     def log_status_interval_s() -> float:
         # reference: HIE_LOG_STATUS_INTERVAL (as_engine.cpp:2508-2513)
         return _get("DI_LOG_STATUS_INTERVAL", 30.0)

@@ -1,0 +1,201 @@
+"""Prefill megakernel vs the XLA prefill path (interpret mode on CPU):
+last-token logits AND the KV pages written to the pools must match."""
+
+import numpy as np
+import pytest
+
+from tests.test_megakernel import _tiny, _prep_cache  # noqa: F401
+
+
+def _run_case(quant, kv_mode_name, qk_norm, n_tokens, bucket=128, ps=16):
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from dashinfer_tpu.config import CacheMode, QuantConfig
+    from dashinfer_tpu.models import transformer
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+    from dashinfer_tpu.ops.pallas import prefill_megakernel as pmk
+    from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
+                                          _mscale)
+    from dashinfer_tpu.runtime.kv_cache import create_kv_cache
+
+    kv_mode = CacheMode(kv_mode_name)
+    cfg, rt, params = _tiny(qk_norm=qk_norm, ps=ps)
+    rt = dataclasses.replace(
+        rt, max_length=bucket + ps,
+        cache=dataclasses.replace(rt.cache, mode=kv_mode))
+    if quant != "none":
+        from dashinfer_tpu.loader.quantize import quantize_params
+        params = quantize_params(params, QuantConfig(mode=quant,
+                                                     group_size=128))
+
+    assert pmk.supports_prefill(cfg, rt, params, bucket)
+    plan = pmk.make_prefill_plan(cfg, rt, params, bucket,
+                                 target_chunk_bytes=48 * 1024)
+    packed = pmk.pack_prefill_params(cfg, plan, params)
+    fn = pmk.build_prefill_megakernel(plan, interpret=True)
+
+    L = cfg.num_layers
+    num_pages = rt.cache.num_pages
+    mdt = jnp.float32
+    rng = np.random.RandomState(7)
+    toks = np.zeros((bucket,), np.int32)
+    toks[:n_tokens] = rng.randint(1, cfg.vocab_size, size=n_tokens)
+    maxPb = plan.maxPb
+    page_row = np.arange(1, maxPb + 1, dtype=np.int32)  # logical pages 1..
+
+    # XLA reference (same kv mode: for the written-pages comparison)
+    cache_ref = create_kv_cache(cfg, rt.cache, num_pages * L,
+                                model_dtype=mdt)
+    ref_logits, cache_ref = transformer.prefill_forward(
+        cfg, params, jnp.asarray(toks), cache_ref, jnp.asarray(page_row),
+        jnp.int32(0), jnp.int32(n_tokens), mode=kv_mode, use_kernel=False)
+    cache_d = None
+    if kv_mode != CacheMode.DEFAULT:
+        # The megakernel attends over the exact (unquantized) K/V — like the
+        # reference engine's flash prefill over the contiguous workspace
+        # (span_attn_op_cuda.cpp) — while the XLA path attends over the
+        # cache's dequantized pages, so its layer>0 hidden states (and hence
+        # its written K/V) carry quant error the kernel doesn't have.
+        # Compare BOTH logits and pages vs a DEFAULT-mode run: its exact
+        # K/V, freshly quantized, is precisely what the kernel should store.
+        rt_d = dataclasses.replace(
+            rt, cache=dataclasses.replace(rt.cache, mode=CacheMode.DEFAULT))
+        cache_d = create_kv_cache(cfg, rt_d.cache, num_pages * L,
+                                  model_dtype=mdt)
+        ref_logits, cache_d = transformer.prefill_forward(
+            cfg, params, jnp.asarray(toks), cache_d, jnp.asarray(page_row),
+            jnp.int32(0), jnp.int32(n_tokens), mode=CacheMode.DEFAULT,
+            use_kernel=False)
+
+    # megakernel
+    view = mk.weight_only_decode_view(params)
+    cache_mk = create_kv_cache(cfg, rt.cache, num_pages * L, model_dtype=mdt)
+    x0 = view["embed_tokens"]["w"][jnp.asarray(toks)].astype(jnp.bfloat16)
+    inv_freq = compute_inv_freq(cfg)
+    pos = jnp.arange(bucket, dtype=jnp.int32)
+    cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
+    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+    pools = [cache_mk.k, cache_mk.v]
+    if cache_mk.k_qparams is not None:
+        pools += [cache_mk.k_qparams, cache_mk.v_qparams]
+    outs = fn(packed, x0, cos, sin,
+              jnp.asarray(page_row * L), jnp.int32(n_tokens), *pools)
+    logits = np.asarray(outs[0])[0, :cfg.vocab_size]
+    new_pools = outs[1:]
+
+    ref = np.asarray(ref_logits)
+    denom = np.abs(ref).max() + 1e-6
+    rel = np.abs(logits - ref).max() / denom
+    assert rel < 0.08, rel
+    assert int(np.argmax(logits)) == int(np.argmax(ref))
+
+    # Written KV pages: dequantize the kernel's pages and compare against
+    # the DEFAULT-mode reference's exact K/V (what the kernel quantized).
+    # Tolerance = ~1.5 quant steps elementwise (bf16 epsilon in the kernel's
+    # K/V can flip individual codes) + a small relative term.
+    from dashinfer_tpu.ops.kv_ops import dequantize_page_tokens
+    KH = cfg.num_kv_heads
+
+    def decode_page(pool, qpool, phys):
+        """-> (dequantized [ps, KH, D], per-token-head scale [ps, KH, 1])."""
+        import jax.numpy as jnp
+        pay = np.asarray(pool[phys])                   # [ps, KH*Ds]
+        if kv_mode == CacheMode.DEFAULT:
+            x = pay.astype(np.float32).reshape(ps, KH, -1)
+            return x, np.zeros(x.shape[:-1] + (1,), np.float32)
+        qp = np.asarray(qpool[phys], np.float32)       # [2*KH, ps]
+        sc = qp[0::2].T                                # [ps, KH]
+        zr = qp[1::2].T
+        return np.asarray(dequantize_page_tokens(
+            jnp.asarray(pay.reshape(ps, KH, -1)), jnp.asarray(sc),
+            jnp.asarray(zr), kv_mode)), sc[..., None]
+
+    exact = cache_ref if cache_d is None else cache_d
+    for off, name in ((0, "k"), (1, "v")):
+        got_pool = new_pools[off]
+        got_qpool = new_pools[2 + off] if kv_mode != CacheMode.DEFAULT \
+            else None
+        want_pool = (exact.k, exact.v)[off]
+        for j in range(maxPb):
+            if j * ps >= n_tokens:
+                break
+            w_tok = min(ps, n_tokens - j * ps)
+            for l in range(L):
+                phys = page_row[j] * L + l
+                a, asc = decode_page(got_pool, got_qpool, phys)
+                b = np.asarray(want_pool[phys], np.float32) \
+                    .reshape(ps, KH, -1)
+                a, b, asc = a[:w_tok], b[:w_tok], asc[:w_tok]
+                tol = 1.5 * asc + 0.03 * (np.abs(b).max() + 1e-6)
+                excess = (np.abs(a - b) - tol).max()
+                assert excess < 0, (name, j, l, excess)
+
+
+@pytest.mark.parametrize("quant,kv_mode_name,qk_norm,n_tokens", [
+    ("none", "default", False, 45),
+    ("none", "int8", False, 45),
+    ("a16w4", "int8", False, 33),
+    ("a16w8", "uint4", False, 48),
+    ("a16w4", "int8", True, 45),     # Qwen3 QK-norm
+    ("a8w8", "int8", False, 45),     # decoder_weight_only_ view
+])
+def test_prefill_megakernel_matches_reference(quant, kv_mode_name, qk_norm,
+                                              n_tokens):
+    _run_case(quant, kv_mode_name, qk_norm, n_tokens)
+
+
+def test_prefill_megakernel_partial_last_page():
+    # n not page-aligned and smaller than the bucket: the tail page is
+    # written partially and pages beyond n are left untouched
+    _run_case("none", "int8", False, 17)
+
+
+def test_engine_prefill_uses_megakernel_greedy_parity():
+    """Engine prefill through the prefill-megakernel fast path (interpret
+    mode on CPU) produces the same greedy stream as the XLA prefill path,
+    and the decode steps that follow read the pages the kernel wrote."""
+    import dataclasses
+    import numpy as np
+    from dashinfer_tpu import Engine, GenerationConfig
+    from dashinfer_tpu.config import CacheMode, QuantConfig
+    from dashinfer_tpu.loader.quantize import quantize_params
+
+    cfg, rt, params = _tiny(B=2)
+    rt = dataclasses.replace(
+        rt, max_length=192,
+        cache=dataclasses.replace(rt.cache, mode=CacheMode.INT8))
+    params = quantize_params(params, QuantConfig(mode="a16w4",
+                                                 group_size=128))
+    rng = np.random.RandomState(3)
+    prompt = rng.randint(1, cfg.vocab_size, size=70).tolist()  # bucket 128
+
+    def run(enable_mega):
+        rt2 = dataclasses.replace(rt, enable_megakernel=enable_mega)
+        eng = Engine()
+        from dashinfer_tpu.engine.model_runtime import ModelRuntime
+        runtime = ModelRuntime("pmk", cfg, params, rt2,
+                               use_kernel=enable_mega)
+        if enable_mega:
+            assert 128 in runtime._pmk_plans, \
+                "prefill megakernel did not engage for bucket 128"
+        eng._models["pmk"] = runtime
+        eng.start_model("pmk")
+        gen = GenerationConfig(max_length=len(prompt) + 8, do_sample=False,
+                               top_k=1, eos_token_id=-1)
+        _, h, q = eng.start_request("pmk", prompt, gen)
+        eng.sync_request("pmk", h, timeout_s=900)
+        toks = q.GetAllGeneratedTokens()
+        used_mega = any(k[-1] is True and isinstance(k[0], int)
+                        for k in runtime._prefill_steps)
+        eng.release_model("pmk")
+        return toks, used_mega
+
+    fast, used = run(True)
+    assert used, "engine did not route prefill through the megakernel"
+    slow, _ = run(False)
+    assert len(fast) == len(slow) == 8
+    # bf16 kernel vs f32 XLA path on a random tiny model: require agreement
+    # over the early steps (same criterion as the decode megakernel test)
+    assert fast[:6] == slow[:6], (fast, slow)

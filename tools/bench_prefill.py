@@ -6,7 +6,9 @@ TTFT a single request pays after compile. Reference comparison point:
 Llama-3-8B bs=1 in128 TTFT = 0.21 s on 48-core EMR (docs/EN/performance.md
 :32-66).
 
-Usage: python tools/bench_prefill.py [buckets...]   (default 128 1024)
+Usage: python tools/bench_prefill.py [--mega] [buckets...] (default 128 1024)
+  --mega  route through the Pallas prefill megakernel
+          (ops/pallas/prefill_megakernel.py) instead of the XLA path
 """
 
 import os
@@ -33,7 +35,10 @@ def main():
     from dashinfer_tpu.runtime.kv_cache import create_kv_cache
     from bench import build_qwen2_7b_params
 
-    buckets = [int(a) for a in sys.argv[1:]] or [128, 1024]
+    args = sys.argv[1:]
+    use_mega = "--mega" in args
+    args = [a for a in args if a != "--mega"]
+    buckets = [int(a) for a in args] or [128, 1024]
     cfg = ModelConfig(
         arch="qwen2", vocab_size=152064, hidden_size=3584,
         intermediate_size=18944, num_layers=28, num_heads=28,
@@ -55,8 +60,29 @@ def main():
                             model_dtype=jnp.bfloat16)
     state = make_decode_state(cfg, rt)
 
+    mega_params = packed = None
+    if use_mega:
+        from dashinfer_tpu.ops.pallas import prefill_megakernel as pmk
+        for b in buckets:
+            assert pmk.supports_prefill(cfg, rt, params, b), b
+        t0 = time.time()
+        plan0 = pmk.make_prefill_plan(cfg, rt, params, buckets[0])
+        packed = pmk.pack_prefill_params(cfg, plan0, params)
+        mega_params = {"prefill_packed": packed,
+                       "embed": params["embed_tokens"]["w"]}
+        print(f"prefill weights packed in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
     for bucket in buckets:
-        fn = steps_mod.build_prefill_step(cfg, rt, bucket, use_kernel=True)
+        if use_mega:
+            from dashinfer_tpu.ops.pallas import prefill_megakernel as pmk
+            plan = pmk.make_prefill_plan(cfg, rt, params, bucket)
+            fn = steps_mod.build_prefill_step(cfg, rt, bucket,
+                                              use_kernel=True,
+                                              mega_plan=plan)
+        else:
+            fn = steps_mod.build_prefill_step(cfg, rt, bucket,
+                                              use_kernel=True)
         maxPb = (bucket + ps - 1) // ps
         toks = jnp.asarray(np.random.RandomState(0).randint(
             1, cfg.vocab_size, size=bucket), jnp.int32)
@@ -71,8 +97,9 @@ def main():
             stop_token_ids=jnp.full((rt.max_stop_token_ids,), -1, jnp.int32),
             lora_idx=jnp.int32(-1), pos_offset=jnp.int32(0))
 
+        p = mega_params if use_mega else params
         t0 = time.time()
-        tok, _, cache, state = fn(params, cache, state, toks, row,
+        tok, _, cache, state = fn(p, cache, state, toks, row,
                                   jnp.int32(0), jnp.int32(bucket), init)
         int(tok)
         compile_s = time.time() - t0
@@ -80,7 +107,7 @@ def main():
         iters = 8
         t0 = time.time()
         for _ in range(iters):
-            tok, _, cache, state = fn(params, cache, state, toks, row,
+            tok, _, cache, state = fn(p, cache, state, toks, row,
                                       jnp.int32(0), jnp.int32(bucket), init)
         int(tok)
         dt = (time.time() - t0) / iters
