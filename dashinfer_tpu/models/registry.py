@@ -28,6 +28,7 @@ def get_model_builder(hf_arch: str):
         import dashinfer_tpu.models.llama  # noqa: F401
         import dashinfer_tpu.models.qwen3  # noqa: F401
         import dashinfer_tpu.models.qwen2_moe  # noqa: F401
+        import dashinfer_tpu.models.qwen3_moe  # noqa: F401
         import dashinfer_tpu.models.chatglm  # noqa: F401
         import dashinfer_tpu.models.baichuan  # noqa: F401
         import dashinfer_tpu.models.qwen2_vl  # noqa: F401

@@ -53,6 +53,19 @@ def tiny_qwen2_moe_config(vocab=512, hidden=64, inter=128, layers=2, heads=4,
         decoder_sparse_step=1, norm_topk_prob=False, mlp_only_layers=[])
 
 
+def tiny_qwen3_moe_config(vocab=512, hidden=64, inter=128, layers=2, heads=4,
+                          kv_heads=2, experts=4, topk=2):
+    from transformers import Qwen3MoeConfig
+    return Qwen3MoeConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=hidden // heads,
+        max_position_embeddings=1024, rope_theta=10000.0, rms_norm_eps=1e-6,
+        attention_dropout=0.0, num_experts=experts, num_experts_per_tok=topk,
+        moe_intermediate_size=inter // 2, decoder_sparse_step=1,
+        norm_topk_prob=True, mlp_only_layers=[])
+
+
 def tiny_gpt2_config(vocab=512, hidden=64, layers=2, heads=4):
     from transformers import GPT2Config
     return GPT2Config(vocab_size=vocab, n_embd=hidden, n_layer=layers,

@@ -358,16 +358,18 @@ def test_engine_serving_a8w8_weight_only_decode():
 
 
 def _tiny_moe(B=3, L=2, KH=1, H=2, hid=256, Im=256, E=4, k=2, vocab=512,
-              ps=16, shared=True, shared_gate=True, norm_topk=True):
+              ps=16, shared=True, shared_gate=True, norm_topk=True,
+              qk_norm=False):
     import jax
     import jax.numpy as jnp
     from dashinfer_tpu.config import CacheConfig, CacheMode, MoEConfig, \
         ModelConfig, RuntimeConfig
 
     cfg = ModelConfig(
-        arch="qwen2_moe", vocab_size=vocab, hidden_size=hid,
+        arch="qwen3_moe" if qk_norm else "qwen2_moe", vocab_size=vocab,
+        hidden_size=hid,
         intermediate_size=Im, num_layers=L, num_heads=H, num_kv_heads=KH,
-        head_dim=128, qkv_bias=True,
+        head_dim=128, qkv_bias=not qk_norm, qk_norm=qk_norm,
         moe=MoEConfig(num_experts=E, num_experts_per_tok=k,
                       moe_intermediate_size=Im,
                       shared_expert_intermediate_size=Im if shared else 0,
@@ -398,6 +400,11 @@ def _tiny_moe(B=3, L=2, KH=1, H=2, hid=256, Im=256, E=4, k=2, vocab=512,
             "down_proj": rnd(L, E, Im, hid),
         },
     }
+    if qk_norm:
+        layers["q_norm"] = 1.0 + 0.2 * rnd(L, 128)
+        layers["k_norm"] = 1.0 - 0.2 * rnd(L, 128)
+        for nm in ("q_proj", "k_proj", "v_proj"):
+            layers[nm].pop("b")
     if shared:
         layers["shared_expert"] = {
             "gate_proj": {"w": rnd(L, hid, Im)},
@@ -415,13 +422,15 @@ def _tiny_moe(B=3, L=2, KH=1, H=2, hid=256, Im=256, E=4, k=2, vocab=512,
     return cfg, rt, params
 
 
-@pytest.mark.parametrize("quant,shared,shared_gate", [
-    ("none", True, True),
-    ("none", False, False),
-    ("a16w8", True, True),       # quantized experts + shared expert
-    ("a16w4", True, False),
+@pytest.mark.parametrize("quant,shared,shared_gate,qk_norm", [
+    ("none", True, True, False),
+    ("none", False, False, False),
+    ("a16w8", True, True, False),    # quantized experts + shared expert
+    ("a16w4", True, False, False),
+    ("a16w4", False, False, True),   # Qwen3-MoE: QK-norm + no shared expert
 ])
-def test_megakernel_moe_matches_reference(quant, shared, shared_gate):
+def test_megakernel_moe_matches_reference(quant, shared, shared_gate,
+                                          qk_norm):
     """MoE megakernel (router + gated expert streams + shared expert) vs
     the XLA moe_block path (reference MOE op, moe_op.cpp)."""
     import dataclasses
@@ -433,7 +442,8 @@ def test_megakernel_moe_matches_reference(quant, shared, shared_gate):
     from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
                                           _mscale)
 
-    cfg, rt, params = _tiny_moe(shared=shared, shared_gate=shared_gate)
+    cfg, rt, params = _tiny_moe(shared=shared, shared_gate=shared_gate,
+                                qk_norm=qk_norm)
     if quant != "none":
         from dashinfer_tpu.loader.quantize import quantize_params
         params = quantize_params(params, QuantConfig(mode=quant,

@@ -60,6 +60,7 @@ def _run_prefill_decode(cfg, params, input_ids, n_decode, page_size=16,
     (hf_util.tiny_llama_config, "llama"),
     (hf_util.tiny_qwen3_config, "qwen3"),
     (hf_util.tiny_qwen2_moe_config, "qwen2_moe"),
+    (hf_util.tiny_qwen3_moe_config, "qwen3_moe"),
     (hf_util.tiny_gpt2_config, "gpt2"),
     (hf_util.tiny_bloom_config, "bloom"),
     (hf_util.tiny_gpt_neox_config, "gpt_neox"),

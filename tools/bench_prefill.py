@@ -52,34 +52,42 @@ def main():
         dtype="bfloat16", min_prefill_bucket=128)
 
     t0 = time.time()
-    params = jax.tree.map(jnp.asarray,
-                          build_qwen2_7b_params(cfg, quantize_lm=True))
-    print(f"params on device in {time.time()-t0:.1f}s", file=sys.stderr)
+    host_params = build_qwen2_7b_params(cfg, quantize_lm=True)
+    print(f"params built host-side in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    mega_params = None
+    if use_mega:
+        # pack from HOST numpy (device round-trips through the tunnel are
+        # painfully slow), then upload only the packed streams + embed
+        from dashinfer_tpu.ops.pallas import prefill_megakernel as pmk
+        for b in buckets:
+            assert pmk.supports_prefill(cfg, rt, host_params, b), b
+        t0 = time.time()
+        plans = {b: pmk.make_prefill_plan(cfg, rt, host_params, b)
+                 for b in buckets}
+        packed = pmk.pack_prefill_params(cfg, plans[buckets[0]], host_params)
+        mega_params = {"prefill_packed": packed,
+                       "embed": jnp.asarray(
+                           host_params["embed_tokens"]["w"])}
+        params = None
+        print(f"prefill weights packed+on device in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+    else:
+        t0 = time.time()
+        params = jax.tree.map(jnp.asarray, host_params)
+        print(f"params on device in {time.time()-t0:.1f}s", file=sys.stderr)
+    del host_params
 
     cache = create_kv_cache(cfg, rt.cache, rt.cache.num_pages * cfg.num_layers,
                             model_dtype=jnp.bfloat16)
     state = make_decode_state(cfg, rt)
 
-    mega_params = packed = None
-    if use_mega:
-        from dashinfer_tpu.ops.pallas import prefill_megakernel as pmk
-        for b in buckets:
-            assert pmk.supports_prefill(cfg, rt, params, b), b
-        t0 = time.time()
-        plan0 = pmk.make_prefill_plan(cfg, rt, params, buckets[0])
-        packed = pmk.pack_prefill_params(cfg, plan0, params)
-        mega_params = {"prefill_packed": packed,
-                       "embed": params["embed_tokens"]["w"]}
-        print(f"prefill weights packed in {time.time()-t0:.1f}s",
-              file=sys.stderr)
-
     for bucket in buckets:
         if use_mega:
-            from dashinfer_tpu.ops.pallas import prefill_megakernel as pmk
-            plan = pmk.make_prefill_plan(cfg, rt, params, bucket)
             fn = steps_mod.build_prefill_step(cfg, rt, bucket,
                                               use_kernel=True,
-                                              mega_plan=plan)
+                                              mega_plan=plans[bucket])
         else:
             fn = steps_mod.build_prefill_step(cfg, rt, bucket,
                                               use_kernel=True)
