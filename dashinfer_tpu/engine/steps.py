@@ -90,11 +90,16 @@ def _prefill_mega_forward(cfg, plan, fn, params, cache, tokens, page_row,
     from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
                                           _mscale)
     x0 = params["embed"][tokens].astype(jnp.bfloat16)
-    inv_freq = compute_inv_freq(cfg)
-    pos = jnp.arange(plan.S, dtype=jnp.int32)
-    cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
-    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
-    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+    if plan.alibi:
+        # kernel skips rotary; slopes are baked into the kernel as constants
+        cos = jnp.ones((plan.S, cfg.head_dim), jnp.bfloat16)
+        sin = jnp.zeros((plan.S, cfg.head_dim), jnp.bfloat16)
+    else:
+        inv_freq = compute_inv_freq(cfg)
+        pos = jnp.arange(plan.S, dtype=jnp.int32)
+        cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
+        cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+        sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
     pools = [cache.k, cache.v]
     if cache.k_qparams is not None:
         pools += [cache.k_qparams, cache.v_qparams]
@@ -230,18 +235,26 @@ def _megakernel_forward(cfg, plan, fn, params, state, cache, page_tables,
     H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     x0 = params["embed"][state.token_ids].astype(jnp.bfloat16)
-    inv_freq = compute_inv_freq(cfg)
-    cos, sin = rope_cos_sin(lens + state.pos_offsets, inv_freq,
-                            _mscale(cfg.rope_scaling))
-    # rope_cos_sin returns the half-dim table; the kernel wants full-D
-    # per-head tiles matching the half-split convention (ops/rotary.py).
-    # bf16 tiles: the angle is f32; only the cos/sin VALUES round (VMEM diet)
-    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
-    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
-    cosq = jnp.tile(cos, (1, H))
-    sinq = jnp.tile(sin, (1, H))
-    cosk = jnp.tile(cos, (1, KH))
-    sink = jnp.tile(sin, (1, KH))
+    if plan.alibi:
+        # ALiBi plans never read the rope tiles inside the kernel; pass
+        # identity tiles to keep the call signature uniform
+        cosq = jnp.ones((B, H * D), jnp.bfloat16)
+        sinq = jnp.zeros((B, H * D), jnp.bfloat16)
+        cosk = jnp.ones((B, KH * D), jnp.bfloat16)
+        sink = jnp.zeros((B, KH * D), jnp.bfloat16)
+    else:
+        inv_freq = compute_inv_freq(cfg)
+        cos, sin = rope_cos_sin(lens + state.pos_offsets, inv_freq,
+                                _mscale(cfg.rope_scaling))
+        # rope_cos_sin returns the half-dim table; the kernel wants full-D
+        # per-head tiles matching the half-split convention (ops/rotary.py).
+        # bf16 tiles: the angle is f32; only the cos/sin VALUES round
+        cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+        sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+        cosq = jnp.tile(cos, (1, H))
+        sinq = jnp.tile(sin, (1, H))
+        cosk = jnp.tile(cos, (1, KH))
+        sink = jnp.tile(sin, (1, KH))
 
     sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
         page_tables, lens, state.active, plan.ps)

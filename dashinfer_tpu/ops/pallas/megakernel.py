@@ -139,6 +139,9 @@ class MegaPlan:
     # Qwen3 per-head QK RMSNorm (reference QKLayerNormNoBeta,
     # qwen_v30.py:228-319) fused into the attention phase
     qk_norm: bool = False
+    # ALiBi positions (reference ALiBiPE op; Baichuan-13B): no rotary,
+    # score += slope_h * (k_pos - q_pos) in the attention page loop
+    alibi: bool = False
     # MoE (reference MOE op + CalcExpert shared expert, moe_op.cpp): when
     # E > 0 the gu/dn streams are PER-EXPERT (every expert's weights stream
     # through every step; non-selected experts contribute with gate 0 — zero
@@ -364,7 +367,16 @@ def supports(cfg: ModelConfig, rt: RuntimeConfig, params: Dict) -> bool:
             return False
         if cfg.hidden_size % 128 or (cfg.num_heads * cfg.head_dim) % 128:
             return False
-        if cfg.rope_interleaved or cfg.position_embedding.value != "rope":
+        pe = cfg.position_embedding.value
+        if pe == "rope":
+            if cfg.rope_interleaved:
+                return False
+        elif pe == "alibi":
+            # ALiBi fast path needs RMSNorm leaves (plain arrays); Bloom's
+            # LayerNorm (dict w/b) takes the XLA fallback
+            if isinstance(lp["input_layernorm"], dict):
+                return False
+        else:
             return False
         if cfg.rope_glm_2d or cfg.glm_residual_alpha or cfg.prefix_lm:
             return False
@@ -527,6 +539,7 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
         has_qkv_bias=("b" in lp["q_proj"]),
         qkv=qkv, o=o, gu=gu, dn=dn, lm=lm, rms_eps=cfg.rms_norm_eps,
         qk_norm=cfg.qk_norm,
+        alibi=cfg.position_embedding.value == "alibi",
         E=moe.num_experts if moe else 0,
         k_top=moe.num_experts_per_tok if moe else 0,
         norm_topk=moe.norm_topk_prob if moe else False,
@@ -758,6 +771,16 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
             qk[l, 1, :plan.KH * plan.D] = np.tile(
                 np.asarray(lp["k_norm"][l], np.float32), plan.KH)
         out["qk_norms"] = jnp.asarray(qk.astype(jnp.bfloat16))
+    if plan.alibi:
+        # canonical per-head slopes laid out [KH, G8] to match the q4
+        # grouped-query layout (pad cols G..G8 are never read: their q rows
+        # are zero and the bias only shifts scores of real heads)
+        from dashinfer_tpu.models.transformer import alibi_slopes
+        sl = np.asarray(alibi_slopes(plan.H), np.float32) \
+            .reshape(plan.KH, plan.G)
+        slp = np.zeros((plan.KH, plan.G8), np.float32)
+        slp[:, :plan.G] = sl
+        out["slopes"] = jnp.asarray(slp)
     return out
 
 
@@ -978,6 +1001,9 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
     if plan.qk_norm:
         in_specs.append(pl.BlockSpec((1, 2, HD), norm_idx))  # qk_norms
         arg_names.append("qk_norms")
+    if plan.alibi:
+        in_specs.append(pl.BlockSpec((KH, G8), const_idx))   # slopes
+        arg_names.append("slopes")
     if MOE:
         in_specs.append(pl.BlockSpec((1, hid, plan.EP), norm_idx))
         arg_names.append("router_w")
@@ -1091,12 +1117,17 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                           .astype(jnp.float32))
                 kr = rmsh(kr, KH, args["qk_norms"][0, 1][None, :KH * D]
                           .astype(jnp.float32))
-            cq = args["cosq"][:].astype(jnp.float32)
-            sq = args["sinq"][:].astype(jnp.float32)
-            ck = args["cosk"][:].astype(jnp.float32)
-            sk = args["sink"][:].astype(jnp.float32)
-            q_rot = qr * cq + _rot_half_heads(qr, D) * sq
-            k_rot = kr * ck + _rot_half_heads(kr, D) * sk
+            if plan.alibi:
+                # ALiBi: no rotary; the positional signal is the score bias
+                # in the page loop (reference ALiBiPE op)
+                q_rot, k_rot = qr, kr
+            else:
+                cq = args["cosq"][:].astype(jnp.float32)
+                sq = args["sinq"][:].astype(jnp.float32)
+                ck = args["cosk"][:].astype(jnp.float32)
+                sk = args["sink"][:].astype(jnp.float32)
+                q_rot = qr * cq + _rot_half_heads(qr, D) * sq
+                k_rot = kr * ck + _rot_half_heads(kr, D) * sk
 
             # stash new-token kv (quantize per head)
             k3 = k_rot.reshape(B, KH, D)
@@ -1233,6 +1264,13 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                         sco = sraw * kscal[None, :] + qs * kzero[None, :]
 
                     sco = sco * scale_att
+                    if plan.alibi:
+                        # bias = slope_h * (k_pos - q_pos); q_pos = lens[bb]
+                        # (the new token's position — keys are 0..lens-1).
+                        # Diagonal bias 0 => new-token column needs no term.
+                        slp = args["slopes"][h, :]            # [G8]
+                        dist = (tok - lens[bb]).astype(jnp.float32)  # [1,ps]
+                        sco = sco + slp[:, None] * dist
                     sco = jnp.where(tmask, sco, _NEG_INF)
 
                     m_prev = ml_st[bb, h, :, 0:1]
@@ -1654,6 +1692,8 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
         tensors += [packed["norms"], packed["qkv_b"], packed["final_norm"]]
         if plan.qk_norm:
             tensors.append(packed["qk_norms"])
+        if plan.alibi:
+            tensors.append(packed["slopes"])
         if MOE:
             tensors.append(packed["router_w"])
         tensors += pools

@@ -76,6 +76,9 @@ class PrefillPlan:
     lm: StreamPlan
     rms_eps: float
     qk_norm: bool = False
+    # ALiBi (Baichuan-13B): no rotary; score += slope_h * (k_pos - q_pos).
+    # Slopes are baked in as compile-time constants (heads are unrolled).
+    alibi: bool = False
 
     @property
     def S_layer(self) -> int:
@@ -194,7 +197,8 @@ def make_prefill_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
         kv_bits=kv_bits, kv_dtype_name=kv_dtype_name,
         has_qkv_bias=("b" in lp["q_proj"]),
         qkv=qkv, o=o, pg=pg, pu=pu, pd=pd, lm=lm,
-        rms_eps=cfg.rms_norm_eps, qk_norm=cfg.qk_norm)
+        rms_eps=cfg.rms_norm_eps, qk_norm=cfg.qk_norm,
+        alibi=cfg.position_embedding.value == "alibi")
 
 
 def pack_prefill_params(cfg: ModelConfig, plan: PrefillPlan,
@@ -309,6 +313,9 @@ def build_prefill_megakernel(plan: PrefillPlan,
                                  plan.pd, plan.lm)
     eps = plan.rms_eps
     scale_att = 1.0 / math.sqrt(D)
+    if plan.alibi:
+        from dashinfer_tpu.models.transformer import alibi_slopes
+        slope_const = [float(x) for x in np.asarray(alibi_slopes(H))]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -495,6 +502,8 @@ def build_prefill_megakernel(plan: PrefillPlan,
                 if w_norm is not None:
                     var = jnp.mean(v * v, axis=-1, keepdims=True)
                     v = v * jax.lax.rsqrt(var + eps) * w_norm
+                if plan.alibi:
+                    return v
                 return v * cos1 + _rot_half_heads(v, D) * sin1
 
             def qz_head(x):
@@ -522,6 +531,9 @@ def build_prefill_megakernel(plan: PrefillPlan,
             row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
             causal = col <= row
+            if plan.alibi:
+                # k_pos - q_pos as f32, scaled by baked per-head slopes
+                dist = (col - row).astype(jnp.float32)
             G = H // KH
             for h in range(KH):
                 wk = qkn[1, None, h * D:(h + 1) * D].astype(jnp.float32) \
@@ -537,6 +549,8 @@ def build_prefill_megakernel(plan: PrefillPlan,
                     sco = jax.lax.dot_general(
                         qh, kh, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32) * scale_att
+                    if plan.alibi:
+                        sco = sco + slope_const[hh] * dist
                     sco = jnp.where(causal, sco, _NEG_INF)
                     m = jnp.max(sco, axis=-1, keepdims=True)
                     p = jnp.exp(sco - m)

@@ -7,17 +7,20 @@ import pytest
 
 
 def _tiny(B=4, L=2, KH=1, H=2, hid=256, inter=256, vocab=512, ps=16,
-          dtype="float32", qk_norm=False):
+          dtype="float32", qk_norm=False, alibi=False):
     import jax
     import jax.numpy as jnp
     from dashinfer_tpu.config import CacheConfig, CacheMode, ModelConfig, \
-        RuntimeConfig
+        PositionEmbedding, RuntimeConfig
 
-    cfg = ModelConfig(arch="qwen3" if qk_norm else "qwen2",
+    cfg = ModelConfig(arch="baichuan" if alibi
+                      else ("qwen3" if qk_norm else "qwen2"),
                       vocab_size=vocab, hidden_size=hid,
                       intermediate_size=inter, num_layers=L, num_heads=H,
                       num_kv_heads=KH, head_dim=128,
-                      qkv_bias=not qk_norm, qk_norm=qk_norm)
+                      qkv_bias=not (qk_norm or alibi), qk_norm=qk_norm,
+                      position_embedding=(PositionEmbedding.ALIBI if alibi
+                                          else PositionEmbedding.ROPE))
     rt = RuntimeConfig(model_name="mk", max_length=ps * 4, max_batch=B,
                        cache=CacheConfig(page_size=ps, num_pages=64),
                        dtype=dtype, min_prefill_bucket=16)
@@ -49,6 +52,7 @@ def _tiny(B=4, L=2, KH=1, H=2, hid=256, inter=256, vocab=512, ps=16,
     if qk_norm:
         params["layers"]["q_norm"] = 1.0 + 0.2 * rnd(L, 128).astype(jdt)
         params["layers"]["k_norm"] = 1.0 - 0.2 * rnd(L, 128).astype(jdt)
+    if qk_norm or alibi:
         for nm in ("q_proj", "k_proj", "v_proj"):
             params["layers"][nm].pop("b")
     return cfg, rt, params
@@ -80,16 +84,18 @@ def _prep_cache(cfg, rt, params, mode, lens, pt):
     return cache
 
 
-@pytest.mark.parametrize("quant,kv_mode_name,qk_norm", [
-    ("none", "default", False),
-    ("none", "int8", False),
-    ("a16w4", "int8", False),
-    ("a16w8", "uint4", False),
-    ("none", "int8", True),      # Qwen3 per-head QK RMSNorm
-    ("a16w4", "int8", True),
-    ("a8w8", "int8", False),     # decoder_weight_only_ view (§2.11)
+@pytest.mark.parametrize("quant,kv_mode_name,qk_norm,alibi", [
+    ("none", "default", False, False),
+    ("none", "int8", False, False),
+    ("a16w4", "int8", False, False),
+    ("a16w8", "uint4", False, False),
+    ("none", "int8", True, False),      # Qwen3 per-head QK RMSNorm
+    ("a16w4", "int8", True, False),
+    ("a8w8", "int8", False, False),     # decoder_weight_only_ view (§2.11)
+    ("none", "int8", False, True),      # ALiBi (Baichuan-13B)
+    ("a16w4", "int8", False, True),
 ])
-def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm):
+def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi):
     import jax
     import jax.numpy as jnp
     from dashinfer_tpu.config import CacheConfig, CacheMode, QuantConfig, \
@@ -100,7 +106,7 @@ def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm):
     from dashinfer_tpu.ops import kv_ops
 
     kv_mode = CacheMode(kv_mode_name)
-    cfg, rt, params = _tiny(qk_norm=qk_norm)
+    cfg, rt, params = _tiny(qk_norm=qk_norm, alibi=alibi)
     rt = dataclasses.replace(
         rt, cache=dataclasses.replace(rt.cache, mode=kv_mode))
     if quant != "none":
@@ -145,18 +151,25 @@ def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm):
 
     # megakernel path
     x0 = params["embed_tokens"]["w"][tokens].astype(jnp.bfloat16)
-    from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
-                                          _mscale)
-    inv_freq = compute_inv_freq(cfg)
-    cos, sin = rope_cos_sin(jnp.asarray(lens), inv_freq,
-                            _mscale(cfg.rope_scaling))
     H, KH = cfg.num_heads, cfg.num_kv_heads
-    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
-    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
-    cosq = jnp.tile(cos, (1, H))
-    sinq = jnp.tile(sin, (1, H))
-    cosk = jnp.tile(cos, (1, KH))
-    sink = jnp.tile(sin, (1, KH))
+    D = cfg.head_dim
+    if alibi:
+        cosq = jnp.ones((B, H * D), jnp.bfloat16)
+        sinq = jnp.zeros((B, H * D), jnp.bfloat16)
+        cosk = jnp.ones((B, KH * D), jnp.bfloat16)
+        sink = jnp.zeros((B, KH * D), jnp.bfloat16)
+    else:
+        from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
+                                              _mscale)
+        inv_freq = compute_inv_freq(cfg)
+        cos, sin = rope_cos_sin(jnp.asarray(lens), inv_freq,
+                                _mscale(cfg.rope_scaling))
+        cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+        sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+        cosq = jnp.tile(cos, (1, H))
+        sinq = jnp.tile(sin, (1, H))
+        cosk = jnp.tile(cos, (1, KH))
+        sink = jnp.tile(sin, (1, KH))
     sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
         jnp.asarray(pt), jnp.asarray(lens), jnp.asarray(active > 0), ps)
     pools = [cache.k, cache.v]
@@ -312,6 +325,46 @@ def test_engine_serving_uses_megakernel_greedy_parity():
     assert len(fast) == len(slow) == 14
     # bf16 megakernel vs f32 fallback can flip a late near-tie argmax on a
     # random tiny model; require agreement over the first 10 steps
+    assert fast[:10] == slow[:10], (fast, slow)
+
+
+def test_engine_serving_alibi_megakernel_greedy_parity():
+    """Baichuan-13B-style ALiBi arch through the megakernel fast path
+    (exercises the identity cos/sin tiles in _megakernel_forward and the
+    in-kernel slope bias) vs the XLA fallback."""
+    import dataclasses
+    from dashinfer_tpu import Engine, GenerationConfig
+    from dashinfer_tpu.config import CacheMode, QuantConfig
+    from dashinfer_tpu.loader.quantize import quantize_params
+
+    cfg, rt, params = _tiny(B=2, alibi=True)
+    rt = dataclasses.replace(
+        rt, max_length=48,
+        cache=dataclasses.replace(rt.cache, mode=CacheMode.INT8))
+    params = quantize_params(params, QuantConfig(mode="a16w4",
+                                                 group_size=128))
+
+    def run(enable_mega):
+        rt2 = dataclasses.replace(rt, enable_megakernel=enable_mega)
+        eng = Engine()
+        from dashinfer_tpu.engine.model_runtime import ModelRuntime
+        runtime = ModelRuntime("ab", cfg, params, rt2, use_kernel=enable_mega)
+        if enable_mega:
+            assert runtime.mega_plan is not None and \
+                runtime.mega_plan.alibi, "alibi megakernel did not engage"
+        eng._models["ab"] = runtime
+        eng.start_model("ab")
+        gen = GenerationConfig(max_length=20, do_sample=False, top_k=1,
+                               eos_token_id=-1)
+        _, h, q = eng.start_request("ab", [5, 9, 2, 41, 77, 3], gen)
+        eng.sync_request("ab", h, timeout_s=900)
+        toks = q.GetAllGeneratedTokens()
+        eng.release_model("ab")
+        return toks
+
+    fast = run(True)
+    slow = run(False)
+    assert len(fast) == len(slow) == 14
     assert fast[:10] == slow[:10], (fast, slow)
 
 

@@ -7,7 +7,8 @@ import pytest
 from tests.test_megakernel import _tiny, _prep_cache  # noqa: F401
 
 
-def _run_case(quant, kv_mode_name, qk_norm, n_tokens, bucket=128, ps=16):
+def _run_case(quant, kv_mode_name, qk_norm, n_tokens, bucket=128, ps=16,
+              alibi=False):
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -20,7 +21,7 @@ def _run_case(quant, kv_mode_name, qk_norm, n_tokens, bucket=128, ps=16):
     from dashinfer_tpu.runtime.kv_cache import create_kv_cache
 
     kv_mode = CacheMode(kv_mode_name)
-    cfg, rt, params = _tiny(qk_norm=qk_norm, ps=ps)
+    cfg, rt, params = _tiny(qk_norm=qk_norm, ps=ps, alibi=alibi)
     rt = dataclasses.replace(
         rt, max_length=bucket + ps,
         cache=dataclasses.replace(rt.cache, mode=kv_mode))
@@ -72,11 +73,16 @@ def _run_case(quant, kv_mode_name, qk_norm, n_tokens, bucket=128, ps=16):
     view = mk.weight_only_decode_view(params)
     cache_mk = create_kv_cache(cfg, rt.cache, num_pages * L, model_dtype=mdt)
     x0 = view["embed_tokens"]["w"][jnp.asarray(toks)].astype(jnp.bfloat16)
-    inv_freq = compute_inv_freq(cfg)
-    pos = jnp.arange(bucket, dtype=jnp.int32)
-    cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
-    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
-    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+    if alibi:
+        assert plan.alibi
+        cos = jnp.ones((bucket, cfg.head_dim), jnp.bfloat16)
+        sin = jnp.zeros((bucket, cfg.head_dim), jnp.bfloat16)
+    else:
+        inv_freq = compute_inv_freq(cfg)
+        pos = jnp.arange(bucket, dtype=jnp.int32)
+        cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
+        cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+        sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
     pools = [cache_mk.k, cache_mk.v]
     if cache_mk.k_qparams is not None:
         pools += [cache_mk.k_qparams, cache_mk.v_qparams]
@@ -144,6 +150,13 @@ def _run_case(quant, kv_mode_name, qk_norm, n_tokens, bucket=128, ps=16):
 def test_prefill_megakernel_matches_reference(quant, kv_mode_name, qk_norm,
                                               n_tokens):
     _run_case(quant, kv_mode_name, qk_norm, n_tokens)
+
+
+def test_prefill_megakernel_alibi_matches_reference():
+    # ALiBi (Baichuan-13B): no rotary, baked slope bias in the score tile.
+    # (n_tokens=45 lands on a 0.004-gap argmax near-tie on this random
+    # model that bf16 flips; 40 has a clear margin.)
+    _run_case("a16w4", "int8", False, 40, alibi=True)
 
 
 def test_prefill_megakernel_partial_last_page():
