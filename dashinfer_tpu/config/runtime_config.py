@@ -88,6 +88,10 @@ class RuntimeConfig:
 
     # parallelism: data-parallel x model(tensor)-parallel mesh
     mesh_shape: Tuple[int, int] = (1, 1)  # (data, model)
+    # MoE expert-parallel split over the model axis instead of TP within
+    # experts (reference converter flag use_ep -> EPSPLIT,
+    # qwen_v20_moe.py:68,177-179; weight_splitter.cpp:856-959)
+    use_ep: bool = False
 
     # prefill length buckets are powers of two between these bounds
     min_prefill_bucket: int = 32
@@ -185,8 +189,10 @@ class RuntimeConfigBuilder:
         self._quant_kw["group_size"] = group_size
         return self
 
-    def mesh(self, data: int = 1, model: int = 1) -> "RuntimeConfigBuilder":
+    def mesh(self, data: int = 1, model: int = 1,
+             use_ep: bool = False) -> "RuntimeConfigBuilder":
         self._kw["mesh_shape"] = (data, model)
+        self._kw["use_ep"] = use_ep
         return self
 
     def eviction_strategy(self, s: EvictionStrategy) -> "RuntimeConfigBuilder":

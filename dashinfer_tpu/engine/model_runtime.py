@@ -87,12 +87,25 @@ class ModelRuntime:
         self._inflight = None
 
         self.params = jax.tree.map(jnp.asarray, params)
+        # tensor-parallel mesh (reference: per-rank WeightSplitter + NCCL
+        # graph ops, SURVEY.md §2.13; here NamedShardings declared on the
+        # arrays — XLA's SPMD partitioner inserts the ICI collectives inside
+        # the already-jitted steps, so no step code changes)
+        self.mesh = None
+        if tuple(rt.mesh_shape) != (1, 1):
+            from dashinfer_tpu.parallel import make_mesh, shard_params
+            self.mesh = make_mesh(tuple(rt.mesh_shape))
+            self.params = shard_params(self.params, self.mesh,
+                                       ep=rt.use_ep)
+            logger.info("TP mesh %s (ep=%s): params sharded",
+                        dict(self.mesh.shape), rt.use_ep)
         # megakernel fast path for decode: pack the weight streams once at
         # install when the architecture qualifies (ops/pallas/megakernel.py).
         # Raw params stay for prefill/LoRA/fallback; DI_MEGAKERNEL=0 disables.
+        # Under a TP mesh the XLA path runs (the megakernel is single-chip).
         self.mega_plan = None
         self.mega_params = None
-        if (self.use_kernel and rt.enable_megakernel and
+        if (self.use_kernel and rt.enable_megakernel and self.mesh is None and
                 EnvConfig.megakernel_enabled() and not rt.enable_lora):
             from dashinfer_tpu.ops.pallas import megakernel as mk
             # reference decoder_weight_only_ (device_context.h:148-149):
@@ -114,6 +127,10 @@ class ModelRuntime:
             cfg, rt.cache, self.num_logical_pages * cfg.num_layers,
             model_dtype=self.dtype)
         self.state = make_decode_state(cfg, rt)
+        if self.mesh is not None:
+            from dashinfer_tpu.parallel import shard_cache, shard_state
+            self.cache = shard_cache(self.cache, cfg, self.mesh)
+            self.state = shard_state(self.state, self.mesh)
         self.allocator = make_page_allocator(self.num_logical_pages)
 
         self._decode_step = steps_mod.build_decode_step(

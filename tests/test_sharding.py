@@ -76,6 +76,46 @@ def test_tp_forward_matches_single_device():
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_engine_tp_serving_matches_single_device():
+    """Engine-level tensor parallelism: install_model with mesh (1, 4)
+    shards weights/KV at install (the reference splits per rank at load,
+    weight_manager.h:96-103) and the served greedy stream matches the
+    single-device engine token for token."""
+    import sys
+    sys.path.insert(0, ".")
+    import tests.hf_util as hf_util
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.loader import build_from_torch_model
+
+    hf = hf_util.tiny_qwen2_config()
+    tm = hf_util.make_torch_model(hf)
+    cfg, params = build_from_torch_model(tm, hf.to_dict(), "float32")
+
+    def run(model_axis):
+        rt = (RuntimeConfigBuilder("tp").max_length(64).max_batch(2)
+              .kv_cache_page_size(16).kv_cache_num_pages(24)
+              .dtype("float32").mesh(1, model_axis)
+              .update({"min_prefill_bucket": 16}).build())
+        eng = Engine().install_model("tp", rt, params=params,
+                                     model_config=cfg)
+        eng.start_model("tp")
+        if model_axis > 1:
+            assert eng._models["tp"].mesh is not None
+        _, h, q = eng.start_request(
+            "tp", [5, 9, 2, 41, 77, 3],
+            GenerationConfig(max_length=18, do_sample=False, top_k=1,
+                             eos_token_id=-1))
+        eng.sync_request("tp", h, timeout_s=900)
+        toks = q.GetAllGeneratedTokens()
+        eng.release_model("tp")
+        return toks
+
+    single = run(1)
+    tp = run(4)
+    assert len(single) == 12
+    assert single == tp, (single, tp)
+
+
 def test_expert_parallel_sharding_matches_single_device():
     """EPSPLIT: experts sharded over the model axis produce the same logits
     as single-device (reference use_ep -> EPSPLIT, weight_splitter.cpp:856)."""
