@@ -102,9 +102,34 @@ class ModelRuntime:
         # megakernel fast path for decode: pack the weight streams once at
         # install when the architecture qualifies (ops/pallas/megakernel.py).
         # Raw params stay for prefill/LoRA/fallback; DI_MEGAKERNEL=0 disables.
-        # Under a TP mesh the XLA path runs (the megakernel is single-chip).
+        # Under a TP mesh the sharded per-layer-segment variant runs instead
+        # (ops/pallas/tp_megakernel.py); unsupported combos fall back to the
+        # XLA SPMD path.
         self.mega_plan = None
         self.mega_params = None
+        self.tp_mega_plan = None
+        if (self.use_kernel and rt.enable_megakernel and
+                self.mesh is not None and EnvConfig.megakernel_enabled() and
+                not rt.enable_lora):
+            from dashinfer_tpu.ops.pallas import tp_megakernel as tpk
+            from dashinfer_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n = self.mesh.shape[MODEL_AXIS]
+            if (self.mesh.shape[DATA_AXIS] == 1 and
+                    tpk.supports_tp(cfg, rt, params, n)):
+                t0 = time.monotonic()
+                self.tp_mega_plan, packed = tpk.make_tp_plan(cfg, rt,
+                                                             params, n)
+                rank_sh = NamedSharding(self.mesh, P("model"))
+                rep = NamedSharding(self.mesh, P())
+                self.mega_params = {
+                    "packed": jax.tree.map(
+                        lambda a: jax.device_put(a, rank_sh), packed),
+                    "embed": jax.device_put(
+                        jnp.asarray(np.asarray(params["embed_tokens"]["w"])),
+                        rep)}
+                logger.info("TP megakernel packed in %.1fs (%d shards)",
+                            time.monotonic() - t0, n)
         if (self.use_kernel and rt.enable_megakernel and self.mesh is None and
                 EnvConfig.megakernel_enabled() and not rt.enable_lora):
             from dashinfer_tpu.ops.pallas import megakernel as mk
@@ -145,7 +170,7 @@ class ModelRuntime:
         # across buckets — stream geometry is bucket-independent) + a plan
         # per qualifying bucket. DI_PREFILL_MEGAKERNEL=0 disables.
         self._pmk_plans: Dict[int, object] = {}
-        if (self.mega_params is not None and
+        if (self.mega_params is not None and self.mesh is None and
                 EnvConfig.prefill_megakernel_enabled()):
             from dashinfer_tpu.ops.pallas import prefill_megakernel as pmk
             qual = [b for b in self.buckets
@@ -265,14 +290,19 @@ class ModelRuntime:
     def _decode_fn(self, with_logprobs: bool, with_guided: bool,
                    with_lora: bool = False) -> Callable:
         plan = self.mega_plan if not with_lora else None
-        if not (with_logprobs or with_guided or with_lora) and plan is None:
+        tp = (self.tp_mega_plan, self.mesh) \
+            if (self.tp_mega_plan is not None and not with_lora) else None
+        if (not (with_logprobs or with_guided or with_lora) and
+                plan is None and tp is None):
             return self._decode_step
-        key = ("dec", with_logprobs, with_guided, with_lora, plan is not None)
+        key = ("dec", with_logprobs, with_guided, with_lora,
+               plan is not None, tp is not None)
         if key not in self._prefill_steps:
             self._prefill_steps[key] = steps_mod.build_decode_step(
                 self.cfg, self.rt, use_kernel=self.use_kernel,
                 with_logprobs=with_logprobs, with_guided=with_guided,
-                with_lora=with_lora, megakernel_plan=plan)
+                with_lora=with_lora, megakernel_plan=plan,
+                tp_megakernel=tp)
         return self._prefill_steps[key]
 
     def _decode_params(self, with_lora: bool):
@@ -281,12 +311,15 @@ class ModelRuntime:
         return self.params
 
     def _multi_decode_fn(self) -> Callable:
+        tp = (self.tp_mega_plan, self.mesh) \
+            if self.tp_mega_plan is not None else None
         key = ("multidec", self.rt.decode_steps_per_launch,
-               self.mega_plan is not None)
+               self.mega_plan is not None, tp is not None)
         if key not in self._prefill_steps:
             self._prefill_steps[key] = steps_mod.build_multi_decode_step(
                 self.cfg, self.rt, self.rt.decode_steps_per_launch,
-                use_kernel=self.use_kernel, megakernel_plan=self.mega_plan)
+                use_kernel=self.use_kernel, megakernel_plan=self.mega_plan,
+                tp_megakernel=tp)
         return self._prefill_steps[key]
 
     def _make_enforcer(self, req: Request):
@@ -899,9 +932,15 @@ class ModelRuntime:
         self._drain_inflight()
         if self._params_host is not None:
             return
+        # remember shardings so a TP-sharded layout survives the round trip
+        self._params_sh = jax.tree.map(lambda a: a.sharding, self.params) \
+            if self.mesh is not None else None
         self._params_host = jax.device_get(self.params)
         self.params = None
         if self.mega_params is not None:
+            self._mega_sh = jax.tree.map(
+                lambda a: a.sharding, self.mega_params) \
+                if self.mesh is not None else None
             self._mega_host = jax.device_get(self.mega_params)
             self.mega_params = None
         logger.info("weights swapped to host RAM")
@@ -909,10 +948,18 @@ class ModelRuntime:
     def reload_weights_to_device(self):
         if self._params_host is None:
             return
-        self.params = jax.tree.map(jnp.asarray, self._params_host)
+        if getattr(self, "_params_sh", None) is not None:
+            self.params = jax.tree.map(jax.device_put, self._params_host,
+                                       self._params_sh)
+        else:
+            self.params = jax.tree.map(jnp.asarray, self._params_host)
         self._params_host = None
         if getattr(self, "_mega_host", None) is not None:
-            self.mega_params = jax.tree.map(jnp.asarray, self._mega_host)
+            if getattr(self, "_mega_sh", None) is not None:
+                self.mega_params = jax.tree.map(
+                    jax.device_put, self._mega_host, self._mega_sh)
+            else:
+                self.mega_params = jax.tree.map(jnp.asarray, self._mega_host)
             self._mega_host = None
         logger.info("weights reloaded to device")
 

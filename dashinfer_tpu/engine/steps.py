@@ -275,11 +275,44 @@ def _megakernel_forward(cfg, plan, fn, params, state, cache, page_tables,
     return logits, cache
 
 
+def _tp_megakernel_forward(cfg, plan, fn, params, state, cache, page_tables,
+                           lens):
+    """One decode forward via the TP-sharded megakernel
+    (ops/pallas/tp_megakernel.py): per-layer segments + psum over the
+    mesh's model axis."""
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+    from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
+                                          _mscale)
+    inv_freq = compute_inv_freq(cfg)
+    cos, sin = rope_cos_sin(lens + state.pos_offsets, inv_freq,
+                            _mscale(cfg.rope_scaling))
+    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+    x0 = params["embed"][state.token_ids].astype(jnp.bfloat16)
+    sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
+        page_tables, lens, state.active, plan.ps)
+    pools = [cache.k, cache.v]
+    if cache.k_qparams is not None:
+        pools += [cache.k_qparams, cache.v_qparams]
+    outs = fn(params["packed"], x0, cos, sin, page_tables, lens,
+              state.active, tgt_page, sched_b, sched_p, n_sched, *pools)
+    logits = outs[0]
+    new_pools = outs[1:]
+    if cache.k_qparams is not None:
+        cache = KVCache(k=new_pools[0], v=new_pools[1],
+                        k_qparams=new_pools[2], v_qparams=new_pools[3])
+    else:
+        cache = KVCache(k=new_pools[0], v=new_pools[1],
+                        k_qparams=None, v_qparams=None)
+    return logits, cache
+
+
 def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
                       *, use_kernel: bool, with_logprobs: bool = False,
                       with_guided: bool = False,
                       with_lora: bool = False,
-                      megakernel_plan=None) -> Callable:
+                      megakernel_plan=None,
+                      tp_megakernel=None) -> Callable:
     """Returns jitted fn(params, cache, state, new_page_ids [B]
     [, allowed [B, V] bool]) -> (tokens [B], lp, cache, state).
 
@@ -295,7 +328,11 @@ def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
     mode = rt.cache.mode
     ps = rt.cache.page_size
     n_lp = rt.max_top_logprobs if with_logprobs else 0
-    if megakernel_plan is not None:
+    if tp_megakernel is not None:
+        from dashinfer_tpu.ops.pallas import tp_megakernel as _tpk
+        _tp_plan, _tp_mesh = tp_megakernel
+        _tp_fn = _tpk.build_tp_decode_fn(_tp_plan, _tp_mesh, cfg.vocab_size)
+    elif megakernel_plan is not None:
         from dashinfer_tpu.ops.pallas import megakernel as _mk
         _mega_fn = _mk.build_decode_megakernel(megakernel_plan)
 
@@ -314,7 +351,11 @@ def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
             onehot = jax.nn.one_hot(state.lora_idx,
                                     lora_pool["scale"].shape[0],
                                     dtype=jnp.float32)
-        if megakernel_plan is not None:
+        if tp_megakernel is not None:
+            logits, cache = _tp_megakernel_forward(
+                cfg, tp_megakernel[0], _tp_fn, params, state, cache,
+                page_tables, lens)
+        elif megakernel_plan is not None:
             logits, cache = _megakernel_forward(
                 cfg, megakernel_plan, _mega_fn, params, state, cache,
                 page_tables, lens)
@@ -361,7 +402,8 @@ def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
 
 def build_multi_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
                             n_steps: int, *, use_kernel: bool,
-                            megakernel_plan=None) -> Callable:
+                            megakernel_plan=None,
+                            tp_megakernel=None) -> Callable:
     """N decode steps in ONE jitted call (lax.scan over the single-step
     body): fn(params, cache, state, new_page_ids [N, B]) -> (tokens [N, B],
     cache, state).
@@ -376,7 +418,11 @@ def build_multi_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
     the single-step path."""
     mode = rt.cache.mode
     ps = rt.cache.page_size
-    if megakernel_plan is not None:
+    if tp_megakernel is not None:
+        from dashinfer_tpu.ops.pallas import tp_megakernel as _tpk
+        _tp_plan, _tp_mesh = tp_megakernel
+        _tp_fn = _tpk.build_tp_decode_fn(_tp_plan, _tp_mesh, cfg.vocab_size)
+    elif megakernel_plan is not None:
         from dashinfer_tpu.ops.pallas import megakernel as _mk
         _mega_fn = _mk.build_decode_megakernel(megakernel_plan)
 
@@ -390,7 +436,11 @@ def build_multi_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
         vals = jnp.where(new_page_ids >= 0, new_page_ids, old)
         page_tables = state.page_tables.at[b_idx, col].set(vals)
 
-        if megakernel_plan is not None:
+        if tp_megakernel is not None:
+            logits, cache = _tp_megakernel_forward(
+                cfg, tp_megakernel[0], _tp_fn, params, state, cache,
+                page_tables, lens)
+        elif megakernel_plan is not None:
             logits, cache = _megakernel_forward(
                 cfg, megakernel_plan, _mega_fn, params, state, cache,
                 page_tables, lens)

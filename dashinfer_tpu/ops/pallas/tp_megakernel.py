@@ -1,0 +1,960 @@
+"""Tensor-parallel decode megakernel: per-layer Pallas segments + psum.
+
+The whole-model decode megakernel (megakernel.py) fuses the residual adds
+between layers inside one kernel, which is incompatible with tensor
+parallelism: after the o-projection and after the down-projection the
+partial products of all shards must be summed before the next RMSNorm.
+This module splits the model step into per-layer SEGMENT kernels that end
+exactly at those two reduction points:
+
+  for each layer l:
+    seg_attn:  rms1 -> qkv chunks (col-split) -> paged attention over the
+               LOCAL kv heads (KV pool head-sharded) + per-layer new-token
+               RMW write -> o chunks (row-split)      => o partial [B, hid]
+    x += psum(o_partial)                              <- ICI all-reduce
+    seg_mlp:   rms2 -> gate/up chunks (col-split) -> swiglu -> down chunks
+               (row-split)                            => dn partial [B, hid]
+    x += psum(dn_partial)
+  seg_lm:      final rms -> lm chunks over the LOCAL vocab shard
+                                                      => logits [B, Vp/n]
+
+Each shard streams 1/n of the weight bytes, so the per-step floor scales
+~1/n (the single-chip kernel is already at its weight-streaming floor).
+XLA overlaps the psums with the next segment's first weight DMAs.
+
+Weight sharding follows the reference's load-time WeightSplitter
+(weight_splitter.cpp:10-608): VSPLIT on q/k/v/gate/up out-dims, HSPLIT on
+o/down in-dims (the all-reduce "falls out" after the row-split contraction,
+here made explicit as the segment boundary), vocab split on lm_head. The
+split happens on the RAW params per rank (split_params_tp), then each
+rank's streams are packed with the regular pack_params on a LOCAL config —
+stream geometry, chunking, and the in-kernel dequant math are reused
+unchanged.
+
+Scope (supports_tp): dense RoPE archs (incl. Qwen3 QK-norm), kv quant
+int8/uint4/none, weights 16-bit / a16w8 / a16w4; requires heads, kv heads,
+intermediate and vocab divisible by the shard count. MoE-EP and ALiBi TP
+are future work (ALiBi needs per-rank slope slices, pack_params derives
+slopes from the local head count).
+"""
+
+import dataclasses
+import functools
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dashinfer_tpu.config import CacheMode, ModelConfig, RuntimeConfig
+from dashinfer_tpu.ops.pallas import megakernel as mk
+from dashinfer_tpu.ops.pallas.megakernel import (
+    MegaPlan, _NEG_INF, _RING, _RMW_W, _dequant_chunk, _rms, _rot_half_heads,
+    _stream_dot)
+from dashinfer_tpu.parallel.mesh import MODEL_AXIS
+
+
+# ---------------------------------------------------------------------------
+# per-rank raw-param splitting (reference WeightSplitter semantics)
+# ---------------------------------------------------------------------------
+
+_COL_SPLIT = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+_ROW_SPLIT = ("o_proj", "down_proj")
+
+
+def _slice_u4_cols(w_q: np.ndarray, n: int, r: int) -> np.ndarray:
+    """Column-slice a tile-128-packed u4 weight [..., K, N/2] to rank r's
+    share of the UNPACKED out dim."""
+    from dashinfer_tpu.ops.u4pack import (pack_u4_weight,
+                                          unpack_u4_weight_np_like,
+                                          weight_uses_tile128)
+    N = w_q.shape[-1] * 2
+    Nl = N // n
+    if weight_uses_tile128(N) and Nl % 256 == 0:
+        h = Nl // 2   # tile-aligned: packed cols slice directly
+        return w_q[..., r * h:(r + 1) * h]
+    lead = w_q.shape[:-2]
+    K = w_q.shape[-2]
+    flat = w_q.reshape((-1, w_q.shape[-1]))
+    un = unpack_u4_weight_np_like(np.ascontiguousarray(flat), np)
+    un = un.reshape(lead + (K, N))[..., r * Nl:(r + 1) * Nl]
+    out = np.stack([pack_u4_weight(m) for m in
+                    un.reshape((-1, K, Nl))])
+    return out.reshape(lead + (K, Nl // 2))
+
+
+def _split_leaf(name: str, leaf, n: int, r: int):
+    """One layers/ leaf -> rank r's slice. Stacked [L, ...] arrays."""
+    col = any(k in name for k in _COL_SPLIT)
+    row = any(k in name for k in _ROW_SPLIT)
+    if not (col or row):
+        return leaf                         # norms etc: replicate
+    if not isinstance(leaf, dict):          # plain [L, K, N]
+        a = np.asarray(leaf)
+        if col:
+            N = a.shape[-1]
+            return a[..., r * N // n:(r + 1) * N // n]
+        K = a.shape[-2]
+        return a[..., r * K // n:(r + 1) * K // n, :]
+    out = {}
+    for k, v in leaf.items():
+        a = np.asarray(v)
+        if k == "b":
+            if col:
+                N = a.shape[-1]
+                out[k] = a[..., r * N // n:(r + 1) * N // n]
+            else:
+                # row-split bias: added once on rank 0 (reference zeroes
+                # bias on rank>0, weight_splitter.cpp:425)
+                out[k] = a if r == 0 else np.zeros_like(a)
+        elif k == "w" or k == "w_q8":
+            if col:
+                N = a.shape[-1]
+                out[k] = a[..., r * N // n:(r + 1) * N // n]
+            else:
+                K = a.shape[-2]
+                out[k] = a[..., r * K // n:(r + 1) * K // n, :]
+        elif k == "w_q":
+            if col:
+                if a.dtype == np.uint8:    # packed u4
+                    out[k] = _slice_u4_cols(a, n, r)
+                else:                      # int8 [L, K, N]
+                    N = a.shape[-1]
+                    out[k] = a[..., r * N // n:(r + 1) * N // n]
+            else:
+                K = a.shape[-2]
+                out[k] = a[..., r * K // n:(r + 1) * K // n, :]
+        elif k in ("scale", "zero"):
+            if col:                        # [L, G, N] on out dim
+                N = a.shape[-1]
+                out[k] = a[..., r * N // n:(r + 1) * N // n]
+            elif a.shape[-2] == 1:
+                # per-channel: one K-group; scale is per out channel and
+                # identical for every rank's K rows
+                out[k] = a
+            else:                          # groups follow the K rows
+                G = a.shape[-2]
+                out[k] = a[..., r * G // n:(r + 1) * G // n, :]
+        else:
+            out[k] = a
+    return out
+
+
+def split_params_tp(params: Dict, cfg: ModelConfig, n: int) -> List[Dict]:
+    """Raw params -> n per-rank pytrees (numpy), reference split semantics."""
+    V = cfg.vocab_size
+    ranks = []
+    for r in range(n):
+        lp = {k: _split_leaf(k, v, n, r) for k, v in params["layers"].items()}
+        lm = params.get("lm_head")
+        if lm is None or cfg.tie_word_embeddings:
+            lm = {"w": np.asarray(params["embed_tokens"]["w"]).T}
+        lm_r = {}
+        for k, v in lm.items():
+            a = np.asarray(v)
+            if k == "w_q" and a.dtype == np.uint8:
+                lm_r[k] = _slice_u4_cols(a[None], n, r)[0]
+            else:   # w / w_q int8 [hid, V]; scale/zero [G, V]
+                lm_r[k] = a[..., r * V // n:(r + 1) * V // n]
+        p = {"embed_tokens": params["embed_tokens"],
+             "norm": params["norm"], "lm_head": lm_r, "layers": lp}
+        if "embed_norm" in params:
+            p["embed_norm"] = params["embed_norm"]
+        ranks.append(p)
+    return ranks
+
+
+def local_config(cfg: ModelConfig, n: int) -> ModelConfig:
+    return dataclasses.replace(
+        cfg, num_heads=cfg.num_heads // n,
+        num_kv_heads=cfg.num_kv_heads // n,
+        intermediate_size=cfg.intermediate_size // n,
+        vocab_size=cfg.vocab_size // n,
+        tie_word_embeddings=False)
+
+
+def supports_tp(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
+                n: int) -> bool:
+    if n < 2:
+        return False
+    if cfg.moe is not None:                  # MoE-EP segments: future work
+        return False
+    if cfg.position_embedding.value != "rope":
+        return False                         # ALiBi slope slices: future
+    if (cfg.num_heads % n or cfg.num_kv_heads % n or
+            cfg.intermediate_size % n or cfg.vocab_size % n):
+        return False
+    view = mk.weight_only_decode_view(params)
+    if view is None:
+        return False
+    # group sizes must tile the per-rank row splits
+    lp = view["layers"]
+    for name in ("o_proj", "down_proj"):
+        leaf = lp[name]
+        if isinstance(leaf, dict) and "scale" in leaf:
+            G = leaf["scale"].shape[1]
+            if G != 1 and G % n:   # per-channel (G==1) replicates
+                return False
+    cfg_l = local_config(cfg, n)
+    return mk.supports(cfg_l, rt, split_params_tp(view, cfg, n)[0])
+
+
+def make_tp_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
+                 n: int, target_chunk_bytes: Optional[int] = None):
+    """(local MegaPlan, packed pytree with leading [n] rank dim)."""
+    view = mk.weight_only_decode_view(params)
+    parts = split_params_tp(view, cfg, n)
+    cfg_l = local_config(cfg, n)
+    kw = {}
+    if target_chunk_bytes is not None:
+        kw["target_chunk_bytes"] = target_chunk_bytes
+    plan = mk.make_plan(cfg_l, rt, parts[0], **kw)
+    packed_r = [mk.pack_params(cfg_l, plan, p) for p in parts]
+    packed = jax.tree.map(lambda *xs: jnp.stack(
+        [np.asarray(x) for x in xs]), *packed_r)
+    return plan, packed
+
+
+# ---------------------------------------------------------------------------
+# segment kernels
+# ---------------------------------------------------------------------------
+
+def _payload_spec(sp, idx):
+    rows = sp.Kp if sp.chunk_axis == "n" else sp.chunk
+    return pl.BlockSpec((1, 1, rows, sp.store_cols), idx)
+
+
+def _qparam_spec(sp, idx):
+    gs = sp.gs if sp.gs else (sp.Kp if sp.chunk_axis == "n" else sp.chunk)
+    if sp.chunk_axis == "n":
+        g = max(sp.Kp // gs, 1)
+        cols = sp.chunk
+    else:
+        g = max(sp.chunk // gs, 1)
+        cols = sp.Np
+    return pl.BlockSpec((1, 1, g, cols), idx)
+
+
+def _append_stream(in_specs, arg_names, sp, idx):
+    in_specs.append(_payload_spec(sp, idx))
+    arg_names.append(sp.name + "_w")
+    if sp.bits != 16:
+        in_specs.append(_qparam_spec(sp, idx))
+        arg_names.append(sp.name + "_s")
+        in_specs.append(_qparam_spec(sp, idx))
+        arg_names.append(sp.name + "_z")
+
+
+def build_attn_segment(plan: MegaPlan, interpret: Optional[bool] = None):
+    """One layer's attention segment on this shard.
+
+    fn(l, x [B,hid] f32, cosq, sinq, cosk, sink, pt, lens, active, tgt_page,
+       sched_b, sched_p, n_sched, packed, *pools)
+       -> (o_partial [B, hid] f32, *pools)
+    """
+    B, L, hid = plan.B, plan.L, plan.hid
+    H, KH, D, G, G8 = plan.H, plan.KH, plan.D, plan.G, plan.G8
+    HD = H * D
+    ps = plan.ps
+    kv_quant = plan.kv_mode != CacheMode.DEFAULT
+    Dsc = plan.kv_store_dim
+    F = KH * Dsc
+    qkv, o_sp = plan.qkv, plan.o
+    eps = plan.rms_eps
+    scale_att = 1.0 / math.sqrt(D)
+    kv_dtype = jnp.dtype(plan.kv_dtype_name)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    T = qkv.S + 1 + o_sp.S
+    ATT = qkv.S
+    NSCAL = 8  # l, pt, lens, active, tgt_page, sched_b, sched_p, n_sched
+
+    def stream_idx(base, count):
+        def idx(t, lref, *_):
+            return (lref[0], jnp.clip(t - base, 0, count - 1), 0, 0)
+        return idx
+
+    def norm_idx(t, lref, *_):
+        return (lref[0], 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((B, hid), lambda *_: (0, 0)),           # x
+        pl.BlockSpec((B, HD), lambda *_: (0, 0)),            # cosq
+        pl.BlockSpec((B, HD), lambda *_: (0, 0)),            # sinq
+        pl.BlockSpec((B, KH * D), lambda *_: (0, 0)),        # cosk
+        pl.BlockSpec((B, KH * D), lambda *_: (0, 0)),        # sink
+    ]
+    arg_names = ["x", "cosq", "sinq", "cosk", "sink"]
+    _append_stream(in_specs, arg_names, qkv, stream_idx(0, qkv.S))
+    _append_stream(in_specs, arg_names, o_sp, stream_idx(ATT + 1, o_sp.S))
+    in_specs.append(pl.BlockSpec((1, 2, hid), norm_idx))
+    arg_names.append("norms")
+    in_specs.append(pl.BlockSpec((1, 1, plan.QKVN), norm_idx))
+    arg_names.append("qkv_b")
+    if plan.qk_norm:
+        in_specs.append(pl.BlockSpec((1, 2, HD), norm_idx))
+        arg_names.append("qk_norms")
+    npools = 4 if kv_quant else 2
+    for _ in range(npools):
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    arg_names += ["k", "v", "kq", "vq"][:npools]
+
+    out_specs = [pl.BlockSpec((B, hid), lambda *_: (0, 0))] + \
+        [pl.BlockSpec(memory_space=pl.ANY)] * npools
+
+    scratch_shapes = [
+        pltpu.VMEM((B, hid), jnp.bfloat16),            # x_norm
+        pltpu.VMEM((B, qkv.Np), jnp.float32),          # qkv_out
+        pltpu.VMEM((B, KH, G8, D), jnp.bfloat16),      # q4
+        pltpu.VMEM((B, HD), jnp.bfloat16),             # attn_out
+        pltpu.VMEM((B, KH, G8, 2), jnp.float32),       # ml_st
+        pltpu.VMEM((B, KH, G8, D), jnp.float32),       # acc_at
+        pltpu.VMEM((_RING, ps, F), kv_dtype),          # kbuf
+        pltpu.VMEM((_RING, ps, F), kv_dtype),          # vbuf
+        pltpu.VMEM((_RING, 2 * KH, ps), jnp.float32),  # kqbuf
+        pltpu.VMEM((_RING, 2 * KH, ps), jnp.float32),  # vqbuf
+        pltpu.VMEM((B, _RMW_W, F), kv_dtype),          # rmw_k
+        pltpu.VMEM((B, _RMW_W, F), kv_dtype),          # rmw_v
+        pltpu.VMEM((B, 2 * KH, ps), jnp.float32),      # rmw_kq
+        pltpu.VMEM((B, 2 * KH, ps), jnp.float32),      # rmw_vq
+        pltpu.SemaphoreType.DMA((4, _RING)),           # page sems
+        pltpu.SemaphoreType.DMA((4, B)),               # rmw sems
+    ]
+
+    NARG = len(arg_names)
+
+    def kernel(*refs):
+        l_arr, pt, lens, active, tgt_page, sched_b, sched_p, n_sched = \
+            refs[:NSCAL]
+        args = {n: refs[NSCAL + i] for i, n in enumerate(arg_names)}
+        o_out = refs[NSCAL + NARG]
+        kpool_o = refs[NSCAL + NARG + 1]
+        vpool_o = refs[NSCAL + NARG + 2]
+        if kv_quant:
+            kqpool_o = refs[NSCAL + NARG + 3]
+            vqpool_o = refs[NSCAL + NARG + 4]
+        (x_norm, qkv_out, q4, attn_out, ml_st, acc_at,
+         kbuf, vbuf, kqbuf, vqbuf, rmw_k, rmw_v, rmw_kq, rmw_vq,
+         page_sems, rmw_sems) = refs[NSCAL + NARG + 1 + npools:]
+
+        t = pl.program_id(0)
+        l = l_arr[0]
+
+        # ---------------- qkv phase ----------------
+        @pl.when(t < ATT)
+        def _qkv():
+            @pl.when(t == 0)
+            def _():
+                x_norm[:] = _rms(args["x"][:], args["norms"][0, 0],
+                                 eps).astype(jnp.bfloat16)
+            c = t
+            y = _stream_dot(plan, qkv, x_norm[:], args["qkv_w"],
+                            args.get("qkv_s"), args.get("qkv_z"), c)
+            qkv_out[:, pl.ds(pl.multiple_of(c * qkv.chunk, 128),
+                             qkv.chunk)] = y
+
+        # ---------------- attention ----------------
+        @pl.when(t == ATT)
+        def _att():
+            qkvb = qkv_out[:, :plan.QKVN] + \
+                args["qkv_b"][0, 0][None, :].astype(jnp.float32)
+            qr = qkvb[:, :HD]
+            kr = qkvb[:, HD:HD + KH * D]
+            vr = qkvb[:, HD + KH * D:HD + 2 * KH * D]
+            if plan.qk_norm:
+                def rmsh(vec, nh, w):
+                    cols = []
+                    for hh in range(nh):
+                        blk = vec[:, hh * D:(hh + 1) * D]
+                        var = jnp.mean(blk * blk, axis=-1, keepdims=True)
+                        cols.append(blk * jax.lax.rsqrt(var + eps))
+                    return jnp.concatenate(cols, axis=-1) * w
+                qr = rmsh(qr, H, args["qk_norms"][0, 0][None, :]
+                          .astype(jnp.float32))
+                kr = rmsh(kr, KH, args["qk_norms"][0, 1][None, :KH * D]
+                          .astype(jnp.float32))
+            cq = args["cosq"][:].astype(jnp.float32)
+            sq = args["sinq"][:].astype(jnp.float32)
+            ck = args["cosk"][:].astype(jnp.float32)
+            sk = args["sink"][:].astype(jnp.float32)
+            q_rot = qr * cq + _rot_half_heads(qr, D) * sq
+            k_rot = kr * ck + _rot_half_heads(kr, D) * sk
+
+            k3 = k_rot.reshape(B, KH, D)
+            v3 = vr.reshape(B, KH, D)
+            if kv_quant:
+                def qz(x):
+                    xmin = jnp.min(x, axis=-1)
+                    xmax = jnp.max(x, axis=-1)
+                    if plan.kv_bits == 8:
+                        sc_ = jnp.maximum((xmax - xmin) / 255.0, 1e-8)
+                        qv = jnp.clip(jnp.round(
+                            (x - xmin[..., None]) / sc_[..., None]) - 128.0,
+                            -128, 127)
+                        zr = xmin + 128.0 * sc_
+                        pay = qv.astype(jnp.int32).astype(jnp.int8)
+                    else:
+                        sc_ = jnp.maximum((xmax - xmin) / 15.0, 1e-8)
+                        qv = jnp.clip(jnp.round(
+                            (x - xmin[..., None]) / sc_[..., None]),
+                            0, 15).astype(jnp.int32)
+                        zr = xmin
+                        lo = qv[..., :D // 2]
+                        hi = qv[..., D // 2:]
+                        pay = (lo | (hi << 4)).astype(jnp.uint8)
+                    return pay, sc_, zr
+                kpay, ksc, kzr = qz(k3)
+                vpay, vsc, vzr = qz(v3)
+            else:
+                kpay, ksc, kzr = k3.astype(kv_dtype), None, None
+                vpay, vsc, vzr = v3.astype(kv_dtype), None, None
+
+            # start the RMW reads for the per-layer new-token write
+            def row_of(b):
+                return tgt_page[b] * L + l
+
+            def w0_of(b):
+                off = lens[b] % ps
+                return pl.multiple_of((off // _RMW_W) * _RMW_W, _RMW_W), off
+
+            for b in range(B):
+                @pl.when(active[b] > 0)
+                def _(b=b):
+                    w0, _off = w0_of(b)
+                    pltpu.make_async_copy(
+                        args["k"].at[row_of(b), pl.ds(w0, _RMW_W), :],
+                        rmw_k.at[b], rmw_sems.at[0, b]).start()
+                    pltpu.make_async_copy(
+                        args["v"].at[row_of(b), pl.ds(w0, _RMW_W), :],
+                        rmw_v.at[b], rmw_sems.at[1, b]).start()
+                    if kv_quant:
+                        pltpu.make_async_copy(
+                            args["kq"].at[row_of(b)], rmw_kq.at[b],
+                            rmw_sems.at[2, b]).start()
+                        pltpu.make_async_copy(
+                            args["vq"].at[row_of(b)], rmw_vq.at[b],
+                            rmw_sems.at[3, b]).start()
+
+            # q into padded [B, KH, G8, D]
+            if G8 != G:
+                q4[:] = jnp.zeros_like(q4)
+            qre = q_rot.astype(jnp.bfloat16).reshape(B, H, D)
+            for h in range(KH):
+                q4[:, h, :G, :] = qre[:, h * G:(h + 1) * G, :]
+
+            ml_st[:] = jnp.concatenate(
+                [jnp.full((B, KH, G8, 1), _NEG_INF, jnp.float32),
+                 jnp.zeros((B, KH, G8, 1), jnp.float32)], axis=-1)
+            acc_at[:] = jnp.zeros_like(acc_at)
+
+            # ---- page loop: ring DMA + online softmax ----
+            n = n_sched[0]
+
+            def page_copies(i):
+                slot = jax.lax.rem(i, _RING)
+                bb = sched_b[i]
+                g = pt[bb, sched_p[i]]
+                phys = g * L + l
+                cps = [
+                    pltpu.make_async_copy(args["k"].at[phys], kbuf.at[slot],
+                                          page_sems.at[0, slot]),
+                    pltpu.make_async_copy(args["v"].at[phys], vbuf.at[slot],
+                                          page_sems.at[1, slot]),
+                ]
+                if kv_quant:
+                    cps.append(pltpu.make_async_copy(
+                        args["kq"].at[phys], kqbuf.at[slot],
+                        page_sems.at[2, slot]))
+                    cps.append(pltpu.make_async_copy(
+                        args["vq"].at[phys], vqbuf.at[slot],
+                        page_sems.at[3, slot]))
+                return cps
+
+            def start(i):
+                for cp in page_copies(i):
+                    cp.start()
+
+            for i in range(_RING):
+                @pl.when(i < n)
+                def _(i=i):
+                    start(jnp.int32(i))
+
+            def page_body(i, _):
+                slot = jax.lax.rem(i, _RING)
+                bb = sched_b[i]
+                base_tok = sched_p[i] * ps
+                for cp in page_copies(i):
+                    cp.wait()
+
+                tok = base_tok + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, ps), 1)
+                tmask = tok < lens[bb]
+
+                for h in range(KH):
+                    qh = q4[bb, h].astype(jnp.float32)
+
+                    def dot_nt(a, bm):
+                        return jax.lax.dot_general(
+                            a, bm, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+                    if plan.kv_bits == 16:
+                        kk = kbuf[slot][:, h * D:(h + 1) * D] \
+                            .astype(jnp.float32)
+                        sco = dot_nt(qh, kk)
+                    elif plan.kv_bits == 8:
+                        kk = kbuf[slot][:, h * D:(h + 1) * D] \
+                            .astype(jnp.float32)
+                        sraw = dot_nt(qh, kk)
+                        kscal = kqbuf[slot][2 * h]
+                        kzero = kqbuf[slot][2 * h + 1]
+                        qs = jnp.sum(qh, axis=1, keepdims=True)
+                        sco = sraw * kscal[None, :] + qs * kzero[None, :]
+                    else:
+                        D2 = D // 2
+                        p32 = kbuf[slot][:, h * D2:(h + 1) * D2] \
+                            .astype(jnp.int32)
+                        klo = (p32 & 0xF).astype(jnp.float32)
+                        khi = (p32 >> 4).astype(jnp.float32)
+                        sraw = dot_nt(qh[:, :D2], klo) + \
+                            dot_nt(qh[:, D2:], khi)
+                        kscal = kqbuf[slot][2 * h]
+                        kzero = kqbuf[slot][2 * h + 1]
+                        qs = jnp.sum(qh, axis=1, keepdims=True)
+                        sco = sraw * kscal[None, :] + qs * kzero[None, :]
+
+                    sco = sco * scale_att
+                    sco = jnp.where(tmask, sco, _NEG_INF)
+
+                    m_prev = ml_st[bb, h, :, 0:1]
+                    l_prev = ml_st[bb, h, :, 1:2]
+                    m_cur = jnp.max(sco, axis=-1, keepdims=True)
+                    m_new = jnp.maximum(m_prev, m_cur)
+                    alpha = jnp.exp(m_prev - m_new)
+                    pexp = jnp.exp(sco - m_new)
+                    l_new = alpha * l_prev + jnp.sum(pexp, axis=-1,
+                                                     keepdims=True)
+
+                    if plan.kv_bits == 16:
+                        vv = vbuf[slot][:, h * D:(h + 1) * D] \
+                            .astype(jnp.float32)
+                        pv = jnp.dot(pexp, vv,
+                                     preferred_element_type=jnp.float32)
+                    else:
+                        vscal = vqbuf[slot][2 * h]
+                        vzero = vqbuf[slot][2 * h + 1]
+                        pexp_s = pexp * vscal[None, :]
+                        zterm = jnp.dot(pexp, vzero[:, None],
+                                        preferred_element_type=jnp.float32)
+                        if plan.kv_bits == 8:
+                            vv = vbuf[slot][:, h * D:(h + 1) * D] \
+                                .astype(jnp.float32)
+                            pv = jnp.dot(pexp_s, vv,
+                                         preferred_element_type=jnp.float32) \
+                                + zterm
+                        else:
+                            D2 = D // 2
+                            p32 = vbuf[slot][:, h * D2:(h + 1) * D2] \
+                                .astype(jnp.int32)
+                            vlo = (p32 & 0xF).astype(jnp.float32)
+                            vhi = (p32 >> 4).astype(jnp.float32)
+                            pvl = jnp.dot(pexp_s, vlo,
+                                          preferred_element_type=jnp.float32)
+                            pvh = jnp.dot(pexp_s, vhi,
+                                          preferred_element_type=jnp.float32)
+                            pv = jnp.concatenate(
+                                [pvl + zterm, pvh + zterm], axis=-1)
+
+                    acc_at[bb, h] = acc_at[bb, h] * alpha + pv
+                    ml_st[bb, h] = jnp.concatenate([m_new, l_new], axis=-1)
+
+                nxt = i + _RING
+                @pl.when(nxt < n)
+                def _():
+                    start(nxt)
+                return ()
+
+            jax.lax.fori_loop(0, n, page_body, ())
+
+            # ---- new-token column (from VMEM) ----
+            k3f = k3.astype(jnp.float32)
+            v3f = v3.astype(jnp.float32)
+            q4f = q4[:].astype(jnp.float32)
+            sco = jnp.sum(q4f * k3f[:, :, None, :], axis=-1,
+                          keepdims=True) * scale_att
+            m_prev = ml_st[:, :, :, 0:1]
+            l_prev = ml_st[:, :, :, 1:2]
+            m_new = jnp.maximum(m_prev, sco)
+            alpha = jnp.exp(m_prev - m_new)
+            pexp = jnp.exp(sco - m_new)
+            lv = alpha * l_prev + pexp
+            lv = jnp.where(lv == 0.0, 1.0, lv)
+            accf = (acc_at[:] * alpha + pexp * v3f[:, :, None, :]) / lv
+            for h in range(KH):
+                blk = accf[:, h, :G, :].reshape(B, G * D)
+                attn_out[:, h * G * D:(h + 1) * G * D] = \
+                    blk.astype(jnp.bfloat16)
+
+            # ---- merge the new-token KV into the layer's pool row ----
+            for b in range(B):
+                @pl.when(active[b] > 0)
+                def _(b=b):
+                    w0, off = w0_of(b)
+                    r = off - w0
+                    pltpu.make_async_copy(
+                        args["k"].at[row_of(b), pl.ds(w0, _RMW_W), :],
+                        rmw_k.at[b], rmw_sems.at[0, b]).wait()
+                    pltpu.make_async_copy(
+                        args["v"].at[row_of(b), pl.ds(w0, _RMW_W), :],
+                        rmw_v.at[b], rmw_sems.at[1, b]).wait()
+                    krow = kpay[b].reshape(1, F)
+                    vrow = vpay[b].reshape(1, F)
+                    for w in range(_RMW_W):
+                        sel = r == w
+                        rmw_k[b, w, :] = jnp.where(sel, krow[0],
+                                                   rmw_k[b, w, :])
+                        rmw_v[b, w, :] = jnp.where(sel, vrow[0],
+                                                   rmw_v[b, w, :])
+                    pltpu.make_async_copy(
+                        rmw_k.at[b],
+                        kpool_o.at[row_of(b), pl.ds(w0, _RMW_W), :],
+                        rmw_sems.at[0, b]).start()
+                    pltpu.make_async_copy(
+                        rmw_v.at[b],
+                        vpool_o.at[row_of(b), pl.ds(w0, _RMW_W), :],
+                        rmw_sems.at[1, b]).start()
+                    if kv_quant:
+                        pltpu.make_async_copy(
+                            args["kq"].at[row_of(b)], rmw_kq.at[b],
+                            rmw_sems.at[2, b]).wait()
+                        pltpu.make_async_copy(
+                            args["vq"].at[row_of(b)], rmw_vq.at[b],
+                            rmw_sems.at[3, b]).wait()
+                        lane2 = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, ps), 1)
+                        hit = lane2 == off
+                        for h in range(KH):
+                            kvals = (ksc[b, h], kzr[b, h])
+                            vvals = (vsc[b, h], vzr[b, h])
+                            for j in range(2):
+                                rmw_kq[b, 2 * h + j, :] = jnp.where(
+                                    hit[0], kvals[j],
+                                    rmw_kq[b, 2 * h + j, :])
+                                rmw_vq[b, 2 * h + j, :] = jnp.where(
+                                    hit[0], vvals[j],
+                                    rmw_vq[b, 2 * h + j, :])
+                        pltpu.make_async_copy(
+                            rmw_kq.at[b], kqpool_o.at[row_of(b)],
+                            rmw_sems.at[2, b]).start()
+                        pltpu.make_async_copy(
+                            rmw_vq.at[b], vqpool_o.at[row_of(b)],
+                            rmw_sems.at[3, b]).start()
+
+        # ---------------- o phase ----------------
+        @pl.when(t > ATT)
+        def _o():
+            c = t - ATT - 1
+            y = _stream_dot(plan, o_sp, attn_out[:], args["o_w"],
+                            args.get("o_s"), args.get("o_z"), c)
+            o_out[:, pl.ds(pl.multiple_of(c * o_sp.chunk, 128),
+                           o_sp.chunk)] = y
+
+            # drain the RMW writes during the first o chunk's compute
+            @pl.when(c == 0)
+            def _():
+                for b in range(B):
+                    @pl.when(active[b] > 0)
+                    def _(b=b):
+                        row = tgt_page[b] * L + l
+                        off = lens[b] % ps
+                        w0 = pl.multiple_of((off // _RMW_W) * _RMW_W,
+                                            _RMW_W)
+                        pltpu.make_async_copy(
+                            rmw_k.at[b],
+                            kpool_o.at[row, pl.ds(w0, _RMW_W), :],
+                            rmw_sems.at[0, b]).wait()
+                        pltpu.make_async_copy(
+                            rmw_v.at[b],
+                            vpool_o.at[row, pl.ds(w0, _RMW_W), :],
+                            rmw_sems.at[1, b]).wait()
+                        if kv_quant:
+                            pltpu.make_async_copy(
+                                rmw_kq.at[b], kqpool_o.at[row],
+                                rmw_sems.at[2, b]).wait()
+                            pltpu.make_async_copy(
+                                rmw_vq.at[b], vqpool_o.at[row],
+                                rmw_sems.at[3, b]).wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=NSCAL,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+    )
+
+    def fn(l, x, cosq, sinq, cosk, sink, pt, lens, active, tgt_page,
+           sched_b, sched_p, n_sched, packed, *pools):
+        shapes = [jax.ShapeDtypeStruct((B, hid), jnp.float32)] + \
+            [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in pools]
+        pool0 = NSCAL + NARG - npools
+        aliases = {pool0 + i: 1 + i for i in range(npools)}
+        tensors = [x, cosq, sinq, cosk, sink]
+        for nm in arg_names[5:NARG - npools]:
+            tensors.append(packed[nm])
+        tensors += list(pools)
+        outs = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=shapes,
+            input_output_aliases=aliases, interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(jnp.full((1,), l, jnp.int32), pt.astype(jnp.int32),
+          lens.astype(jnp.int32), active.astype(jnp.int32),
+          tgt_page.astype(jnp.int32), sched_b.astype(jnp.int32),
+          sched_p.astype(jnp.int32), n_sched.astype(jnp.int32), *tensors)
+        return outs[0], tuple(outs[1:])
+
+    return fn
+
+
+def build_mlp_segment(plan: MegaPlan, interpret: Optional[bool] = None):
+    """One layer's MLP segment: fn(l, x [B,hid] f32, packed) ->
+    dn_partial [B, hid] f32."""
+    B, hid = plan.B, plan.hid
+    gu, dn = plan.gu, plan.dn
+    eps = plan.rms_eps
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    T = gu.S + dn.S
+    NSCAL = 1
+
+    def stream_idx(base, count):
+        def idx(t, lref, *_):
+            return (lref[0], jnp.clip(t - base, 0, count - 1), 0, 0)
+        return idx
+
+    def norm_idx(t, lref, *_):
+        return (lref[0], 0, 0)
+
+    in_specs = [pl.BlockSpec((B, hid), lambda *_: (0, 0))]
+    arg_names = ["x"]
+    _append_stream(in_specs, arg_names, gu, stream_idx(0, gu.S))
+    _append_stream(in_specs, arg_names, dn, stream_idx(gu.S, dn.S))
+    in_specs.append(pl.BlockSpec((1, 2, hid), norm_idx))
+    arg_names.append("norms")
+
+    out_specs = [pl.BlockSpec((B, hid), lambda *_: (0, 0))]
+    scratch_shapes = [
+        pltpu.VMEM((B, hid), jnp.bfloat16),                   # x_norm
+        pltpu.VMEM((B, max(gu.Np, dn.Kp)), jnp.bfloat16),     # gu_out
+        pltpu.VMEM((B, hid), jnp.float32),                    # acc_dn
+    ]
+    NARG = len(arg_names)
+
+    def kernel(*refs):
+        l_arr = refs[0]
+        args = {n: refs[NSCAL + i] for i, n in enumerate(arg_names)}
+        dn_out = refs[NSCAL + NARG]
+        x_norm, gu_out, acc_dn = refs[NSCAL + NARG + 1:]
+        t = pl.program_id(0)
+
+        @pl.when(t < gu.S)
+        def _gu():
+            @pl.when(t == 0)
+            def _():
+                x_norm[:] = _rms(args["x"][:], args["norms"][0, 1],
+                                 eps).astype(jnp.bfloat16)
+                acc_dn[:] = jnp.zeros_like(acc_dn)
+            c = t
+            y = _stream_dot(plan, gu, x_norm[:], args["gu_w"],
+                            args.get("gu_s"), args.get("gu_z"), c)
+            gu_out[:, pl.ds(pl.multiple_of(c * gu.chunk, 128),
+                            gu.chunk)] = y.astype(jnp.bfloat16)
+
+        @pl.when(t >= gu.S)
+        def _dn():
+            c = t - gu.S
+
+            @pl.when(c == 0)
+            def _():
+                gate = gu_out[:, :plan.inter].astype(jnp.float32)
+                up = gu_out[:, plan.inter:2 * plan.inter].astype(jnp.float32)
+                act = (gate * jax.lax.logistic(gate) * up) \
+                    .astype(jnp.bfloat16)
+                gu_out[:, :plan.inter] = act
+                if dn.Kp > plan.inter:
+                    gu_out[:, plan.inter:dn.Kp] = jnp.zeros(
+                        (B, dn.Kp - plan.inter), jnp.bfloat16)
+
+            xc = gu_out[:, pl.ds(pl.multiple_of(c * dn.chunk, 128),
+                                 dn.chunk)]
+            y = _stream_dot(plan, dn, xc, args["dn_w"],
+                            args.get("dn_s"), args.get("dn_z"), c)
+            acc_dn[:] = acc_dn[:] + y[:, :hid]
+
+            @pl.when(c == dn.S - 1)
+            def _():
+                dn_out[:] = acc_dn[:]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=NSCAL,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+    )
+
+    def fn(l, x, packed):
+        tensors = [x] + [packed[nm] for nm in arg_names[1:]]
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((B, hid), jnp.float32)],
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(jnp.full((1,), l, jnp.int32), *tensors)
+        return out[0]
+
+    return fn
+
+
+def build_lm_segment(plan: MegaPlan, interpret: Optional[bool] = None):
+    """Final norm + lm head over the local vocab shard:
+    fn(x [B,hid] f32, packed) -> logits [B, Vp_local] f32."""
+    B, hid = plan.B, plan.hid
+    lm = plan.lm
+    eps = plan.rms_eps
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def stream_idx(t, *_):
+        return (0, jnp.clip(t, 0, lm.S - 1), 0, 0)
+
+    in_specs = [pl.BlockSpec((B, hid), lambda *_: (0, 0))]
+    arg_names = ["x"]
+    _append_stream(in_specs, arg_names, lm, stream_idx)
+    in_specs.append(pl.BlockSpec((1, hid), lambda *_: (0, 0)))
+    arg_names.append("final_norm")
+
+    out_specs = [pl.BlockSpec((B, lm.chunk), lambda t, *_: (0, t))]
+    scratch_shapes = [pltpu.VMEM((B, hid), jnp.bfloat16)]
+    NARG = len(arg_names)
+
+    def kernel(*refs):
+        args = {n: refs[i] for i, n in enumerate(arg_names)}
+        logits_ref = refs[NARG]
+        x_norm = refs[NARG + 1]
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            x_norm[:] = _rms(args["x"][:], args["final_norm"][0],
+                             eps).astype(jnp.bfloat16)
+        y = _stream_dot(plan, lm, x_norm[:], args["lm_w"],
+                        args.get("lm_s"), args.get("lm_z"), t)
+        logits_ref[:] = y
+
+    def fn(x, packed):
+        tensors = [x] + [packed[nm] for nm in arg_names[1:]]
+        out = pl.pallas_call(
+            kernel,
+            grid=(lm.S,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[jax.ShapeDtypeStruct((B, plan.Vp), jnp.float32)],
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(*tensors)
+        return out[0]
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# shard_map assembly
+# ---------------------------------------------------------------------------
+
+def build_tp_decode_fn(plan: MegaPlan, mesh: Mesh, full_vocab: int,
+                       interpret: Optional[bool] = None):
+    """Whole-model TP decode step over the mesh's model axis.
+
+    Returns fn(packed [n-leading-rank-dim pytree], x0 [B, hid] bf16,
+    cos [B, D] bf16, sin [B, D] bf16, pt, lens, active, tgt_page, sched_b,
+    sched_p, n_sched, *pools-sharded) -> (logits [B, full_vocab] f32,
+    *pools). Call it inside jit; pools must carry the head-sharded
+    NamedShardings from parallel.shard_cache."""
+    import inspect
+    try:
+        from jax import shard_map as _sm
+    except ImportError:                       # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+    # replication checking must be off (pallas_call inside); the kwarg was
+    # renamed check_rep -> check_vma in jax 0.8
+    _ck = "check_vma" if "check_vma" in \
+        inspect.signature(_sm).parameters else "check_rep"
+
+    def shard_map(f, **kw):
+        kw[_ck] = kw.pop("check_rep")
+        return _sm(f, **kw)
+
+    n = mesh.shape[MODEL_AXIS]
+    B, hid, L = plan.B, plan.hid, plan.L
+    H, KH, D = plan.H, plan.KH, plan.D
+    kv_quant = plan.kv_mode != CacheMode.DEFAULT
+    npools = 4 if kv_quant else 2
+    V_loc = full_vocab // n
+
+    seg_a = build_attn_segment(plan, interpret)
+    seg_b = build_mlp_segment(plan, interpret)
+    seg_lm = build_lm_segment(plan, interpret)
+
+    def local_fn(packed, x0, cos, sin, pt, lens, active, tgt_page,
+                 sched_b, sched_p, n_sched, *pools):
+        pk = jax.tree.map(lambda a: a[0], packed)   # drop rank dim
+        cosq = jnp.tile(cos, (1, H))
+        sinq = jnp.tile(sin, (1, H))
+        cosk = jnp.tile(cos, (1, KH))
+        sink = jnp.tile(sin, (1, KH))
+        x = x0.astype(jnp.float32)
+        for l in range(L):
+            o_part, pools = seg_a(l, x, cosq, sinq, cosk, sink,
+                                  pt, lens, active, tgt_page,
+                                  sched_b, sched_p, n_sched, pk, *pools)
+            x = x + jax.lax.psum(o_part, MODEL_AXIS)
+            d_part = seg_b(l, x, pk)
+            x = x + jax.lax.psum(d_part, MODEL_AXIS)
+        logits_pad = seg_lm(x, pk)                  # [B, Vp_local]
+        logits = logits_pad[:, :V_loc]              # drop shard padding
+        return (logits,) + tuple(pools)
+
+    M = MODEL_AXIS
+    pool_specs = [P(None, None, M), P(None, None, M)]
+    if kv_quant:
+        pool_specs += [P(None, M, None), P(None, M, None)]
+    out_specs = (P(None, M),) + tuple(pool_specs)
+
+    def fn(packed, x0, cos, sin, pt, lens, active, tgt_page,
+           sched_b, sched_p, n_sched, *pools):
+        sm = shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(M), packed),
+                      P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
+                      *pool_specs),
+            out_specs=out_specs,
+            check_rep=False)
+        return sm(packed, x0, cos, sin, pt.astype(jnp.int32),
+                  lens.astype(jnp.int32), active.astype(jnp.int32),
+                  tgt_page.astype(jnp.int32), sched_b.astype(jnp.int32),
+                  sched_p.astype(jnp.int32), n_sched.astype(jnp.int32),
+                  *pools)
+
+    return fn

@@ -22,6 +22,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dashinfer_tpu.config import ModelConfig, RuntimeConfig
@@ -86,10 +87,22 @@ def _tree_paths(tree, prefix=""):
 
 
 def param_shardings(params: Dict, mesh: Mesh, ep: bool = False):
-    """Pytree of NamedShardings matching `params`."""
+    """Pytree of NamedShardings matching `params`. A leaf whose sharded
+    dim is not divisible by the axis size (e.g. a per-channel quant scale
+    with a size-1 group dim against a K-row split) falls back to
+    replication — SPMD keeps the math correct either way."""
     def assign(path_tuple, leaf):
         path = "/".join(str(getattr(p, "key", p)) for p in path_tuple)
-        return NamedSharding(mesh, _leaf_spec(path, leaf.ndim, ep))
+        spec = _leaf_spec(path, leaf.ndim, ep)
+        for i, ax in enumerate(spec):
+            if ax is None or i >= leaf.ndim:
+                continue
+            size = mesh.shape[ax] if isinstance(ax, str) else \
+                int(np.prod([mesh.shape[a] for a in ax]))
+            if leaf.shape[i] % size:
+                spec = P(*([None] * leaf.ndim))
+                break
+        return NamedSharding(mesh, spec)
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
@@ -111,7 +124,7 @@ def cache_sharding(cfg: ModelConfig, mesh: Mesh):
                        "replicating KV cache", cfg.num_kv_heads, tp)
         head = None
     payload = _ns(mesh, None, None, head)
-    qparams = _ns(mesh, None, head, None, None)
+    qparams = _ns(mesh, None, head, None)   # [rows, 2*KH, ps]
     return payload, qparams
 
 

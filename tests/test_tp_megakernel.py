@@ -1,0 +1,201 @@
+"""TP (sharded) decode megakernel vs the XLA reference, on a 2-shard
+virtual CPU mesh in interpret mode. Parity covers logits AND the KV pages
+written through the per-layer RMW path."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from tests.test_megakernel import _prep_cache, _tiny
+
+
+def _tp_tiny(**kw):
+    """TP-shaped tiny model: heads/kv-heads/inter/vocab divisible by 2."""
+    cfg, rt, params = _tiny(B=4, L=2, KH=2, H=4, hid=256, inter=256,
+                            vocab=512, **kw)
+    return cfg, rt, params
+
+
+@pytest.mark.parametrize("quant,kv_mode_name", [
+    ("none", "default"),
+    ("none", "int8"),
+    ("a16w8", "int8"),
+    ("a16w4", "uint4"),
+])
+def test_tp_megakernel_matches_reference(quant, kv_mode_name):
+    import jax
+    import jax.numpy as jnp
+    from dashinfer_tpu.config import CacheMode, QuantConfig
+    from dashinfer_tpu.models import transformer
+    from dashinfer_tpu.ops.pallas import tp_megakernel as tpk
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+    from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
+                                          _mscale)
+    from dashinfer_tpu.parallel import make_mesh, shard_cache
+
+    N = 2
+    kv_mode = CacheMode(kv_mode_name)
+    cfg, rt, params = _tp_tiny()
+    rt = dataclasses.replace(
+        rt, cache=dataclasses.replace(rt.cache, mode=kv_mode))
+    if quant != "none":
+        from dashinfer_tpu.loader.quantize import quantize_params
+        params = quantize_params(params, QuantConfig(mode=quant,
+                                                     group_size=128))
+
+    assert tpk.supports_tp(cfg, rt, params, N)
+    plan, packed = tpk.make_tp_plan(cfg, rt, params, N,
+                                    target_chunk_bytes=48 * 1024)
+
+    B, L, ps = rt.max_batch, cfg.num_layers, rt.cache.page_size
+    maxP = rt.max_pages_per_seq
+    lens = np.asarray([17, 16, 5, 0], np.int32)[:B]
+    active = np.asarray([1, 1, 1, 0], np.int32)[:B]
+    pt = np.zeros((B, maxP), np.int32)
+    g = 1
+    for b in range(B):
+        for j in range(maxP):
+            pt[b, j] = g
+            g += 1
+
+    cache = _prep_cache(cfg, rt, params, kv_mode, lens, pt)
+    tokens = jnp.asarray([7, 11, 13, 0], jnp.int32)[:B]
+
+    # XLA reference (full model, single device)
+    ref_logits, ref_cache = transformer.decode_forward(
+        cfg, params, tokens, jax.tree.map(jnp.copy, cache), jnp.asarray(pt),
+        jnp.asarray(lens), jnp.asarray(active > 0), mode=kv_mode,
+        use_kernel=False)
+
+    # TP megakernel on a (1, 2) mesh
+    mesh = make_mesh((1, N))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    packed = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P("model"))), packed)
+    cache_s = shard_cache(cache, cfg, mesh)
+
+    view = mk.weight_only_decode_view(params)
+    x0 = jnp.asarray(np.asarray(view["embed_tokens"]["w"]))[tokens] \
+        .astype(jnp.bfloat16)
+    inv_freq = compute_inv_freq(cfg)
+    cos, sin = rope_cos_sin(jnp.asarray(lens), inv_freq,
+                            _mscale(cfg.rope_scaling))
+    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+    sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
+        jnp.asarray(pt), jnp.asarray(lens), jnp.asarray(active > 0), ps)
+
+    fn = tpk.build_tp_decode_fn(plan, mesh, cfg.vocab_size, interpret=True)
+    pools = [cache_s.k, cache_s.v]
+    if cache_s.k_qparams is not None:
+        pools += [cache_s.k_qparams, cache_s.v_qparams]
+    outs = jax.jit(fn)(packed, x0, cos, sin, jnp.asarray(pt),
+                       jnp.asarray(lens), jnp.asarray(active), tgt_page,
+                       sched_b, sched_p, n_sched, *pools)
+    logits = np.asarray(outs[0])[:, :cfg.vocab_size]
+    new_k = np.asarray(outs[1])
+
+    ref = np.asarray(ref_logits)
+    for b in range(B):
+        if active[b] == 0:
+            continue
+        denom = np.abs(ref[b]).max() + 1e-6
+        rel = np.abs(logits[b] - ref[b]).max() / denom
+        tol = 0.05 if quant == "none" else 0.08
+        assert rel < tol, (b, rel)
+        assert int(np.argmax(logits[b])) == int(np.argmax(ref[b])), b
+
+    # the per-layer RMW wrote the new token KV into the sharded pool
+    ref_k = np.asarray(ref_cache.k)
+    for b in range(B):
+        if active[b] == 0:
+            continue
+        gpage = pt[b, lens[b] // ps]
+        off = int(lens[b] % ps)
+        for l in range(L):
+            got = np.asarray(new_k[gpage * L + l, off], np.float32)
+            want = np.asarray(ref_k[gpage * L + l, off], np.float32)
+            from dashinfer_tpu.config import CacheMode as CM
+            if kv_mode == CM.DEFAULT:
+                np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+            else:
+                assert got.shape == want.shape
+
+
+def test_split_params_tp_roundtrip():
+    """Column/row splits reassemble to the full weights (u4 incl. repack)."""
+    import jax.numpy as jnp
+    from dashinfer_tpu.config import QuantConfig
+    from dashinfer_tpu.loader.quantize import quantize_params
+    from dashinfer_tpu.ops.pallas import tp_megakernel as tpk
+    from dashinfer_tpu.ops.u4pack import unpack_u4_weight_np_like
+
+    cfg, rt, params = _tp_tiny()
+    qp = quantize_params(params, QuantConfig(mode="a16w4", group_size=128))
+    parts = tpk.split_params_tp(qp, cfg, 2)
+
+    # col-split leaf: unpacked halves concatenate back to the original
+    full = np.asarray(qp["layers"]["q_proj"]["w_q"])
+    L = full.shape[0]
+    for l in range(L):
+        want = unpack_u4_weight_np_like(
+            np.ascontiguousarray(full[l]), np)
+        got = np.concatenate([
+            unpack_u4_weight_np_like(
+                np.ascontiguousarray(np.asarray(
+                    parts[r]["layers"]["q_proj"]["w_q"])[l]), np)
+            for r in range(2)], axis=1)
+        np.testing.assert_array_equal(got, want)
+
+    # row-split leaf: K rows concatenate back
+    full_o = np.asarray(qp["layers"]["o_proj"]["w_q"])
+    got_o = np.concatenate([np.asarray(parts[r]["layers"]["o_proj"]["w_q"])
+                            for r in range(2)], axis=1)
+    np.testing.assert_array_equal(got_o, full_o)
+    # scale groups follow the K rows
+    full_s = np.asarray(qp["layers"]["o_proj"]["scale"])
+    got_s = np.concatenate([np.asarray(parts[r]["layers"]["o_proj"]["scale"])
+                            for r in range(2)], axis=1)
+    np.testing.assert_array_equal(got_s, full_s)
+
+
+def test_engine_serving_tp_megakernel_greedy_parity():
+    """Engine serving on a (1, 2) mesh engages the TP megakernel (interpret
+    mode on CPU) and produces the same greedy tokens as the single-device
+    engine with the whole-model megakernel."""
+    import dataclasses
+    from dashinfer_tpu import Engine, GenerationConfig
+    from dashinfer_tpu.config import CacheMode, QuantConfig
+    from dashinfer_tpu.loader.quantize import quantize_params
+
+    cfg, rt, params = _tp_tiny()
+    rt = dataclasses.replace(
+        rt, max_length=48, max_batch=2,
+        cache=dataclasses.replace(rt.cache, mode=CacheMode.INT8))
+    params = quantize_params(params, QuantConfig(mode="a16w8"))
+
+    def run(mesh_shape):
+        rt2 = dataclasses.replace(rt, mesh_shape=mesh_shape)
+        eng = Engine()
+        from dashinfer_tpu.engine.model_runtime import ModelRuntime
+        runtime = ModelRuntime("tpk", cfg, params, rt2, use_kernel=True)
+        if mesh_shape[1] > 1:
+            assert runtime.tp_mega_plan is not None, \
+                "TP megakernel did not engage"
+        else:
+            assert runtime.mega_plan is not None
+        eng._models["tpk"] = runtime
+        eng.start_model("tpk")
+        gen = GenerationConfig(max_length=20, do_sample=False, top_k=1,
+                               eos_token_id=-1)
+        _, h, q = eng.start_request("tpk", [5, 9, 2, 41, 77, 3], gen)
+        eng.sync_request("tpk", h, timeout_s=900)
+        toks = q.GetAllGeneratedTokens()
+        eng.release_model("tpk")
+        return toks
+
+    single = run((1, 1))
+    tp = run((1, 2))
+    assert len(single) == len(tp) == 14
+    assert single[:10] == tp[:10], (single, tp)
