@@ -283,11 +283,16 @@ def _tp_megakernel_forward(cfg, plan, fn, params, state, cache, page_tables,
     from dashinfer_tpu.ops.pallas import megakernel as mk
     from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
                                           _mscale)
-    inv_freq = compute_inv_freq(cfg)
-    cos, sin = rope_cos_sin(lens + state.pos_offsets, inv_freq,
-                            _mscale(cfg.rope_scaling))
-    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
-    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+    B = state.max_batch
+    if plan.alibi:
+        cos = jnp.ones((B, cfg.head_dim), jnp.bfloat16)
+        sin = jnp.zeros((B, cfg.head_dim), jnp.bfloat16)
+    else:
+        inv_freq = compute_inv_freq(cfg)
+        cos, sin = rope_cos_sin(lens + state.pos_offsets, inv_freq,
+                                _mscale(cfg.rope_scaling))
+        cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+        sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
     x0 = params["embed"][state.token_ids].astype(jnp.bfloat16)
     sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
         page_tables, lens, state.active, plan.ps)

@@ -31,11 +31,12 @@ rank's streams are packed with the regular pack_params on a LOCAL config —
 stream geometry, chunking, and the in-kernel dequant math are reused
 unchanged.
 
-Scope (supports_tp): dense RoPE archs (incl. Qwen3 QK-norm), kv quant
-int8/uint4/none, weights 16-bit / a16w8 / a16w4; requires heads, kv heads,
-intermediate and vocab divisible by the shard count. MoE-EP and ALiBi TP
-are future work (ALiBi needs per-rank slope slices, pack_params derives
-slopes from the local head count).
+Scope (supports_tp): dense RoPE/ALiBi archs (incl. Qwen3 QK-norm) and MoE
+(experts split over ranks = reference EPSPLIT, with the router replicated
+so every rank computes the same global top-k gates, and the shared expert
+split by its intermediate dim); kv quant int8/uint4/none; weights 16-bit /
+a16w8 / a16w4. Requires heads, kv heads, intermediate, vocab (and expert
+count / shared-inter for MoE) divisible by the shard count.
 """
 
 import dataclasses
@@ -54,7 +55,7 @@ from dashinfer_tpu.config import CacheMode, ModelConfig, RuntimeConfig
 from dashinfer_tpu.ops.pallas import megakernel as mk
 from dashinfer_tpu.ops.pallas.megakernel import (
     MegaPlan, _NEG_INF, _RING, _RMW_W, _dequant_chunk, _rms, _rot_half_heads,
-    _stream_dot)
+    _round_up, _stream_dot)
 from dashinfer_tpu.parallel.mesh import MODEL_AXIS
 
 
@@ -144,12 +145,44 @@ def _split_leaf(name: str, leaf, n: int, r: int):
     return out
 
 
+def _slice_experts(leaf, n: int, r: int):
+    """Expert stack [L, E, ...] (or quantized dict) -> rank r's expert
+    group (reference EPSPLIT, weight_splitter.cpp:856-959)."""
+    def sl(a):
+        a = np.asarray(a)
+        E = a.shape[1]
+        return a[:, r * E // n:(r + 1) * E // n]
+    if isinstance(leaf, dict):
+        return {k: sl(v) for k, v in leaf.items()}
+    return sl(leaf)
+
+
 def split_params_tp(params: Dict, cfg: ModelConfig, n: int) -> List[Dict]:
     """Raw params -> n per-rank pytrees (numpy), reference split semantics."""
     V = cfg.vocab_size
     ranks = []
     for r in range(n):
-        lp = {k: _split_leaf(k, v, n, r) for k, v in params["layers"].items()}
+        lp = {}
+        for k, v in params["layers"].items():
+            if k == "experts":
+                lp[k] = {nm: _slice_experts(lf, n, r)
+                         for nm, lf in v.items()}
+            elif k == "shared_expert":
+                # shared expert splits like the dense mlp (col gate/up,
+                # row down)
+                lp[k] = {nm: _split_leaf(nm, lf, n, r)
+                         for nm, lf in v.items()}
+            elif k == "router":
+                # sliced only so the LOCAL pack has consistent shapes;
+                # make_tp_plan overrides the packed router with the GLOBAL
+                # one (gates must be computed over all experts)
+                a = np.asarray(v["w"])
+                E = a.shape[-1]
+                lp[k] = {"w": a[..., r * E // n:(r + 1) * E // n]}
+            elif k == "shared_expert_gate":
+                lp[k] = v                  # replicated (global gates)
+            else:
+                lp[k] = _split_leaf(k, v, n, r)
         lm = params.get("lm_head")
         if lm is None or cfg.tie_word_embeddings:
             lm = {"w": np.asarray(params["embed_tokens"]["w"]).T}
@@ -169,35 +202,57 @@ def split_params_tp(params: Dict, cfg: ModelConfig, n: int) -> List[Dict]:
 
 
 def local_config(cfg: ModelConfig, n: int) -> ModelConfig:
+    moe = cfg.moe
+    if moe is not None:
+        moe = dataclasses.replace(
+            moe, num_experts=moe.num_experts // n,
+            shared_expert_intermediate_size=(
+                moe.shared_expert_intermediate_size // n))
     return dataclasses.replace(
         cfg, num_heads=cfg.num_heads // n,
         num_kv_heads=cfg.num_kv_heads // n,
         intermediate_size=cfg.intermediate_size // n,
         vocab_size=cfg.vocab_size // n,
-        tie_word_embeddings=False)
+        tie_word_embeddings=False, moe=moe)
 
 
 def supports_tp(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
                 n: int) -> bool:
     if n < 2:
         return False
-    if cfg.moe is not None:                  # MoE-EP segments: future work
+    if cfg.position_embedding.value not in ("rope", "alibi"):
         return False
-    if cfg.position_embedding.value != "rope":
-        return False                         # ALiBi slope slices: future
     if (cfg.num_heads % n or cfg.num_kv_heads % n or
             cfg.intermediate_size % n or cfg.vocab_size % n):
         return False
+    moe = cfg.moe
+    if moe is not None:
+        # experts split over ranks (EPSPLIT); shared expert splits by inter
+        if moe.num_experts % n:
+            return False
+        if moe.shared_expert_intermediate_size % max(n, 1):
+            return False
     view = mk.weight_only_decode_view(params)
     if view is None:
         return False
     # group sizes must tile the per-rank row splits
     lp = view["layers"]
-    for name in ("o_proj", "down_proj"):
+    row_leaves = ["o_proj"]
+    if moe is None:
+        row_leaves.append("down_proj")
+    elif "shared_expert" in lp:
+        pass  # shared down checked below
+    for name in row_leaves:
         leaf = lp[name]
         if isinstance(leaf, dict) and "scale" in leaf:
             G = leaf["scale"].shape[1]
             if G != 1 and G % n:   # per-channel (G==1) replicates
+                return False
+    if moe is not None and "shared_expert" in lp:
+        dnl = lp["shared_expert"]["down_proj"]
+        if isinstance(dnl, dict) and "scale" in dnl:
+            G = dnl["scale"].shape[1]
+            if G != 1 and G % n:
                 return False
     cfg_l = local_config(cfg, n)
     return mk.supports(cfg_l, rt, split_params_tp(view, cfg, n)[0])
@@ -214,6 +269,36 @@ def make_tp_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
         kw["target_chunk_bytes"] = target_chunk_bytes
     plan = mk.make_plan(cfg_l, rt, parts[0], **kw)
     packed_r = [mk.pack_params(cfg_l, plan, p) for p in parts]
+    if cfg.moe is not None:
+        # gates are computed over the GLOBAL expert set on every rank;
+        # replace the local router pack with the full router (+ shared gate
+        # col at lane E_global), padded to the global EP lane count
+        E_g = cfg.moe.num_experts
+        has_sg = "shared_expert_gate" in view["layers"]
+        EP_g = max(128, _round_up(E_g + (1 if has_sg else 0), 128))
+        L = cfg.num_layers
+        rw = np.zeros((L, cfg.hidden_size, EP_g), np.float32)
+        lp_full = view["layers"]
+        for l in range(L):
+            rw[l, :, :E_g] = np.asarray(lp_full["router"]["w"][l],
+                                        np.float32)
+            if has_sg:
+                rw[l, :, E_g:E_g + 1] = np.asarray(
+                    lp_full["shared_expert_gate"]["w"][l], np.float32)
+        rw_j = jnp.asarray(rw.astype(jnp.bfloat16))
+        for r in range(n):
+            packed_r[r]["router_w"] = rw_j
+    if plan.alibi:
+        # pack_params derives slopes from the LOCAL head count; replace
+        # with each rank's slice of the GLOBAL slope table
+        from dashinfer_tpu.models.transformer import alibi_slopes
+        sl = np.asarray(alibi_slopes(cfg.num_heads), np.float32) \
+            .reshape(cfg.num_kv_heads, cfg.num_heads // cfg.num_kv_heads)
+        KHl = plan.KH
+        for r in range(n):
+            slp = np.zeros((KHl, plan.G8), np.float32)
+            slp[:, :plan.G] = sl[r * KHl:(r + 1) * KHl]
+            packed_r[r]["slopes"] = jnp.asarray(slp)
     packed = jax.tree.map(lambda *xs: jnp.stack(
         [np.asarray(x) for x in xs]), *packed_r)
     return plan, packed
@@ -299,6 +384,9 @@ def build_attn_segment(plan: MegaPlan, interpret: Optional[bool] = None):
     if plan.qk_norm:
         in_specs.append(pl.BlockSpec((1, 2, HD), norm_idx))
         arg_names.append("qk_norms")
+    if plan.alibi:
+        in_specs.append(pl.BlockSpec((KH, G8), lambda *_: (0, 0)))
+        arg_names.append("slopes")
     npools = 4 if kv_quant else 2
     for _ in range(npools):
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
@@ -378,12 +466,15 @@ def build_attn_segment(plan: MegaPlan, interpret: Optional[bool] = None):
                           .astype(jnp.float32))
                 kr = rmsh(kr, KH, args["qk_norms"][0, 1][None, :KH * D]
                           .astype(jnp.float32))
-            cq = args["cosq"][:].astype(jnp.float32)
-            sq = args["sinq"][:].astype(jnp.float32)
-            ck = args["cosk"][:].astype(jnp.float32)
-            sk = args["sink"][:].astype(jnp.float32)
-            q_rot = qr * cq + _rot_half_heads(qr, D) * sq
-            k_rot = kr * ck + _rot_half_heads(kr, D) * sk
+            if plan.alibi:
+                q_rot, k_rot = qr, kr
+            else:
+                cq = args["cosq"][:].astype(jnp.float32)
+                sq = args["sinq"][:].astype(jnp.float32)
+                ck = args["cosk"][:].astype(jnp.float32)
+                sk = args["sink"][:].astype(jnp.float32)
+                q_rot = qr * cq + _rot_half_heads(qr, D) * sq
+                k_rot = kr * ck + _rot_half_heads(kr, D) * sk
 
             k3 = k_rot.reshape(B, KH, D)
             v3 = vr.reshape(B, KH, D)
@@ -529,6 +620,11 @@ def build_attn_segment(plan: MegaPlan, interpret: Optional[bool] = None):
                         sco = sraw * kscal[None, :] + qs * kzero[None, :]
 
                     sco = sco * scale_att
+                    if plan.alibi:
+                        # slope_h * (k_pos - q_pos); q_pos = lens[bb]
+                        slp = args["slopes"][h, :]
+                        dist = (tok - lens[bb]).astype(jnp.float32)
+                        sco = sco + slp[:, None] * dist
                     sco = jnp.where(tmask, sco, _NEG_INF)
 
                     m_prev = ml_st[bb, h, :, 0:1]
@@ -825,6 +921,222 @@ def build_mlp_segment(plan: MegaPlan, interpret: Optional[bool] = None):
     return fn
 
 
+def build_moe_mlp_segment(plan: MegaPlan, E_global: int, EP_global: int,
+                          interpret: Optional[bool] = None):
+    """One layer's MoE segment on this shard: global router (replicated
+    math — every rank computes the same gates over ALL experts), this
+    rank's expert group streamed (EPSPLIT), shared expert split by inter.
+
+    fn(l, rank, x [B,hid] f32, packed) -> moe_partial [B, hid] f32.
+    """
+    B, hid = plan.B, plan.hid
+    gu, dn = plan.gu, plan.dn
+    E_loc = plan.E
+    SE = gu.S + dn.S
+    eps = plan.rms_eps
+    has_shared = plan.has_shared
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    base_sh = 1 + E_loc * SE
+    T = base_sh + ((plan.sgu.S + plan.sdn.S) if has_shared else 0)
+    NSCAL = 2  # l, rank
+
+    def norm_idx(t, lref, *_):
+        return (lref[0], 0, 0)
+
+    def expert_sub_idx(sub_off, count):
+        def idx(t, lref, *_):
+            c_all = jnp.clip(t - 1, 0, E_loc * SE - 1)
+            e = c_all // SE
+            w = c_all - e * SE
+            return (lref[0], e * count + jnp.clip(w - sub_off, 0, count - 1),
+                    0, 0)
+        return idx
+
+    def sh_idx(base, count):
+        def idx(t, lref, *_):
+            return (lref[0], jnp.clip(t - base, 0, count - 1), 0, 0)
+        return idx
+
+    in_specs = [pl.BlockSpec((B, hid), lambda *_: (0, 0))]
+    arg_names = ["x"]
+    _append_stream(in_specs, arg_names, gu, expert_sub_idx(0, gu.S))
+    _append_stream(in_specs, arg_names, dn, expert_sub_idx(gu.S, dn.S))
+    if has_shared:
+        _append_stream(in_specs, arg_names, plan.sgu,
+                       sh_idx(base_sh, plan.sgu.S))
+        _append_stream(in_specs, arg_names, plan.sdn,
+                       sh_idx(base_sh + plan.sgu.S, plan.sdn.S))
+    in_specs.append(pl.BlockSpec((1, 2, hid), norm_idx))
+    arg_names.append("norms")
+    in_specs.append(pl.BlockSpec((1, hid, EP_global), norm_idx))
+    arg_names.append("router_w")
+
+    out_specs = [pl.BlockSpec((B, hid), lambda *_: (0, 0))]
+    scratch_shapes = [
+        pltpu.VMEM((B, hid), jnp.bfloat16),                   # x_norm
+        pltpu.VMEM((B, max([gu.Np, dn.Kp] +
+                           ([plan.sgu.Np, plan.sdn.Kp] if has_shared
+                            else []))), jnp.bfloat16),        # gu_out
+        pltpu.VMEM((B, hid), jnp.float32),                    # acc_dn
+        pltpu.VMEM((B, hid), jnp.float32),                    # acc_out
+        pltpu.VMEM((B, EP_global), jnp.float32),              # gates
+    ]
+    NARG = len(arg_names)
+
+    def kernel(*refs):
+        l_arr, rank_arr = refs[:NSCAL]
+        args = {n: refs[NSCAL + i] for i, n in enumerate(arg_names)}
+        moe_out = refs[NSCAL + NARG]
+        x_norm, gu_out, acc_dn, acc_out, gates_st = refs[NSCAL + NARG + 1:]
+        t = pl.program_id(0)
+        rank = rank_arr[0]
+        lane_ep = jax.lax.broadcasted_iota(jnp.int32, (B, EP_global), 1)
+
+        def swiglu(inter_v, Kp_dn):
+            gate = gu_out[:, :inter_v].astype(jnp.float32)
+            up = gu_out[:, inter_v:2 * inter_v].astype(jnp.float32)
+            act = (gate * jax.lax.logistic(gate) * up).astype(jnp.bfloat16)
+            gu_out[:, :inter_v] = act
+            if Kp_dn > inter_v:
+                gu_out[:, inter_v:Kp_dn] = jnp.zeros(
+                    (B, Kp_dn - inter_v), jnp.bfloat16)
+            acc_dn[:] = jnp.zeros_like(acc_dn)
+
+        # ---------------- router (t == 0) ----------------
+        @pl.when(t == 0)
+        def _router():
+            x_norm[:] = _rms(args["x"][:], args["norms"][0, 1],
+                             eps).astype(jnp.bfloat16)
+            acc_out[:] = jnp.zeros_like(acc_out)
+            rw = args["router_w"][0]                         # [hid, EP_g]
+            logits = jax.lax.dot_general(
+                x_norm[:], rw, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [B, EP_g]
+            ml = jnp.where(lane_ep < E_global, logits, _NEG_INF)
+            m = jnp.max(ml, axis=-1, keepdims=True)
+            p = jnp.exp(ml - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            gates = jnp.zeros((B, EP_global), jnp.float32)
+            pw = p
+            for _ in range(plan.k_top):
+                mi = jnp.max(pw, axis=-1, keepdims=True)
+                fl = jnp.min(jnp.where(pw >= mi, lane_ep, EP_global),
+                             axis=-1, keepdims=True)
+                sel = lane_ep == fl
+                gates = jnp.where(sel, p, gates)
+                pw = jnp.where(sel, -1.0, pw)
+            if plan.norm_topk:
+                gates = gates / jnp.sum(gates, axis=-1, keepdims=True)
+            if has_shared:
+                if plan.has_shared_gate:
+                    sval = jnp.sum(
+                        jnp.where(lane_ep == E_global, logits, 0.0),
+                        axis=-1, keepdims=True)
+                    sg = jax.lax.logistic(sval)
+                else:
+                    sg = jnp.ones((B, 1), jnp.float32)
+                gates = jnp.where(lane_ep == E_global, sg, gates)
+            gates_st[:] = gates
+
+        in_exp = jnp.logical_and(t >= 1, t < base_sh)
+        c_all = jnp.clip(t - 1, 0, E_loc * SE - 1)
+        e_idx = c_all // SE
+        w_in = c_all - e_idx * SE
+
+        # ---------------- this rank's expert gate/up ----------------
+        @pl.when(jnp.logical_and(in_exp, w_in < gu.S))
+        def _egu():
+            c = w_in
+            y = _stream_dot(plan, gu, x_norm[:], args["gu_w"],
+                            args.get("gu_s"), args.get("gu_z"), c)
+            gu_out[:, pl.ds(pl.multiple_of(c * gu.chunk, 128),
+                            gu.chunk)] = y.astype(jnp.bfloat16)
+
+            @pl.when(c == gu.S - 1)
+            def _():
+                swiglu(plan.inter, dn.Kp)
+
+        # ---------------- this rank's expert down ----------------
+        @pl.when(jnp.logical_and(in_exp, w_in >= gu.S))
+        def _edn():
+            c = w_in - gu.S
+            xc = gu_out[:, pl.ds(pl.multiple_of(c * dn.chunk, 128),
+                                 dn.chunk)]
+            y = _stream_dot(plan, dn, xc, args["dn_w"],
+                            args.get("dn_s"), args.get("dn_z"), c)
+            acc_dn[:] = acc_dn[:] + y[:, :hid]
+
+            @pl.when(c == dn.S - 1)
+            def _():
+                # global expert id of this rank's local expert e_idx
+                ge = jnp.sum(
+                    jnp.where(lane_ep == rank * E_loc + e_idx,
+                              gates_st[:], 0.0),
+                    axis=-1, keepdims=True)                  # [B, 1]
+                acc_out[:] = acc_out[:] + ge * acc_dn[:]
+
+        if has_shared:
+            sgu_, sdn_ = plan.sgu, plan.sdn
+
+            @pl.when(jnp.logical_and(t >= base_sh,
+                                     t < base_sh + sgu_.S))
+            def _sgu():
+                c = t - base_sh
+                y = _stream_dot(plan, sgu_, x_norm[:], args["sg_w"],
+                                args.get("sg_s"), args.get("sg_z"), c)
+                gu_out[:, pl.ds(pl.multiple_of(c * sgu_.chunk, 128),
+                                sgu_.chunk)] = y.astype(jnp.bfloat16)
+
+                @pl.when(c == sgu_.S - 1)
+                def _():
+                    swiglu(plan.shared_inter, sdn_.Kp)
+
+            @pl.when(t >= base_sh + sgu_.S)
+            def _sdn():
+                c = t - base_sh - sgu_.S
+                xc = gu_out[:, pl.ds(pl.multiple_of(c * sdn_.chunk, 128),
+                                     sdn_.chunk)]
+                y = _stream_dot(plan, sdn_, xc, args["sd_w"],
+                                args.get("sd_s"), args.get("sd_z"), c)
+                acc_dn[:] = acc_dn[:] + y[:, :hid]
+
+                @pl.when(c == sdn_.S - 1)
+                def _():
+                    sgv = jnp.sum(
+                        jnp.where(lane_ep == E_global, gates_st[:], 0.0),
+                        axis=-1, keepdims=True)
+                    acc_out[:] = acc_out[:] + sgv * acc_dn[:]
+
+        # final write (after the accumulating blocks above in program order)
+        @pl.when(t == T - 1)
+        def _emit():
+            moe_out[:] = acc_out[:]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=NSCAL,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+    )
+
+    def fn(l, rank, x, packed):
+        tensors = [x] + [packed[nm] for nm in arg_names[1:]]
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((B, hid), jnp.float32)],
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(jnp.full((1,), l, jnp.int32),
+          jnp.full((1,), rank, jnp.int32), *tensors)
+        return out[0]
+
+    return fn
+
+
 def build_lm_segment(plan: MegaPlan, interpret: Optional[bool] = None):
     """Final norm + lm head over the local vocab shard:
     fn(x [B,hid] f32, packed) -> logits [B, Vp_local] f32."""
@@ -914,12 +1226,19 @@ def build_tp_decode_fn(plan: MegaPlan, mesh: Mesh, full_vocab: int,
     V_loc = full_vocab // n
 
     seg_a = build_attn_segment(plan, interpret)
-    seg_b = build_mlp_segment(plan, interpret)
+    if plan.E > 0:
+        E_g = plan.E * n
+        EP_g = max(128, _round_up(E_g + (1 if plan.has_shared_gate else 0),
+                                  128))
+        seg_moe = build_moe_mlp_segment(plan, E_g, EP_g, interpret)
+    else:
+        seg_b = build_mlp_segment(plan, interpret)
     seg_lm = build_lm_segment(plan, interpret)
 
     def local_fn(packed, x0, cos, sin, pt, lens, active, tgt_page,
                  sched_b, sched_p, n_sched, *pools):
         pk = jax.tree.map(lambda a: a[0], packed)   # drop rank dim
+        rank = jax.lax.axis_index(MODEL_AXIS)
         cosq = jnp.tile(cos, (1, H))
         sinq = jnp.tile(sin, (1, H))
         cosk = jnp.tile(cos, (1, KH))
@@ -930,7 +1249,10 @@ def build_tp_decode_fn(plan: MegaPlan, mesh: Mesh, full_vocab: int,
                                   pt, lens, active, tgt_page,
                                   sched_b, sched_p, n_sched, pk, *pools)
             x = x + jax.lax.psum(o_part, MODEL_AXIS)
-            d_part = seg_b(l, x, pk)
+            if plan.E > 0:
+                d_part = seg_moe(l, rank, x, pk)
+            else:
+                d_part = seg_b(l, x, pk)
             x = x + jax.lax.psum(d_part, MODEL_AXIS)
         logits_pad = seg_lm(x, pk)                  # [B, Vp_local]
         logits = logits_pad[:, :V_loc]              # drop shard padding

@@ -17,13 +17,14 @@ def _tp_tiny(**kw):
     return cfg, rt, params
 
 
-@pytest.mark.parametrize("quant,kv_mode_name", [
-    ("none", "default"),
-    ("none", "int8"),
-    ("a16w8", "int8"),
-    ("a16w4", "uint4"),
+@pytest.mark.parametrize("quant,kv_mode_name,alibi", [
+    ("none", "default", False),
+    ("none", "int8", False),
+    ("a16w8", "int8", False),
+    ("a16w4", "uint4", False),
+    ("a16w4", "int8", True),    # ALiBi: per-rank global slope slices
 ])
-def test_tp_megakernel_matches_reference(quant, kv_mode_name):
+def test_tp_megakernel_matches_reference(quant, kv_mode_name, alibi):
     import jax
     import jax.numpy as jnp
     from dashinfer_tpu.config import CacheMode, QuantConfig
@@ -36,7 +37,7 @@ def test_tp_megakernel_matches_reference(quant, kv_mode_name):
 
     N = 2
     kv_mode = CacheMode(kv_mode_name)
-    cfg, rt, params = _tp_tiny()
+    cfg, rt, params = _tp_tiny(alibi=alibi)
     rt = dataclasses.replace(
         rt, cache=dataclasses.replace(rt.cache, mode=kv_mode))
     if quant != "none":
@@ -78,11 +79,16 @@ def test_tp_megakernel_matches_reference(quant, kv_mode_name):
     view = mk.weight_only_decode_view(params)
     x0 = jnp.asarray(np.asarray(view["embed_tokens"]["w"]))[tokens] \
         .astype(jnp.bfloat16)
-    inv_freq = compute_inv_freq(cfg)
-    cos, sin = rope_cos_sin(jnp.asarray(lens), inv_freq,
-                            _mscale(cfg.rope_scaling))
-    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
-    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+    if alibi:
+        assert plan.alibi
+        cos = jnp.ones((B, cfg.head_dim), jnp.bfloat16)
+        sin = jnp.zeros((B, cfg.head_dim), jnp.bfloat16)
+    else:
+        inv_freq = compute_inv_freq(cfg)
+        cos, sin = rope_cos_sin(jnp.asarray(lens), inv_freq,
+                                _mscale(cfg.rope_scaling))
+        cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+        sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
     sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
         jnp.asarray(pt), jnp.asarray(lens), jnp.asarray(active > 0), ps)
 
@@ -199,3 +205,90 @@ def test_engine_serving_tp_megakernel_greedy_parity():
     tp = run((1, 2))
     assert len(single) == len(tp) == 14
     assert single[:10] == tp[:10], (single, tp)
+
+
+@pytest.mark.parametrize("quant,shared,shared_gate", [
+    ("none", True, True),
+    ("a16w8", True, True),
+    ("a16w4", False, False),    # Qwen3-MoE shape (no shared expert)
+])
+def test_tp_megakernel_moe_matches_reference(quant, shared, shared_gate):
+    """MoE-EP TP: experts split over 2 ranks (EPSPLIT), global router on
+    every rank, shared expert split by inter — vs the XLA moe_block path."""
+    import jax
+    import jax.numpy as jnp
+    from dashinfer_tpu.config import CacheMode, QuantConfig
+    from dashinfer_tpu.models import transformer
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+    from dashinfer_tpu.ops.pallas import tp_megakernel as tpk
+    from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
+                                          _mscale)
+    from dashinfer_tpu.parallel import make_mesh, shard_cache
+    from tests.test_megakernel import _tiny_moe
+
+    N = 2
+    cfg, rt, params = _tiny_moe(B=4, KH=2, H=4, shared=shared,
+                                shared_gate=shared_gate)
+    kv_mode = rt.cache.mode
+    if quant != "none":
+        from dashinfer_tpu.loader.quantize import quantize_params
+        params = quantize_params(params, QuantConfig(mode=quant,
+                                                     group_size=128))
+
+    assert tpk.supports_tp(cfg, rt, params, N)
+    plan, packed = tpk.make_tp_plan(cfg, rt, params, N,
+                                    target_chunk_bytes=48 * 1024)
+    assert plan.E == cfg.moe.num_experts // N
+
+    B, L, ps = rt.max_batch, cfg.num_layers, rt.cache.page_size
+    maxP = rt.max_pages_per_seq
+    lens = np.asarray([17, 16, 5, 0], np.int32)[:B]
+    active = np.asarray([1, 1, 1, 0], np.int32)[:B]
+    pt = np.zeros((B, maxP), np.int32)
+    g = 1
+    for b in range(B):
+        for j in range(maxP):
+            pt[b, j] = g
+            g += 1
+
+    cache = _prep_cache(cfg, rt, params, kv_mode, lens, pt)
+    tokens = jnp.asarray([7, 11, 13, 0], jnp.int32)[:B]
+
+    ref_logits, _ = transformer.decode_forward(
+        cfg, params, tokens, jax.tree.map(jnp.copy, cache), jnp.asarray(pt),
+        jnp.asarray(lens), jnp.asarray(active > 0), mode=kv_mode,
+        use_kernel=False)
+
+    mesh = make_mesh((1, N))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    packed = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P("model"))), packed)
+    cache_s = shard_cache(cache, cfg, mesh)
+
+    view = mk.weight_only_decode_view(params)
+    x0 = jnp.asarray(np.asarray(view["embed_tokens"]["w"]))[tokens] \
+        .astype(jnp.bfloat16)
+    inv_freq = compute_inv_freq(cfg)
+    cos, sin = rope_cos_sin(jnp.asarray(lens), inv_freq,
+                            _mscale(cfg.rope_scaling))
+    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+    sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
+        jnp.asarray(pt), jnp.asarray(lens), jnp.asarray(active > 0), ps)
+
+    fn = tpk.build_tp_decode_fn(plan, mesh, cfg.vocab_size, interpret=True)
+    pools = [cache_s.k, cache_s.v, cache_s.k_qparams, cache_s.v_qparams]
+    outs = jax.jit(fn)(packed, x0, cos, sin, jnp.asarray(pt),
+                       jnp.asarray(lens), jnp.asarray(active), tgt_page,
+                       sched_b, sched_p, n_sched, *pools)
+    logits = np.asarray(outs[0])[:, :cfg.vocab_size]
+
+    ref = np.asarray(ref_logits)
+    for b in range(B):
+        if active[b] == 0:
+            continue
+        denom = np.abs(ref[b]).max() + 1e-6
+        rel = np.abs(logits[b] - ref[b]).max() / denom
+        tol = 0.05 if quant == "none" else 0.08
+        assert rel < tol, (b, rel)
+        assert int(np.argmax(logits[b])) == int(np.argmax(ref[b])), b
