@@ -290,7 +290,12 @@ def _moe_supports(cfg: ModelConfig, lp: Dict) -> bool:
     moe = cfg.moe
     if moe.mlp_only_layers:
         return False                 # mixed dense/MoE layer scan
-    if moe.num_experts + 1 > 128:    # router lanes (+1 shared-gate col)
+    # router lanes = experts (+1 shared-gate col when present); EP pads to
+    # 128-lane multiples — Qwen3-MoE's 128 experts (no shared gate) fit
+    # exactly, Qwen1.5-MoE's 60+1 pad to 128
+    lanes = moe.num_experts + (1 if moe.shared_expert_intermediate_size
+                               else 0)
+    if lanes > 512:
         return False
     if moe.num_experts_per_tok > 8:
         return False
@@ -546,6 +551,9 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
         has_shared=sgu is not None,
         has_shared_gate=(moe is not None and
                          "shared_expert_gate" in lp),
+        EP=(max(128, _round_up(
+            moe.num_experts + (1 if sgu is not None else 0), 128))
+            if moe else 128),
         sgu=sgu, sdn=sdn, shared_inter=sh_inter)
 
 

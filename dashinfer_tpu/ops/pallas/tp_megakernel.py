@@ -275,7 +275,10 @@ def make_tp_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
         # col at lane E_global), padded to the global EP lane count
         E_g = cfg.moe.num_experts
         has_sg = "shared_expert_gate" in view["layers"]
-        EP_g = max(128, _round_up(E_g + (1 if has_sg else 0), 128))
+        # the shared-gate LANE at E_g is used whenever a shared expert
+        # exists (gate value defaults to 1.0 without the gate weights)
+        has_sh = "shared_expert" in view["layers"]
+        EP_g = max(128, _round_up(E_g + (1 if has_sh else 0), 128))
         L = cfg.num_layers
         rw = np.zeros((L, cfg.hidden_size, EP_g), np.float32)
         lp_full = view["layers"]
@@ -1228,8 +1231,7 @@ def build_tp_decode_fn(plan: MegaPlan, mesh: Mesh, full_vocab: int,
     seg_a = build_attn_segment(plan, interpret)
     if plan.E > 0:
         E_g = plan.E * n
-        EP_g = max(128, _round_up(E_g + (1 if plan.has_shared_gate else 0),
-                                  128))
+        EP_g = max(128, _round_up(E_g + (1 if plan.has_shared else 0), 128))
         seg_moe = build_moe_mlp_segment(plan, E_g, EP_g, interpret)
     else:
         seg_b = build_mlp_segment(plan, interpret)

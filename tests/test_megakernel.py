@@ -475,6 +475,26 @@ def _tiny_moe(B=3, L=2, KH=1, H=2, hid=256, Im=256, E=4, k=2, vocab=512,
     return cfg, rt, params
 
 
+def test_megakernel_moe_wide_router_lanes():
+    """Expert counts past 128 pad the router to 128-lane multiples
+    (Qwen3-MoE's 128 experts fit exactly; >=128+shared spills to 256) —
+    plan + pack shapes; the kernel math is lane-count generic."""
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+
+    cfg, rt, params = _tiny_moe(E=128, shared=False, shared_gate=False)
+    assert mk.supports(cfg, rt, params)
+    plan = mk.make_plan(cfg, rt, params, target_chunk_bytes=64 * 1024)
+    assert plan.EP == 128            # 128 experts, no shared lane
+
+    cfg2, rt2, params2 = _tiny_moe(E=130, shared=True, shared_gate=True)
+    assert mk.supports(cfg2, rt2, params2)
+    plan2 = mk.make_plan(cfg2, rt2, params2, target_chunk_bytes=64 * 1024)
+    assert plan2.EP == 256           # 130 experts + shared gate col
+    packed = mk.pack_params(cfg2, plan2, params2)
+    assert packed["router_w"].shape == (cfg2.num_layers,
+                                        cfg2.hidden_size, 256)
+
+
 @pytest.mark.parametrize("quant,shared,shared_gate,qk_norm", [
     ("none", True, True, False),
     ("none", False, False, False),
