@@ -82,38 +82,46 @@ def _slot_sampling_params(init: SlotInit) -> SamplingParams:
     )
 
 
+def _rope_tiles(cfg, alibi: bool, pos):
+    """Full-D cos/sin tiles [len(pos), D] bf16 for the megakernel family
+    (half-split rope convention, ops/rotary.py). ALiBi plans never read
+    them in-kernel — identity tiles keep the call signature uniform."""
+    n = pos.shape[0]
+    if alibi:
+        return (jnp.ones((n, cfg.head_dim), jnp.bfloat16),
+                jnp.zeros((n, cfg.head_dim), jnp.bfloat16))
+    from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
+                                          _mscale)
+    inv_freq = compute_inv_freq(cfg)
+    cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
+    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+    return cos, sin
+
+
+def _rebuild_cache(cache: KVCache, new_pools):
+    if cache.k_qparams is not None:
+        return KVCache(k=new_pools[0], v=new_pools[1],
+                       k_qparams=new_pools[2], v_qparams=new_pools[3])
+    return KVCache(k=new_pools[0], v=new_pools[1],
+                   k_qparams=None, v_qparams=None)
+
+
 def _prefill_mega_forward(cfg, plan, fn, params, cache, tokens, page_row,
                           n_tokens):
     """Whole-prefill forward via the Pallas prefill megakernel
     (ops/pallas/prefill_megakernel.py). params = mega params dict with
     'prefill_packed' and 'embed'. Requires prefix_len == 0."""
-    from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
-                                          _mscale)
     x0 = params["embed"][tokens].astype(jnp.bfloat16)
-    if plan.alibi:
-        # kernel skips rotary; slopes are baked into the kernel as constants
-        cos = jnp.ones((plan.S, cfg.head_dim), jnp.bfloat16)
-        sin = jnp.zeros((plan.S, cfg.head_dim), jnp.bfloat16)
-    else:
-        inv_freq = compute_inv_freq(cfg)
-        pos = jnp.arange(plan.S, dtype=jnp.int32)
-        cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
-        cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
-        sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+    cos, sin = _rope_tiles(cfg, plan.alibi,
+                           jnp.arange(plan.S, dtype=jnp.int32))
     pools = [cache.k, cache.v]
     if cache.k_qparams is not None:
         pools += [cache.k_qparams, cache.v_qparams]
     outs = fn(params["prefill_packed"], x0, cos, sin,
               page_row * cfg.num_layers, n_tokens, *pools)
     logits = outs[0][0, :cfg.vocab_size]
-    new_pools = outs[1:]
-    if cache.k_qparams is not None:
-        cache = KVCache(k=new_pools[0], v=new_pools[1],
-                        k_qparams=new_pools[2], v_qparams=new_pools[3])
-    else:
-        cache = KVCache(k=new_pools[0], v=new_pools[1],
-                        k_qparams=None, v_qparams=None)
-    return logits, cache
+    return logits, _rebuild_cache(cache, outs[1:])
 
 
 def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
@@ -228,33 +236,15 @@ def _megakernel_forward(cfg, plan, fn, params, state, cache, page_tables,
                         lens):
     """One whole-model decode forward via the Pallas megakernel."""
     from dashinfer_tpu.ops.pallas import megakernel as mk
-    from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
-                                          _mscale)
     packed = params["packed"]
-    B = state.max_batch
-    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    H, KH = cfg.num_heads, cfg.num_kv_heads
 
     x0 = params["embed"][state.token_ids].astype(jnp.bfloat16)
-    if plan.alibi:
-        # ALiBi plans never read the rope tiles inside the kernel; pass
-        # identity tiles to keep the call signature uniform
-        cosq = jnp.ones((B, H * D), jnp.bfloat16)
-        sinq = jnp.zeros((B, H * D), jnp.bfloat16)
-        cosk = jnp.ones((B, KH * D), jnp.bfloat16)
-        sink = jnp.zeros((B, KH * D), jnp.bfloat16)
-    else:
-        inv_freq = compute_inv_freq(cfg)
-        cos, sin = rope_cos_sin(lens + state.pos_offsets, inv_freq,
-                                _mscale(cfg.rope_scaling))
-        # rope_cos_sin returns the half-dim table; the kernel wants full-D
-        # per-head tiles matching the half-split convention (ops/rotary.py).
-        # bf16 tiles: the angle is f32; only the cos/sin VALUES round
-        cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
-        sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
-        cosq = jnp.tile(cos, (1, H))
-        sinq = jnp.tile(sin, (1, H))
-        cosk = jnp.tile(cos, (1, KH))
-        sink = jnp.tile(sin, (1, KH))
+    cos, sin = _rope_tiles(cfg, plan.alibi, lens + state.pos_offsets)
+    cosq = jnp.tile(cos, (1, H))
+    sinq = jnp.tile(sin, (1, H))
+    cosk = jnp.tile(cos, (1, KH))
+    sink = jnp.tile(sin, (1, KH))
 
     sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
         page_tables, lens, state.active, plan.ps)
@@ -265,14 +255,7 @@ def _megakernel_forward(cfg, plan, fn, params, state, cache, page_tables,
               page_tables, lens, state.active, tgt_page,
               sched_b, sched_p, n_sched, *pools)
     logits = outs[0][:, :cfg.vocab_size]
-    new_pools = outs[1:]
-    if cache.k_qparams is not None:
-        cache = KVCache(k=new_pools[0], v=new_pools[1],
-                        k_qparams=new_pools[2], v_qparams=new_pools[3])
-    else:
-        cache = KVCache(k=new_pools[0], v=new_pools[1],
-                        k_qparams=None, v_qparams=None)
-    return logits, cache
+    return logits, _rebuild_cache(cache, outs[1:])
 
 
 def _tp_megakernel_forward(cfg, plan, fn, params, state, cache, page_tables,
@@ -281,18 +264,7 @@ def _tp_megakernel_forward(cfg, plan, fn, params, state, cache, page_tables,
     (ops/pallas/tp_megakernel.py): per-layer segments + psum over the
     mesh's model axis."""
     from dashinfer_tpu.ops.pallas import megakernel as mk
-    from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
-                                          _mscale)
-    B = state.max_batch
-    if plan.alibi:
-        cos = jnp.ones((B, cfg.head_dim), jnp.bfloat16)
-        sin = jnp.zeros((B, cfg.head_dim), jnp.bfloat16)
-    else:
-        inv_freq = compute_inv_freq(cfg)
-        cos, sin = rope_cos_sin(lens + state.pos_offsets, inv_freq,
-                                _mscale(cfg.rope_scaling))
-        cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
-        sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+    cos, sin = _rope_tiles(cfg, plan.alibi, lens + state.pos_offsets)
     x0 = params["embed"][state.token_ids].astype(jnp.bfloat16)
     sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
         page_tables, lens, state.active, plan.ps)
@@ -301,15 +273,7 @@ def _tp_megakernel_forward(cfg, plan, fn, params, state, cache, page_tables,
         pools += [cache.k_qparams, cache.v_qparams]
     outs = fn(params["packed"], x0, cos, sin, page_tables, lens,
               state.active, tgt_page, sched_b, sched_p, n_sched, *pools)
-    logits = outs[0]
-    new_pools = outs[1:]
-    if cache.k_qparams is not None:
-        cache = KVCache(k=new_pools[0], v=new_pools[1],
-                        k_qparams=new_pools[2], v_qparams=new_pools[3])
-    else:
-        cache = KVCache(k=new_pools[0], v=new_pools[1],
-                        k_qparams=None, v_qparams=None)
-    return logits, cache
+    return outs[0], _rebuild_cache(cache, outs[1:])
 
 
 def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,

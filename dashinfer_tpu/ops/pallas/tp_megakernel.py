@@ -40,21 +40,20 @@ count / shared-inter for MoE) divisible by the shard count.
 """
 
 import dataclasses
-import functools
 import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from dashinfer_tpu.config import CacheMode, ModelConfig, RuntimeConfig
 from dashinfer_tpu.ops.pallas import megakernel as mk
 from dashinfer_tpu.ops.pallas.megakernel import (
-    MegaPlan, _NEG_INF, _RING, _RMW_W, _dequant_chunk, _rms, _rot_half_heads,
+    MegaPlan, _NEG_INF, _RING, _RMW_W, _rms, _rot_half_heads,
     _round_up, _stream_dot)
 from dashinfer_tpu.parallel.mesh import MODEL_AXIS
 
@@ -157,48 +156,50 @@ def _slice_experts(leaf, n: int, r: int):
     return sl(leaf)
 
 
+def _split_rank(params: Dict, cfg: ModelConfig, n: int, r: int) -> Dict:
+    """Rank r's slice of the raw params (reference split semantics)."""
+    V = cfg.vocab_size
+    lp = {}
+    for k, v in params["layers"].items():
+        if k == "experts":
+            lp[k] = {nm: _slice_experts(lf, n, r)
+                     for nm, lf in v.items()}
+        elif k == "shared_expert":
+            # shared expert splits like the dense mlp (col gate/up,
+            # row down)
+            lp[k] = {nm: _split_leaf(nm, lf, n, r)
+                     for nm, lf in v.items()}
+        elif k == "router":
+            # sliced only so the LOCAL pack has consistent shapes;
+            # make_tp_plan overrides the packed router with the GLOBAL
+            # one (gates must be computed over all experts)
+            a = np.asarray(v["w"])
+            E = a.shape[-1]
+            lp[k] = {"w": a[..., r * E // n:(r + 1) * E // n]}
+        elif k == "shared_expert_gate":
+            lp[k] = v                  # replicated (global gates)
+        else:
+            lp[k] = _split_leaf(k, v, n, r)
+    lm = params.get("lm_head")
+    if lm is None or cfg.tie_word_embeddings:
+        lm = {"w": np.asarray(params["embed_tokens"]["w"]).T}
+    lm_r = {}
+    for k, v in lm.items():
+        a = np.asarray(v)
+        if k == "w_q" and a.dtype == np.uint8:
+            lm_r[k] = _slice_u4_cols(a[None], n, r)[0]
+        else:   # w / w_q int8 [hid, V]; scale/zero [G, V]
+            lm_r[k] = a[..., r * V // n:(r + 1) * V // n]
+    p = {"embed_tokens": params["embed_tokens"],
+         "norm": params["norm"], "lm_head": lm_r, "layers": lp}
+    if "embed_norm" in params:
+        p["embed_norm"] = params["embed_norm"]
+    return p
+
+
 def split_params_tp(params: Dict, cfg: ModelConfig, n: int) -> List[Dict]:
     """Raw params -> n per-rank pytrees (numpy), reference split semantics."""
-    V = cfg.vocab_size
-    ranks = []
-    for r in range(n):
-        lp = {}
-        for k, v in params["layers"].items():
-            if k == "experts":
-                lp[k] = {nm: _slice_experts(lf, n, r)
-                         for nm, lf in v.items()}
-            elif k == "shared_expert":
-                # shared expert splits like the dense mlp (col gate/up,
-                # row down)
-                lp[k] = {nm: _split_leaf(nm, lf, n, r)
-                         for nm, lf in v.items()}
-            elif k == "router":
-                # sliced only so the LOCAL pack has consistent shapes;
-                # make_tp_plan overrides the packed router with the GLOBAL
-                # one (gates must be computed over all experts)
-                a = np.asarray(v["w"])
-                E = a.shape[-1]
-                lp[k] = {"w": a[..., r * E // n:(r + 1) * E // n]}
-            elif k == "shared_expert_gate":
-                lp[k] = v                  # replicated (global gates)
-            else:
-                lp[k] = _split_leaf(k, v, n, r)
-        lm = params.get("lm_head")
-        if lm is None or cfg.tie_word_embeddings:
-            lm = {"w": np.asarray(params["embed_tokens"]["w"]).T}
-        lm_r = {}
-        for k, v in lm.items():
-            a = np.asarray(v)
-            if k == "w_q" and a.dtype == np.uint8:
-                lm_r[k] = _slice_u4_cols(a[None], n, r)[0]
-            else:   # w / w_q int8 [hid, V]; scale/zero [G, V]
-                lm_r[k] = a[..., r * V // n:(r + 1) * V // n]
-        p = {"embed_tokens": params["embed_tokens"],
-             "norm": params["norm"], "lm_head": lm_r, "layers": lp}
-        if "embed_norm" in params:
-            p["embed_norm"] = params["embed_norm"]
-        ranks.append(p)
-    return ranks
+    return [_split_rank(params, cfg, n, r) for r in range(n)]
 
 
 def local_config(cfg: ModelConfig, n: int) -> ModelConfig:
@@ -225,12 +226,17 @@ def supports_tp(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
     if (cfg.num_heads % n or cfg.num_kv_heads % n or
             cfg.intermediate_size % n or cfg.vocab_size % n):
         return False
+    # per-rank widths must stay 128-lane-aligned: the MLP segment slices
+    # gu_out at the LOCAL intermediate width (Mosaic lane-tiling)
+    if cfg.moe is None and (cfg.intermediate_size // n) % 128:
+        return False
     moe = cfg.moe
     if moe is not None:
         # experts split over ranks (EPSPLIT); shared expert splits by inter
         if moe.num_experts % n:
             return False
-        if moe.shared_expert_intermediate_size % max(n, 1):
+        sh = moe.shared_expert_intermediate_size
+        if sh and (sh % n or (sh // n) % 128):
             return False
     view = mk.weight_only_decode_view(params)
     if view is None:
@@ -255,7 +261,7 @@ def supports_tp(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
             if G != 1 and G % n:
                 return False
     cfg_l = local_config(cfg, n)
-    return mk.supports(cfg_l, rt, split_params_tp(view, cfg, n)[0])
+    return mk.supports(cfg_l, rt, _split_rank(view, cfg, n, 0))
 
 
 def make_tp_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,

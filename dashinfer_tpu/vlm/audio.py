@@ -40,16 +40,28 @@ class AudioEncoder:
 
     def embed_waveform(self, audio: np.ndarray, sampling_rate: int
                        ) -> np.ndarray:
-        """Raw waveform -> LLM-space embedding rows [n, hidden]."""
+        """Raw waveform -> LLM-space embedding rows [n, hidden], cropped to
+        the clip's true output length (the feature extractor pads mel
+        features to the max 30 s window; HF crops via
+        _get_feat_extract_output_lengths(feature_attention_mask))."""
         import torch
         if self._model is None:
             raise RuntimeError("AudioEncoder built without a checkpoint; "
                                "use embed_features with precomputed rows")
+        dev = next(self._model.parameters()).device
         feats = self._processor.feature_extractor(
-            audio, sampling_rate=sampling_rate, return_tensors="pt")
+            audio, sampling_rate=sampling_rate, return_tensors="pt",
+            return_attention_mask=True)
+        x = feats.input_features.to(dev)
         with torch.no_grad():
-            enc = self._model(feats.input_features).last_hidden_state
+            enc = self._model(x).last_hidden_state
             rows = self._proj(enc)[0]
+        mask = getattr(feats, "attention_mask", None)
+        if mask is not None:
+            mel_len = int(mask[0].sum())
+            out_len = int(self._model._get_feat_extract_output_lengths(
+                torch.tensor(mel_len)))
+            rows = rows[:out_len]
         return rows.float().cpu().numpy()
 
     @staticmethod
@@ -61,7 +73,6 @@ class AudioEncoder:
 def build_request_audio(audio_embeds: Sequence[np.ndarray],
                         audio_pad_token_id: int) -> Dict:
     """GenerationConfig fields injecting audio embeddings at runs of the
-    audio placeholder token (same channel as build_request_qwen_vl)."""
-    mm = [(audio_pad_token_id, np.concatenate(list(audio_embeds), axis=0))] \
-        if len(audio_embeds) else []
-    return {"mm_info": mm}
+    audio placeholder token — the identical channel as vision."""
+    from dashinfer_tpu.vlm.runner import build_request_qwen_vl
+    return build_request_qwen_vl(audio_embeds, audio_pad_token_id)

@@ -63,9 +63,23 @@ def load_task(task, path, limit):
                 if len(row) < 6:
                     continue
                 q, a, b, c, d, ans = row[:6]
+                ans = ans.strip().upper()
+                if ans not in ("A", "B", "C", "D"):
+                    continue  # header row or malformed line
                 items.append((MC_PROMPT.format(q=q, a=a, b=b, c=c, d=d),
-                              ans.strip().upper()))
+                              ans))
     return items[:limit] if limit else items
+
+
+def answers_match(task, got, gold):
+    if got is None or gold is None:
+        return False
+    if task != "gsm8k":
+        return got == gold
+    try:  # numeric compare: '42.0' == '042' == '42'
+        return abs(float(got) - float(gold)) < 1e-6
+    except ValueError:
+        return got == gold
 
 
 def main():
@@ -115,8 +129,7 @@ def main():
         eng.sync_request("eval", h, timeout_s=3600)
         text = tok.decode(q.GetAllGeneratedTokens())
         got = extract(text)
-        ok = got is not None and gold is not None and got == gold
-        correct += int(ok)
+        correct += int(answers_match(args.task, got, gold))
         if (i + 1) % 20 == 0:
             print(f"  {i+1}/{len(handles)} acc={correct/(i+1):.3f}",
                   file=sys.stderr)
