@@ -186,6 +186,27 @@ class ModelRuntime:
                 logger.info(
                     "prefill megakernel packed in %.1fs (buckets %s)",
                     time.monotonic() - t0, qual)
+        # TP prefill segments (same bucket gating, per-rank packed streams)
+        self._tp_pmk_plans: Dict[int, object] = {}
+        if (self.tp_mega_plan is not None and
+                EnvConfig.prefill_megakernel_enabled()):
+            from dashinfer_tpu.ops.pallas import tp_megakernel as tpk
+            from dashinfer_tpu.parallel.mesh import MODEL_AXIS
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n = self.mesh.shape[MODEL_AXIS]
+            qual = [b for b in self.buckets
+                    if b <= 1024 and b % 128 == 0 and
+                    tpk.supports_prefill_tp(cfg, rt, params, b, n)]
+            if qual:
+                t0 = time.monotonic()
+                self._tp_pmk_plans, packed = tpk.make_tp_prefill_plans(
+                    cfg, rt, params, qual, n)
+                rank_sh = NamedSharding(self.mesh, P("model"))
+                self.mega_params["tp_prefill_packed"] = jax.tree.map(
+                    lambda a: jax.device_put(a, rank_sh), packed)
+                logger.info(
+                    "TP prefill megakernel packed in %.1fs (buckets %s)",
+                    time.monotonic() - t0, qual)
         self.pending: deque = deque()           # Requests awaiting prefill
         self.requests: Dict[str, Request] = {}  # uuid -> Request (all live)
         self.slots: List[Optional[Request]] = [None] * rt.max_batch
@@ -251,14 +272,18 @@ class ModelRuntime:
                     with_banned: bool = False,
                     with_mm: bool = False,
                     mega: bool = False) -> Callable:
+        tp = mega and bucket in self._tp_pmk_plans
         key = (bucket, with_logprobs, with_guided, with_lora, with_banned,
-               with_mm, mega)
+               with_mm, mega, tp)
         if key not in self._prefill_steps:
             self._prefill_steps[key] = steps_mod.build_prefill_step(
                 self.cfg, self.rt, bucket, use_kernel=self.use_kernel,
                 with_logprobs=with_logprobs, with_guided=with_guided,
                 with_lora=with_lora, with_mm=with_mm,
-                mega_plan=self._pmk_plans[bucket] if mega else None)
+                mega_plan=(self._pmk_plans[bucket]
+                           if mega and not tp else None),
+                tp_mega=((self._tp_pmk_plans[bucket], self.mesh)
+                         if tp else None))
         return self._prefill_steps[key]
 
     def _mm_prefill_inputs(self, req: Request, tok_buf, bucket: int,
@@ -463,7 +488,8 @@ class ModelRuntime:
         # prefill megakernel fast path: whole-bucket fresh prefill only
         # (prefix-cache hits, chunked continuations, LoRA, multimodal take
         # the XLA path — see prefill_megakernel.supports_prefill)
-        use_mega = (bucket in self._pmk_plans and prefix_len == 0 and
+        use_mega = ((bucket in self._pmk_plans or
+                     bucket in self._tp_pmk_plans) and prefix_len == 0 and
                     base_counts is None and not with_lora and not with_mm and
                     self.mega_params is not None)
         fn = self._prefill_fn(bucket, with_lp,

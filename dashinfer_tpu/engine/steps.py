@@ -124,12 +124,29 @@ def _prefill_mega_forward(cfg, plan, fn, params, cache, tokens, page_row,
     return logits, _rebuild_cache(cache, outs[1:])
 
 
+def _tp_prefill_mega_forward(cfg, plan, fn, params, cache, tokens, page_row,
+                             n_tokens):
+    """Whole-prefill forward via the TP prefill segments
+    (tp_megakernel.build_tp_prefill_fn). params holds 'tp_prefill_packed'
+    (leading rank dim) + 'embed'. RoPE only (supports_prefill_tp)."""
+    x0 = params["embed"][tokens].astype(jnp.bfloat16)
+    cos, sin = _rope_tiles(cfg, False, jnp.arange(plan.S, dtype=jnp.int32))
+    pools = [cache.k, cache.v]
+    if cache.k_qparams is not None:
+        pools += [cache.k_qparams, cache.v_qparams]
+    outs = fn(params["tp_prefill_packed"], x0, cos, sin,
+              page_row * cfg.num_layers, n_tokens, *pools)
+    logits = outs[0][0, :cfg.vocab_size]
+    return logits, _rebuild_cache(cache, outs[1:])
+
+
 def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
                        *, use_kernel: bool, with_logprobs: bool = False,
                        with_guided: bool = False,
                        with_lora: bool = False,
                        with_mm: bool = False,
-                       mega_plan=None) -> Callable:
+                       mega_plan=None,
+                       tp_mega=None) -> Callable:
     """Returns jitted fn(params, cache, state, tokens[S], page_row[maxPb],
     prefix_len, total_len, init: SlotInit[, allowed [V] bool]) ->
     (token, lp, cache, state). page_row holds LOGICAL page ids.
@@ -141,7 +158,13 @@ def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
     mode = rt.cache.mode
     V = cfg.vocab_size
     n_lp = rt.max_top_logprobs if with_logprobs else 0
-    if mega_plan is not None:
+    if tp_mega is not None:
+        assert not (with_lora or with_mm)
+        from dashinfer_tpu.ops.pallas import tp_megakernel as _tpk
+        _tp_plan, _tp_mesh = tp_mega
+        _tp_pfn = _tpk.build_tp_prefill_fn(_tp_plan, _tp_mesh,
+                                           cfg.vocab_size)
+    elif mega_plan is not None:
         assert not (with_lora or with_mm)
         from dashinfer_tpu.ops.pallas import prefill_megakernel as _pmk
         _pmk_fn = _pmk.build_prefill_megakernel(mega_plan)
@@ -150,7 +173,11 @@ def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
              prefix_len, total_len, init: SlotInit, base_counts=None,
              allowed=None, lora_pool=None, banned=None, embeds=None,
              positions3=None):
-        if mega_plan is not None:
+        if tp_mega is not None:
+            logits, cache = _tp_prefill_mega_forward(
+                cfg, _tp_plan, _tp_pfn, params, cache, tokens, page_row,
+                total_len)
+        elif mega_plan is not None:
             logits, cache = _prefill_mega_forward(
                 cfg, mega_plan, _pmk_fn, params, cache, tokens, page_row,
                 total_len)

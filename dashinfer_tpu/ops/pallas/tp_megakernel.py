@@ -1288,3 +1288,522 @@ def build_tp_decode_fn(plan: MegaPlan, mesh: Mesh, full_vocab: int,
                   *pools)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# TP prefill: per-layer segments of the prefill megakernel + psum
+# ---------------------------------------------------------------------------
+
+def supports_prefill_tp(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
+                        bucket: int, n: int) -> bool:
+    """TP prefill segment eligibility. ALiBi is excluded: the prefill
+    kernel bakes slopes as compile-time constants, and SPMD runs the SAME
+    program on every rank — per-rank slopes would need an input tensor
+    (decode's approach); future work."""
+    from dashinfer_tpu.ops.pallas import prefill_megakernel as pmk
+    if cfg.position_embedding.value != "rope":
+        return False
+    if not supports_tp(cfg, rt, params, n):
+        return False
+    view = mk.weight_only_decode_view(params)
+    cfg_l = local_config(cfg, n)
+    return pmk.supports_prefill(cfg_l, rt, _split_rank(view, cfg, n, 0),
+                                bucket)
+
+
+def make_tp_prefill_plans(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
+                          buckets: List[int], n: int,
+                          target_chunk_bytes: Optional[int] = None):
+    """({bucket: local PrefillPlan}, packed pytree with leading [n] rank
+    dim). The split and pack run ONCE — stream geometry is
+    bucket-independent, only the plan's S differs."""
+    from dashinfer_tpu.ops.pallas import prefill_megakernel as pmk
+    view = mk.weight_only_decode_view(params)
+    parts = split_params_tp(view, cfg, n)
+    cfg_l = local_config(cfg, n)
+    kw = {}
+    if target_chunk_bytes is not None:
+        kw["target_chunk_bytes"] = target_chunk_bytes
+    plans = {b: pmk.make_prefill_plan(cfg_l, rt, parts[0], b, **kw)
+             for b in buckets}
+    first = plans[buckets[0]]
+    packed_r = [pmk.pack_prefill_params(cfg_l, first, p) for p in parts]
+    packed = jax.tree.map(lambda *xs: jnp.stack(
+        [np.asarray(x) for x in xs]), *packed_r)
+    return plans, packed
+
+
+def make_tp_prefill_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
+                         bucket: int, n: int,
+                         target_chunk_bytes: Optional[int] = None):
+    """Single-bucket convenience wrapper around make_tp_prefill_plans."""
+    plans, packed = make_tp_prefill_plans(cfg, rt, params, [bucket], n,
+                                          target_chunk_bytes)
+    return plans[bucket], packed
+
+
+def build_prefill_attn_segment(plan, interpret: Optional[bool] = None):
+    """One layer's prefill attention segment on this shard.
+
+    fn(l, x [S, hid] f32, cos, sin, page_row, n_tokens, packed, *pools)
+       -> (o_partial [S, hid] f32, *pools)
+    """
+    from dashinfer_tpu.ops.pallas.prefill_megakernel import _wdeq_tile
+    S, L, hid = plan.S, plan.L, plan.hid
+    H, KH, D = plan.H, plan.KH, plan.D
+    HD = H * D
+    ps, maxPb = plan.ps, plan.maxPb
+    kv_quant = plan.kv_mode != CacheMode.DEFAULT
+    Dsc = plan.kv_store_dim
+    F = KH * Dsc
+    qkv, o_sp = plan.qkv, plan.o
+    eps = plan.rms_eps
+    scale_att = 1.0 / math.sqrt(D)
+    kv_dtype = jnp.dtype(plan.kv_dtype_name)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    T = qkv.S + 1 + o_sp.S
+    ATT = qkv.S
+    NSCAL = 3  # l, page_row, n_tokens
+
+    def stream_idx(base, count):
+        def idx(t, lref, *_):
+            return (lref[0], jnp.clip(t - base, 0, count - 1), 0, 0)
+        return idx
+
+    def norm_idx(t, lref, *_):
+        return (lref[0], 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((S, hid), lambda *_: (0, 0)),       # x
+        pl.BlockSpec((S, D), lambda *_: (0, 0)),         # cos
+        pl.BlockSpec((S, D), lambda *_: (0, 0)),         # sin
+    ]
+    arg_names = ["x", "cos", "sin"]
+    _append_stream(in_specs, arg_names, qkv, stream_idx(0, qkv.S))
+    _append_stream(in_specs, arg_names, o_sp, stream_idx(ATT + 1, o_sp.S))
+    in_specs.append(pl.BlockSpec((1, 2, hid), norm_idx))
+    arg_names.append("norms")
+    in_specs.append(pl.BlockSpec((1, 1, plan.QKVN), norm_idx))
+    arg_names.append("qkv_b")
+    if plan.qk_norm:
+        in_specs.append(pl.BlockSpec((1, 2, HD), norm_idx))
+        arg_names.append("qk_norms")
+    npools = 4 if kv_quant else 2
+    for _ in range(npools):
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    arg_names += ["k", "v", "kq", "vq"][:npools]
+
+    out_specs = [pl.BlockSpec((S, hid), lambda *_: (0, 0))] + \
+        [pl.BlockSpec(memory_space=pl.ANY)] * npools
+
+    scratch_shapes = [
+        pltpu.VMEM((S, hid), jnp.bfloat16),          # x_norm
+        pltpu.VMEM((S, qkv.Np), jnp.float32),        # qkv_out
+        pltpu.VMEM((S, HD), jnp.bfloat16),           # attn_out
+        pltpu.VMEM((S, F), kv_dtype),                # kpay
+        pltpu.VMEM((S, F), kv_dtype),                # vpay
+        pltpu.VMEM((2 * KH, S), jnp.float32),        # kq_rows
+        pltpu.VMEM((2 * KH, S), jnp.float32),        # vq_rows
+        pltpu.SemaphoreType.DMA((4, maxPb)),         # page write sems
+    ]
+    NARG = len(arg_names)
+
+    def kernel(*refs):
+        l_arr, page_row, n_tok = refs[:NSCAL]
+        args = {nm: refs[NSCAL + i] for i, nm in enumerate(arg_names)}
+        o_out = refs[NSCAL + NARG]
+        kpool_o = refs[NSCAL + NARG + 1]
+        vpool_o = refs[NSCAL + NARG + 2]
+        if kv_quant:
+            kqpool_o = refs[NSCAL + NARG + 3]
+            vqpool_o = refs[NSCAL + NARG + 4]
+        (x_norm, qkv_out, attn_out, kpay, vpay, kq_rows, vq_rows,
+         wsems) = refs[NSCAL + NARG + 1 + npools:]
+        t = pl.program_id(0)
+        l = l_arr[0]
+        n = n_tok[0]
+
+        def page_write_copies(j):
+            width = min(ps, S - j * ps)
+            phys = page_row[j] + l
+            cps = [
+                pltpu.make_async_copy(
+                    kpay.at[pl.ds(j * ps, width), :],
+                    kpool_o.at[phys, pl.ds(0, width), :], wsems.at[0, j]),
+                pltpu.make_async_copy(
+                    vpay.at[pl.ds(j * ps, width), :],
+                    vpool_o.at[phys, pl.ds(0, width), :], wsems.at[1, j]),
+            ]
+            if kv_quant:
+                cps.append(pltpu.make_async_copy(
+                    kq_rows.at[:, pl.ds(j * ps, width)],
+                    kqpool_o.at[phys, :, pl.ds(0, width)], wsems.at[2, j]))
+                cps.append(pltpu.make_async_copy(
+                    vq_rows.at[:, pl.ds(j * ps, width)],
+                    vqpool_o.at[phys, :, pl.ds(0, width)], wsems.at[3, j]))
+            return cps
+
+        # ---------------- qkv phase ----------------
+        @pl.when(t < ATT)
+        def _qkv():
+            @pl.when(t == 0)
+            def _():
+                x_norm[:] = _rms(args["x"][:], args["norms"][0, 0],
+                                 eps).astype(jnp.bfloat16)
+            c = t
+            w = _wdeq_tile(qkv, args["qkv_w"], args.get("qkv_s"),
+                           args.get("qkv_z"))
+            y = jax.lax.dot_general(
+                x_norm[:], w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            qkv_out[:, pl.ds(pl.multiple_of(c * qkv.chunk, 128),
+                             qkv.chunk)] = y
+
+        # ---------------- attention + local-head KV write-out ----------
+        @pl.when(t == ATT)
+        def _att():
+            bias = args["qkv_b"][0, 0].astype(jnp.float32)
+            cos1 = args["cos"][:].astype(jnp.float32)
+            sin1 = args["sin"][:].astype(jnp.float32)
+            if plan.qk_norm:
+                qkn = args["qk_norms"][0]
+
+            def head_slice(base_col, idx, w_norm=None):
+                v = qkv_out[:, base_col + idx * D:base_col + (idx + 1) * D] \
+                    + bias[None, base_col + idx * D:base_col + (idx + 1) * D]
+                if w_norm is not None:
+                    var = jnp.mean(v * v, axis=-1, keepdims=True)
+                    v = v * jax.lax.rsqrt(var + eps) * w_norm
+                return v * cos1 + _rot_half_heads(v, D) * sin1
+
+            def qz_head(x):
+                xmin = jnp.min(x, axis=-1)
+                xmax = jnp.max(x, axis=-1)
+                if plan.kv_bits == 8:
+                    sc_ = jnp.maximum((xmax - xmin) / 255.0, 1e-8)
+                    qv = jnp.clip(jnp.round(
+                        (x - xmin[:, None]) / sc_[:, None]) - 128.0,
+                        -128, 127)
+                    zr = xmin + 128.0 * sc_
+                    pay = qv.astype(jnp.int32).astype(jnp.int8)
+                else:
+                    sc_ = jnp.maximum((xmax - xmin) / 15.0, 1e-8)
+                    qv = jnp.clip(jnp.round(
+                        (x - xmin[:, None]) / sc_[:, None]),
+                        0, 15).astype(jnp.int32)
+                    zr = xmin
+                    pay = (qv[:, :D // 2] | (qv[:, D // 2:] << 4)) \
+                        .astype(jnp.uint8)
+                return pay, sc_, zr
+
+            row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+            causal = col <= row
+            G = H // KH
+            for h in range(KH):
+                wk = qkn[1, None, h * D:(h + 1) * D].astype(jnp.float32) \
+                    if plan.qk_norm else None
+                kh = head_slice(HD, h, wk)
+                vcol = HD + KH * D + h * D
+                vh = qkv_out[:, vcol:vcol + D] + bias[None, vcol:vcol + D]
+                for g in range(G):
+                    hh = h * G + g
+                    wq = qkn[0, None, hh * D:(hh + 1) * D] \
+                        .astype(jnp.float32) if plan.qk_norm else None
+                    qh = head_slice(0, hh, wq)
+                    sco = jax.lax.dot_general(
+                        qh, kh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale_att
+                    sco = jnp.where(causal, sco, _NEG_INF)
+                    m = jnp.max(sco, axis=-1, keepdims=True)
+                    p = jnp.exp(sco - m)
+                    p = p / jnp.sum(p, axis=-1, keepdims=True)
+                    ov = jnp.dot(p.astype(jnp.bfloat16),
+                                 vh.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+                    attn_out[:, hh * D:(hh + 1) * D] = \
+                        ov.astype(jnp.bfloat16)
+
+                if kv_quant:
+                    kp, ks, kz = qz_head(kh)
+                    vp, vs, vz = qz_head(vh)
+                    kpay[:, h * Dsc:(h + 1) * Dsc] = kp
+                    vpay[:, h * Dsc:(h + 1) * Dsc] = vp
+                    kq_rows[2 * h, :] = ks
+                    kq_rows[2 * h + 1, :] = kz
+                    vq_rows[2 * h, :] = vs
+                    vq_rows[2 * h + 1, :] = vz
+                else:
+                    kpay[:, h * Dsc:(h + 1) * Dsc] = kh.astype(kv_dtype)
+                    vpay[:, h * Dsc:(h + 1) * Dsc] = vh.astype(kv_dtype)
+
+            for j in range(maxPb):
+                @pl.when(j * ps < n)
+                def _(j=j):
+                    for cp in page_write_copies(j):
+                        cp.start()
+
+        # ---------------- o phase ----------------
+        @pl.when(t > ATT)
+        def _o():
+            c = t - ATT - 1
+            w = _wdeq_tile(o_sp, args["o_w"], args.get("o_s"),
+                           args.get("o_z"))
+            y = jax.lax.dot_general(
+                attn_out[:], w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_out[:, pl.ds(pl.multiple_of(c * o_sp.chunk, 128),
+                           o_sp.chunk)] = y
+
+            @pl.when(c == o_sp.S - 1)
+            def _():
+                for j in range(maxPb):
+                    @pl.when(j * ps < n)
+                    def _(j=j):
+                        for cp in page_write_copies(j):
+                            cp.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=NSCAL,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+    )
+
+    def fn(l, x, cos, sin, page_row, n_tokens, packed, *pools):
+        shapes = [jax.ShapeDtypeStruct((S, hid), jnp.float32)] + \
+            [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in pools]
+        pool0 = NSCAL + NARG - npools
+        aliases = {pool0 + i: 1 + i for i in range(npools)}
+        tensors = [x, cos, sin]
+        for nm in arg_names[3:NARG - npools]:
+            tensors.append(packed[nm])
+        tensors += list(pools)
+        outs = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=shapes,
+            input_output_aliases=aliases, interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(jnp.full((1,), l, jnp.int32), page_row.astype(jnp.int32),
+          n_tokens.astype(jnp.int32)[None], *tensors)
+        return outs[0], tuple(outs[1:])
+
+    return fn
+
+
+def build_prefill_mlp_segment(plan, interpret: Optional[bool] = None):
+    """One layer's prefill MLP segment (interleaved gate/up/down streams):
+    fn(l, x [S, hid] f32, packed) -> mlp_partial [S, hid] f32."""
+    from dashinfer_tpu.ops.pallas.prefill_megakernel import _wdeq_tile
+    S, hid = plan.S, plan.hid
+    pg, pu, pd = plan.pg, plan.pu, plan.pd
+    eps = plan.rms_eps
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    T = pg.S
+    NSCAL = 1
+
+    def stream_idx(t, lref, *_):
+        return (lref[0], jnp.clip(t, 0, pg.S - 1), 0, 0)
+
+    def norm_idx(t, lref, *_):
+        return (lref[0], 0, 0)
+
+    in_specs = [pl.BlockSpec((S, hid), lambda *_: (0, 0))]
+    arg_names = ["x"]
+    for sp in (pg, pu, pd):
+        _append_stream(in_specs, arg_names, sp, stream_idx)
+    in_specs.append(pl.BlockSpec((1, 2, hid), norm_idx))
+    arg_names.append("norms")
+
+    out_specs = [pl.BlockSpec((S, hid), lambda *_: (0, 0))]
+    scratch_shapes = [
+        pltpu.VMEM((S, hid), jnp.bfloat16),          # x_norm
+        pltpu.VMEM((S, hid), jnp.float32),           # acc_mlp
+    ]
+    NARG = len(arg_names)
+
+    def kernel(*refs):
+        l_arr = refs[0]
+        args = {nm: refs[NSCAL + i] for i, nm in enumerate(arg_names)}
+        mlp_out = refs[NSCAL + NARG]
+        x_norm, acc_mlp = refs[NSCAL + NARG + 1:]
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            x_norm[:] = _rms(args["x"][:], args["norms"][0, 1],
+                             eps).astype(jnp.bfloat16)
+            acc_mlp[:] = jnp.zeros_like(acc_mlp)
+
+        wg = _wdeq_tile(pg, args["pg_w"], args.get("pg_s"),
+                        args.get("pg_z"))
+        wu = _wdeq_tile(pu, args["pu_w"], args.get("pu_s"),
+                        args.get("pu_z"))
+        wd = _wdeq_tile(pd, args["pd_w"], args.get("pd_s"),
+                        args.get("pd_z"))
+        g_ = jax.lax.dot_general(
+            x_norm[:], wg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        u_ = jax.lax.dot_general(
+            x_norm[:], wu, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        act = (g_ * jax.lax.logistic(g_) * u_).astype(jnp.bfloat16)
+        y = jax.lax.dot_general(
+            act, wd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_mlp[:] = acc_mlp[:] + y[:, :hid]
+
+        @pl.when(t == pg.S - 1)
+        def _():
+            mlp_out[:] = acc_mlp[:]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=NSCAL,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+    )
+
+    def fn(l, x, packed):
+        tensors = [x] + [packed[nm] for nm in arg_names[1:]]
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((S, hid), jnp.float32)],
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(jnp.full((1,), l, jnp.int32), *tensors)
+        return out[0]
+
+    return fn
+
+
+def build_prefill_lm_segment(plan, interpret: Optional[bool] = None):
+    """Final norm + lm head on the LAST valid token over the local vocab
+    shard: fn(x [S, hid] f32, n_tokens, packed) -> [8, Vp_local] f32."""
+    from dashinfer_tpu.ops.pallas.prefill_megakernel import _wdeq_tile
+    S, hid = plan.S, plan.hid
+    lm = plan.lm
+    eps = plan.rms_eps
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    NSCAL = 1  # n_tokens
+
+    def stream_idx(t, *_):
+        return (0, jnp.clip(t, 0, lm.S - 1), 0, 0)
+
+    in_specs = [pl.BlockSpec((S, hid), lambda *_: (0, 0))]
+    arg_names = ["x"]
+    _append_stream(in_specs, arg_names, lm, stream_idx)
+    in_specs.append(pl.BlockSpec((1, hid), lambda *_: (0, 0)))
+    arg_names.append("final_norm")
+
+    out_specs = [pl.BlockSpec((8, lm.chunk), lambda t, *_: (0, t))]
+    scratch_shapes = [pltpu.VMEM((8, hid), jnp.bfloat16)]
+    NARG = len(arg_names)
+
+    def kernel(*refs):
+        n_tok = refs[0]
+        args = {nm: refs[NSCAL + i] for i, nm in enumerate(arg_names)}
+        logits_ref = refs[NSCAL + NARG]
+        x_last = refs[NSCAL + NARG + 1]
+        t = pl.program_id(0)
+        n = n_tok[0]
+
+        @pl.when(t == 0)
+        def _():
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (S, hid), 0)
+            sel = ridx == (n - 1)
+            last = jnp.sum(jnp.where(sel, args["x"][:], 0.0), axis=0,
+                           keepdims=True)
+            lastn = _rms(last, args["final_norm"][0], eps)
+            x_last[:] = jnp.broadcast_to(
+                lastn.astype(jnp.bfloat16), (8, hid))
+
+        w = _wdeq_tile(lm, args["lm_w"], args.get("lm_s"),
+                       args.get("lm_z"))
+        logits_ref[:] = jax.lax.dot_general(
+            x_last[:], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=NSCAL,
+        grid=(lm.S,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+    )
+
+    def fn(x, n_tokens, packed):
+        tensors = [x] + [packed[nm] for nm in arg_names[1:]]
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((8, plan.Vp), jnp.float32)],
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(n_tokens.astype(jnp.int32)[None], *tensors)
+        return out[0]
+
+    return fn
+
+
+def build_tp_prefill_fn(plan, mesh: Mesh, full_vocab: int,
+                        interpret: Optional[bool] = None):
+    """Whole-prefill TP step: fn(packed, x0 [S, hid] bf16, cos [S, D],
+    sin [S, D], page_row [maxPb] physical base rows, n_tokens, *pools)
+    -> (logits [8, full_vocab] f32 (row 0 real), *pools)."""
+    import inspect
+    try:
+        from jax import shard_map as _sm
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _sm
+    _ck = "check_vma" if "check_vma" in \
+        inspect.signature(_sm).parameters else "check_rep"
+
+    n = mesh.shape[MODEL_AXIS]
+    L = plan.L
+    kv_quant = plan.kv_mode != CacheMode.DEFAULT
+    npools = 4 if kv_quant else 2
+    V_loc = full_vocab // n
+
+    seg_a = build_prefill_attn_segment(plan, interpret)
+    seg_m = build_prefill_mlp_segment(plan, interpret)
+    seg_lm = build_prefill_lm_segment(plan, interpret)
+
+    def local_fn(packed, x0, cos, sin, page_row, n_tokens, *pools):
+        pk = jax.tree.map(lambda a: a[0], packed)
+        x = x0.astype(jnp.float32)
+        for l in range(L):
+            o_part, pools = seg_a(l, x, cos, sin, page_row, n_tokens,
+                                  pk, *pools)
+            x = x + jax.lax.psum(o_part, MODEL_AXIS)
+            m_part = seg_m(l, x, pk)
+            x = x + jax.lax.psum(m_part, MODEL_AXIS)
+        logits_pad = seg_lm(x, n_tokens, pk)
+        return (logits_pad[:, :V_loc],) + tuple(pools)
+
+    M = MODEL_AXIS
+    pool_specs = [P(None, None, M), P(None, None, M)]
+    if kv_quant:
+        pool_specs += [P(None, M, None), P(None, M, None)]
+    out_specs = (P(None, M),) + tuple(pool_specs)
+
+    def fn(packed, x0, cos, sin, page_row, n_tokens, *pools):
+        kw = {_ck: False}
+        sm = _sm(local_fn, mesh=mesh,
+                 in_specs=(jax.tree.map(lambda _: P(M), packed),
+                           P(), P(), P(), P(), P(), *pool_specs),
+                 out_specs=out_specs, **kw)
+        return sm(packed, x0, cos, sin, page_row.astype(jnp.int32),
+                  n_tokens.astype(jnp.int32), *pools)
+
+    return fn

@@ -200,7 +200,9 @@ def test_engine_prefill_uses_megakernel_greedy_parity():
         _, h, q = eng.start_request("pmk", prompt, gen)
         eng.sync_request("pmk", h, timeout_s=900)
         toks = q.GetAllGeneratedTokens()
-        used_mega = any(k[-1] is True and isinstance(k[0], int)
+        # key = (bucket, lp, guided, lora, banned, mm, mega, tp)
+        used_mega = any((k[-2] is True or k[-1] is True) and
+                        isinstance(k[0], int)
                         for k in runtime._prefill_steps)
         eng.release_model("pmk")
         return toks, used_mega

@@ -167,9 +167,9 @@ def test_split_params_tp_roundtrip():
 
 
 def test_engine_serving_tp_megakernel_greedy_parity():
-    """Engine serving on a (1, 2) mesh engages the TP megakernel (interpret
-    mode on CPU) and produces the same greedy tokens as the single-device
-    engine with the whole-model megakernel."""
+    """Engine serving on a (1, 2) mesh engages the TP megakernel for
+    decode AND the TP prefill segments (bucket 128), and produces the same
+    greedy tokens as the single-device engine's fast paths."""
     import dataclasses
     from dashinfer_tpu import Engine, GenerationConfig
     from dashinfer_tpu.config import CacheMode, QuantConfig
@@ -177,8 +177,9 @@ def test_engine_serving_tp_megakernel_greedy_parity():
 
     cfg, rt, params = _tp_tiny()
     rt = dataclasses.replace(
-        rt, max_length=48, max_batch=2,
-        cache=dataclasses.replace(rt.cache, mode=CacheMode.INT8))
+        rt, max_length=160, max_batch=2, min_prefill_bucket=128,
+        cache=dataclasses.replace(rt.cache, mode=CacheMode.INT8,
+                                  num_pages=48))
     params = quantize_params(params, QuantConfig(mode="a16w8"))
 
     def run(mesh_shape):
@@ -189,8 +190,11 @@ def test_engine_serving_tp_megakernel_greedy_parity():
         if mesh_shape[1] > 1:
             assert runtime.tp_mega_plan is not None, \
                 "TP megakernel did not engage"
+            assert 128 in runtime._tp_pmk_plans, \
+                "TP prefill segments did not engage"
         else:
             assert runtime.mega_plan is not None
+            assert 128 in runtime._pmk_plans
         eng._models["tpk"] = runtime
         eng.start_model("tpk")
         gen = GenerationConfig(max_length=20, do_sample=False, top_k=1,
@@ -292,3 +296,119 @@ def test_tp_megakernel_moe_matches_reference(quant, shared, shared_gate):
         tol = 0.05 if quant == "none" else 0.08
         assert rel < tol, (b, rel)
         assert int(np.argmax(logits[b])) == int(np.argmax(ref[b])), b
+
+
+@pytest.mark.parametrize("quant,kv_mode_name", [
+    ("none", "default"),
+    ("a16w4", "int8"),
+    ("a16w8", "uint4"),
+])
+def test_tp_prefill_megakernel_matches_reference(quant, kv_mode_name):
+    """TP prefill segments (per-layer attn/mlp + psum): last-token logits
+    and written KV pages vs the single-device XLA prefill."""
+    import jax
+    import jax.numpy as jnp
+    from dashinfer_tpu.config import CacheMode, QuantConfig
+    from dashinfer_tpu.models import transformer
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+    from dashinfer_tpu.ops.pallas import tp_megakernel as tpk
+    from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
+                                          _mscale)
+    from dashinfer_tpu.parallel import make_mesh, shard_cache
+    from dashinfer_tpu.runtime.kv_cache import create_kv_cache
+
+    N = 2
+    bucket, ps, n_tokens = 128, 16, 45
+    kv_mode = CacheMode(kv_mode_name)
+    cfg, rt, params = _tp_tiny(ps=ps)
+    rt = dataclasses.replace(
+        rt, max_length=bucket + ps,
+        cache=dataclasses.replace(rt.cache, mode=kv_mode))
+    if quant != "none":
+        from dashinfer_tpu.loader.quantize import quantize_params
+        params = quantize_params(params, QuantConfig(mode=quant,
+                                                     group_size=128))
+
+    assert tpk.supports_prefill_tp(cfg, rt, params, bucket, N)
+    plan, packed = tpk.make_tp_prefill_plan(cfg, rt, params, bucket, N,
+                                            target_chunk_bytes=48 * 1024)
+
+    L = cfg.num_layers
+    num_pages = rt.cache.num_pages
+    rng = np.random.RandomState(7)
+    toks = np.zeros((bucket,), np.int32)
+    toks[:n_tokens] = rng.randint(1, cfg.vocab_size, size=n_tokens)
+    maxPb = plan.maxPb
+    page_row = np.arange(1, maxPb + 1, dtype=np.int32)
+
+    # exact reference: DEFAULT-mode XLA run (same rationale as the
+    # single-chip prefill test — the kernel attends over exact K/V)
+    from dashinfer_tpu.config import CacheConfig
+    rt_d = dataclasses.replace(
+        rt, cache=dataclasses.replace(rt.cache, mode=CacheMode.DEFAULT))
+    cache_d = create_kv_cache(cfg, rt_d.cache, num_pages * L,
+                              model_dtype=jnp.float32)
+    ref_logits, cache_d = transformer.prefill_forward(
+        cfg, params, jnp.asarray(toks), cache_d, jnp.asarray(page_row),
+        jnp.int32(0), jnp.int32(n_tokens), mode=CacheMode.DEFAULT,
+        use_kernel=False)
+
+    mesh = make_mesh((1, N))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    packed = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P("model"))), packed)
+    cache_mk = create_kv_cache(cfg, rt.cache, num_pages * L,
+                               model_dtype=jnp.float32)
+    cache_mk = shard_cache(cache_mk, cfg, mesh)
+
+    view = mk.weight_only_decode_view(params)
+    x0 = jnp.asarray(np.asarray(view["embed_tokens"]["w"])) \
+        [jnp.asarray(toks)].astype(jnp.bfloat16)
+    inv_freq = compute_inv_freq(cfg)
+    pos = jnp.arange(bucket, dtype=jnp.int32)
+    cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
+    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+
+    fn = tpk.build_tp_prefill_fn(plan, mesh, cfg.vocab_size, interpret=True)
+    pools = [cache_mk.k, cache_mk.v]
+    if cache_mk.k_qparams is not None:
+        pools += [cache_mk.k_qparams, cache_mk.v_qparams]
+    outs = jax.jit(fn)(packed, x0, cos, sin,
+                       jnp.asarray(page_row * L), jnp.int32(n_tokens),
+                       *pools)
+    logits = np.asarray(outs[0])[0, :cfg.vocab_size]
+
+    ref = np.asarray(ref_logits)
+    denom = np.abs(ref).max() + 1e-6
+    rel = np.abs(logits - ref).max() / denom
+    assert rel < 0.08, rel
+    assert int(np.argmax(logits)) == int(np.argmax(ref))
+
+    # written pages: dequantize and compare vs the exact reference K
+    from dashinfer_tpu.ops.kv_ops import dequantize_page_tokens
+    KH = cfg.num_kv_heads
+    new_k = outs[1]
+    new_kq = outs[3] if kv_mode != CacheMode.DEFAULT else None
+    for j in range(maxPb):
+        if j * ps >= n_tokens:
+            break
+        w_tok = min(ps, n_tokens - j * ps)
+        for l in range(L):
+            phys = page_row[j] * L + l
+            pay = np.asarray(new_k[phys])
+            if kv_mode == CacheMode.DEFAULT:
+                a = pay.astype(np.float32).reshape(ps, KH, -1)
+                asc = np.zeros(a.shape[:-1] + (1,), np.float32)
+            else:
+                qp = np.asarray(new_kq[phys], np.float32)
+                sc = qp[0::2].T
+                zr = qp[1::2].T
+                a = np.asarray(dequantize_page_tokens(
+                    jnp.asarray(pay.reshape(ps, KH, -1)), jnp.asarray(sc),
+                    jnp.asarray(zr), kv_mode))
+                asc = sc[..., None]
+            b = np.asarray(cache_d.k[phys], np.float32).reshape(ps, KH, -1)
+            a, b, asc = a[:w_tok], b[:w_tok], asc[:w_tok]
+            tol = 1.5 * asc + 0.03 * (np.abs(b).max() + 1e-6)
+            assert (np.abs(a - b) - tol).max() < 0, (j, l)
