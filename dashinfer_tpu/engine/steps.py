@@ -128,9 +128,10 @@ def _tp_prefill_mega_forward(cfg, plan, fn, params, cache, tokens, page_row,
                              n_tokens):
     """Whole-prefill forward via the TP prefill segments
     (tp_megakernel.build_tp_prefill_fn). params holds 'tp_prefill_packed'
-    (leading rank dim) + 'embed'. RoPE only (supports_prefill_tp)."""
+    (leading rank dim) + 'embed'. RoPE or ALiBi (supports_prefill_tp)."""
     x0 = params["embed"][tokens].astype(jnp.bfloat16)
-    cos, sin = _rope_tiles(cfg, False, jnp.arange(plan.S, dtype=jnp.int32))
+    cos, sin = _rope_tiles(cfg, plan.alibi,
+                           jnp.arange(plan.S, dtype=jnp.int32))
     pools = [cache.k, cache.v]
     if cache.k_qparams is not None:
         pools += [cache.k_qparams, cache.v_qparams]

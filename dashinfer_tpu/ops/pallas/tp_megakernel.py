@@ -1296,12 +1296,12 @@ def build_tp_decode_fn(plan: MegaPlan, mesh: Mesh, full_vocab: int,
 
 def supports_prefill_tp(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
                         bucket: int, n: int) -> bool:
-    """TP prefill segment eligibility. ALiBi is excluded: the prefill
-    kernel bakes slopes as compile-time constants, and SPMD runs the SAME
-    program on every rank — per-rank slopes would need an input tensor
-    (decode's approach); future work."""
+    """TP prefill segment eligibility. ALiBi rides the decode approach:
+    SPMD runs the SAME program on every rank, so per-rank slope slices of
+    the GLOBAL head table come in as an input tensor rather than baked
+    constants (reference ALiBiPE op; heads VSPLIT per rank)."""
     from dashinfer_tpu.ops.pallas import prefill_megakernel as pmk
-    if cfg.position_embedding.value != "rope":
+    if cfg.position_embedding.value not in ("rope", "alibi"):
         return False
     if not supports_tp(cfg, rt, params, n):
         return False
@@ -1328,6 +1328,17 @@ def make_tp_prefill_plans(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
              for b in buckets}
     first = plans[buckets[0]]
     packed_r = [pmk.pack_prefill_params(cfg_l, first, p) for p in parts]
+    if first.alibi:
+        # per-rank slice of the GLOBAL slope table (heads VSPLIT), shipped
+        # as an input tensor shaped [1, Hp] — same scheme as decode TP
+        from dashinfer_tpu.models.transformer import alibi_slopes
+        sl = np.asarray(alibi_slopes(cfg.num_heads), np.float32)
+        H_loc = cfg.num_heads // n
+        Hp = _round_up(H_loc, 128)
+        for r in range(n):
+            row = np.zeros((1, Hp), np.float32)
+            row[0, :H_loc] = sl[r * H_loc:(r + 1) * H_loc]
+            packed_r[r]["slopes"] = jnp.asarray(row)
     packed = jax.tree.map(lambda *xs: jnp.stack(
         [np.asarray(x) for x in xs]), *packed_r)
     return plans, packed
@@ -1390,6 +1401,10 @@ def build_prefill_attn_segment(plan, interpret: Optional[bool] = None):
     if plan.qk_norm:
         in_specs.append(pl.BlockSpec((1, 2, HD), norm_idx))
         arg_names.append("qk_norms")
+    if plan.alibi:
+        Hp = _round_up(H, 128)
+        in_specs.append(pl.BlockSpec((1, Hp), lambda *_: (0, 0)))
+        arg_names.append("slopes")
     npools = 4 if kv_quant else 2
     for _ in range(npools):
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
@@ -1476,6 +1491,8 @@ def build_prefill_attn_segment(plan, interpret: Optional[bool] = None):
                 if w_norm is not None:
                     var = jnp.mean(v * v, axis=-1, keepdims=True)
                     v = v * jax.lax.rsqrt(var + eps) * w_norm
+                if plan.alibi:
+                    return v
                 return v * cos1 + _rot_half_heads(v, D) * sin1
 
             def qz_head(x):
@@ -1501,6 +1518,10 @@ def build_prefill_attn_segment(plan, interpret: Optional[bool] = None):
             row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
             causal = col <= row
+            if plan.alibi:
+                # k_pos - q_pos as f32; slopes come from the per-rank
+                # GLOBAL-table slice input (not baked — SPMD-safe)
+                dist = (col - row).astype(jnp.float32)
             G = H // KH
             for h in range(KH):
                 wk = qkn[1, None, h * D:(h + 1) * D].astype(jnp.float32) \
@@ -1516,6 +1537,8 @@ def build_prefill_attn_segment(plan, interpret: Optional[bool] = None):
                     sco = jax.lax.dot_general(
                         qh, kh, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32) * scale_att
+                    if plan.alibi:
+                        sco = sco + args["slopes"][0, hh] * dist
                     sco = jnp.where(causal, sco, _NEG_INF)
                     m = jnp.max(sco, axis=-1, keepdims=True)
                     p = jnp.exp(sco - m)

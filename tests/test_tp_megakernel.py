@@ -298,12 +298,14 @@ def test_tp_megakernel_moe_matches_reference(quant, shared, shared_gate):
         assert int(np.argmax(logits[b])) == int(np.argmax(ref[b])), b
 
 
-@pytest.mark.parametrize("quant,kv_mode_name", [
-    ("none", "default"),
-    ("a16w4", "int8"),
-    ("a16w8", "uint4"),
+@pytest.mark.parametrize("quant,kv_mode_name,alibi", [
+    ("none", "default", False),
+    ("a16w4", "int8", False),
+    ("a16w8", "uint4", False),
+    ("a16w4", "int8", True),    # ALiBi: per-rank global slope slices
 ])
-def test_tp_prefill_megakernel_matches_reference(quant, kv_mode_name):
+def test_tp_prefill_megakernel_matches_reference(quant, kv_mode_name,
+                                                 alibi):
     """TP prefill segments (per-layer attn/mlp + psum): last-token logits
     and written KV pages vs the single-device XLA prefill."""
     import jax
@@ -320,7 +322,7 @@ def test_tp_prefill_megakernel_matches_reference(quant, kv_mode_name):
     N = 2
     bucket, ps, n_tokens = 128, 16, 45
     kv_mode = CacheMode(kv_mode_name)
-    cfg, rt, params = _tp_tiny(ps=ps)
+    cfg, rt, params = _tp_tiny(ps=ps, alibi=alibi)
     rt = dataclasses.replace(
         rt, max_length=bucket + ps,
         cache=dataclasses.replace(rt.cache, mode=kv_mode))
@@ -364,11 +366,16 @@ def test_tp_prefill_megakernel_matches_reference(quant, kv_mode_name):
     view = mk.weight_only_decode_view(params)
     x0 = jnp.asarray(np.asarray(view["embed_tokens"]["w"])) \
         [jnp.asarray(toks)].astype(jnp.bfloat16)
-    inv_freq = compute_inv_freq(cfg)
-    pos = jnp.arange(bucket, dtype=jnp.int32)
-    cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
-    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
-    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+    if alibi:
+        assert plan.alibi
+        cos = jnp.ones((bucket, cfg.head_dim), jnp.bfloat16)
+        sin = jnp.zeros((bucket, cfg.head_dim), jnp.bfloat16)
+    else:
+        inv_freq = compute_inv_freq(cfg)
+        pos = jnp.arange(bucket, dtype=jnp.int32)
+        cos, sin = rope_cos_sin(pos, inv_freq, _mscale(cfg.rope_scaling))
+        cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+        sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
 
     fn = tpk.build_tp_prefill_fn(plan, mesh, cfg.vocab_size, interpret=True)
     pools = [cache_mk.k, cache_mk.v]
