@@ -275,7 +275,8 @@ def _megakernel_forward(cfg, plan, fn, params, state, cache, page_tables,
     sink = jnp.tile(sin, (1, KH))
 
     sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
-        page_tables, lens, state.active, plan.ps)
+        page_tables, lens, state.active, plan.ps,
+        chunk=getattr(plan, "page_chunk", 1))
     pools = [cache.k, cache.v]
     if cache.k_qparams is not None:
         pools += [cache.k_qparams, cache.v_qparams]

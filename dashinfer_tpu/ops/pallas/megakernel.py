@@ -142,6 +142,12 @@ class MegaPlan:
     # ALiBi positions (reference ALiBiPE op; Baichuan-13B): no rotary,
     # score += slope_h * (k_pos - q_pos) in the attention page loop
     alibi: bool = False
+    # Attention page loop granularity: each loop iteration consumes
+    # page_chunk consecutive pages of ONE sequence (schedule padded per
+    # sequence with masked dummy entries). >1 amortizes the per-iteration
+    # fixed costs (masks, online-softmax state updates, tiny [G8, ps]
+    # score tiles) that dominate at large batch x context.
+    page_chunk: int = 1
     # MoE (reference MOE op + CalcExpert shared expert, moe_op.cpp): when
     # E > 0 the gu/dn streams are PER-EXPERT (every expert's weights stream
     # through every step; non-selected experts contribute with gate 0 — zero
@@ -535,6 +541,8 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
         kv_dtype_name = "int8" if mode == CacheMode.INT8 else "uint8"
     B = rt.max_batch
     maxP = rt.max_pages_per_seq
+    env_pc = __import__("os").environ.get("DI_MK_PAGE_CHUNK")
+    page_chunk = max(1, int(env_pc)) if env_pc else 1
     return MegaPlan(
         B=B, L=cfg.num_layers, hid=hid, H=H, KH=KH, D=D, G=H // KH,
         G8=_round_up(H // KH, 8), inter=inter, QKVN=QKVN,
@@ -545,6 +553,7 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
         qkv=qkv, o=o, gu=gu, dn=dn, lm=lm, rms_eps=cfg.rms_norm_eps,
         qk_norm=cfg.qk_norm,
         alibi=cfg.position_embedding.value == "alibi",
+        page_chunk=page_chunk,
         E=moe.num_experts if moe else 0,
         k_top=moe.num_experts_per_tok if moe else 0,
         norm_topk=moe.norm_topk_prob if moe else False,
@@ -895,6 +904,11 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
     Gmax = max(hid, HD, dn.Kp) // 128
     MOE = plan.E > 0
     E, SE = plan.E, plan.gu.S + plan.dn.S
+    # page-loop chunking: each iteration consumes C consecutive pages of
+    # one sequence (ring slots hold C pages); in-flight bytes stay ~equal
+    C = plan.page_chunk
+    RING = _RING if C == 1 else max(2, _RING // C)
+    psC = C * ps
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # weight-side dequant experiment switch (see _stream_dot docstring)
@@ -1041,15 +1055,15 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
         pltpu.VMEM((B, L, F), kv_dtype),              # 12 nv_buf
         pltpu.VMEM((B, L, 2 * KH), jnp.float32),      # 13 nkp_buf
         pltpu.VMEM((B, L, 2 * KH), jnp.float32),      # 14 nvp_buf
-        pltpu.VMEM((_RING, ps, F), kv_dtype),         # 15 kbuf
-        pltpu.VMEM((_RING, ps, F), kv_dtype),         # 16 vbuf
-        pltpu.VMEM((_RING, 2 * KH, ps), jnp.float32),  # 17 kqbuf
-        pltpu.VMEM((_RING, 2 * KH, ps), jnp.float32),  # 18 vqbuf
+        pltpu.VMEM((RING, psC, F), kv_dtype),         # 15 kbuf
+        pltpu.VMEM((RING, psC, F), kv_dtype),         # 16 vbuf
+        pltpu.VMEM((RING, 2 * KH, psC), jnp.float32),  # 17 kqbuf
+        pltpu.VMEM((RING, 2 * KH, psC), jnp.float32),  # 18 vqbuf
         pltpu.VMEM((B, L, _RMW_W, F), kv_dtype),      # 19 rmw_k (per slot)
         pltpu.VMEM((B, L, _RMW_W, F), kv_dtype),      # 20 rmw_v
         pltpu.VMEM((B, L, 2 * KH, ps), jnp.float32),  # 21 rmw_kq
         pltpu.VMEM((B, L, 2 * KH, ps), jnp.float32),  # 22 rmw_vq
-        pltpu.SemaphoreType.DMA((4, _RING)),          # 23 page sems
+        pltpu.SemaphoreType.DMA((4, RING, C)),        # 23 page sems
         pltpu.SemaphoreType.DMA((4, B)),              # 24 rmw sems
     ]
     if MOE:
@@ -1199,47 +1213,63 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                     l, _nn(qkv_out[:]), _nn(q_rot), _nn(k_rot), _nn(q4[:]),
                     _nn(cq), _nn(args["qkv_b"][0]))
 
-            # ---- page loop: ring DMA + online softmax ----
+            # ---- page loop: ring DMA + online softmax, C pages/iter ----
             n = n_sched[0]
+            ngr = n // C if C > 1 else n
 
-            def page_copies(i):
-                slot = jax.lax.rem(i, _RING)
-                bb = sched_b[i]
-                g = pt[bb, sched_p[i]]
-                phys = g * L + l
-                cps = [
-                    pltpu.make_async_copy(args["k"].at[phys], kbuf.at[slot],
-                                          page_sems.at[0, slot]),
-                    pltpu.make_async_copy(args["v"].at[phys], vbuf.at[slot],
-                                          page_sems.at[1, slot]),
-                ]
-                if kv_quant:
+            def page_copies(gi):
+                slot = jax.lax.rem(gi, RING)
+                cps = []
+                for j in range(C):
+                    i = gi * C + j
+                    bb = sched_b[i]
+                    # dummy tail entries may carry sched_p >= maxP; clamp
+                    # for the pt lookup only (their tokens are masked)
+                    pp = jnp.minimum(sched_p[i], maxP - 1)
+                    g = pt[bb, pp]
+                    phys = g * L + l
                     cps.append(pltpu.make_async_copy(
-                        args["kq"].at[phys], kqbuf.at[slot],
-                        page_sems.at[2, slot]))
+                        args["k"].at[phys],
+                        kbuf.at[slot, pl.ds(j * ps, ps), :],
+                        page_sems.at[0, slot, j]))
                     cps.append(pltpu.make_async_copy(
-                        args["vq"].at[phys], vqbuf.at[slot],
-                        page_sems.at[3, slot]))
+                        args["v"].at[phys],
+                        vbuf.at[slot, pl.ds(j * ps, ps), :],
+                        page_sems.at[1, slot, j]))
+                    if kv_quant:
+                        cps.append(pltpu.make_async_copy(
+                            args["kq"].at[phys],
+                            kqbuf.at[slot, :, pl.ds(j * ps, ps)],
+                            page_sems.at[2, slot, j]))
+                        cps.append(pltpu.make_async_copy(
+                            args["vq"].at[phys],
+                            vqbuf.at[slot, :, pl.ds(j * ps, ps)],
+                            page_sems.at[3, slot, j]))
                 return cps
 
-            def start(i):
-                for cp in page_copies(i):
+            def start(gi):
+                for cp in page_copies(gi):
                     cp.start()
 
-            for i in range(_RING):
-                @pl.when(i < n)
-                def _(i=i):
-                    start(jnp.int32(i))
+            for gi in range(RING):
+                @pl.when(gi < ngr)
+                def _(gi=gi):
+                    start(jnp.int32(gi))
 
-            def page_body(i, _):
-                slot = jax.lax.rem(i, _RING)
-                bb = sched_b[i]
-                base_tok = sched_p[i] * ps
-                for cp in page_copies(i):
+            def page_body(gi, _):
+                slot = jax.lax.rem(gi, RING)
+                base_i = gi * C
+                bb = sched_b[base_i]
+                for cp in page_copies(gi):
                     cp.wait()
 
-                tok = base_tok + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, ps), 1)
+                iota_ps = jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
+                if C == 1:
+                    tok = sched_p[base_i] * ps + iota_ps
+                else:
+                    tok = jnp.concatenate(
+                        [sched_p[base_i + j] * ps + iota_ps
+                         for j in range(C)], axis=1)
                 tmask = tok < lens[bb]
 
                 for h in range(KH):
@@ -1320,18 +1350,19 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                     ml_st[bb, h] = jnp.concatenate([m_new, l_new], axis=-1)
                     if _DEBUG and h == 0:
                         pl.debug_print(
-                            "  pg i={} b={} p={} k00={} q00={} scomax={} "
+                            "  pg g={} b={} p={} k00={} q00={} scomax={} "
                             "mnew={} lnew={} pv00={}",
-                            i, bb, sched_p[i], kbuf[slot][0, 0], qh[0, 0],
+                            gi, bb, sched_p[base_i], kbuf[slot][0, 0],
+                            qh[0, 0],
                             jnp.max(sco), m_new[0, 0], l_new[0, 0], pv[0, 0])
 
-                nxt = i + _RING
-                @pl.when(nxt < n)
+                nxt = gi + RING
+                @pl.when(nxt < ngr)
                 def _():
                     start(nxt)
                 return ()
 
-            jax.lax.fori_loop(0, n, page_body, ())
+            jax.lax.fori_loop(0, ngr, page_body, ())
 
             # ---- new-token column (from VMEM, not HBM), vectorized over the
             # whole [B, KH, G8, *] state (replaces B*KH tiny M=8/N=1 MXU
@@ -1727,17 +1758,26 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
     return fn
 
 
-def build_schedule(pt, lens, active, ps: int):
+def build_schedule(pt, lens, active, ps: int, chunk: int = 1):
     """In-jit flat page schedule: returns (sched_b, sched_p, n_sched,
-    tgt_page). pt: [B, maxP] logical page table; lens: [B]."""
+    tgt_page). pt: [B, maxP] logical page table; lens: [B].
+
+    With chunk > 1 (plan.page_chunk) each sequence's page count is padded
+    to a multiple of `chunk` so the kernel can consume `chunk` consecutive
+    pages of one sequence per loop iteration. Dummy tail entries have
+    sched_p >= ceil(len/ps), so their tokens fail the in-kernel
+    `tok < len` mask; every chunk-group contains >= 1 valid page."""
     B, maxP = pt.shape
+    maxP_pad = -(-maxP // chunk) * chunk
     npages = jnp.where(active, -(-lens // ps), 0)             # ceil
-    p_idx = jnp.arange(maxP, dtype=jnp.int32)[None, :]
+    if chunk > 1:
+        npages = -(-npages // chunk) * chunk
+    p_idx = jnp.arange(maxP_pad, dtype=jnp.int32)[None, :]
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
     valid = p_idx < npages[:, None]
     order = jnp.argsort(~valid.reshape(-1), stable=True)
-    sched_b = jnp.broadcast_to(b_idx, (B, maxP)).reshape(-1)[order]
-    sched_p = jnp.broadcast_to(p_idx, (B, maxP)).reshape(-1)[order]
+    sched_b = jnp.broadcast_to(b_idx, (B, maxP_pad)).reshape(-1)[order]
+    sched_p = jnp.broadcast_to(p_idx, (B, maxP_pad)).reshape(-1)[order]
     n_sched = jnp.sum(valid).astype(jnp.int32)[None]
     tgt_col = jnp.clip(lens // ps, 0, maxP - 1)
     tgt_page = jnp.take_along_axis(pt, tgt_col[:, None], axis=1)[:, 0]

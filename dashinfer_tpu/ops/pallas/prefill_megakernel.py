@@ -79,9 +79,30 @@ class PrefillPlan:
     # ALiBi (Baichuan-13B): no rotary; score += slope_h * (k_pos - q_pos).
     # Slopes are baked in as compile-time constants (heads are unrolled).
     alibi: bool = False
+    # MoE (reference MOE op + CalcExpert, moe_op.cpp): when E > 0 the
+    # pg/pu/pd streams are PER-EXPERT over moe_inter (every expert's
+    # weights stream once per layer; each expert's output is scaled by its
+    # per-TOKEN gate — zero for tokens that didn't route to it). At small
+    # buckets this is weight-stream-bound like decode; the all-token dense
+    # compute per expert is the price for static shapes.
+    E: int = 0
+    k_top: int = 0
+    norm_topk: bool = False
+    has_shared: bool = False
+    has_shared_gate: bool = False
+    EP: int = 128
+    psg: Optional[StreamPlan] = None   # shared-expert gate (interleaved)
+    psu: Optional[StreamPlan] = None
+    psd: Optional[StreamPlan] = None
+    shared_inter: int = 0
 
     @property
     def S_layer(self) -> int:
+        if self.E:
+            s = self.qkv.S + 1 + self.o.S + 1 + self.E * self.pg.S
+            if self.has_shared:
+                s += self.psg.S
+            return s
         return self.qkv.S + 1 + self.o.S + self.pg.S
 
     @property
@@ -101,6 +122,18 @@ class PrefillPlan:
         return self.base_o + self.o.S
 
     @property
+    def base_router(self) -> int:      # MoE only
+        return self.base_o + self.o.S
+
+    @property
+    def base_exp(self) -> int:         # MoE only
+        return self.base_router + 1
+
+    @property
+    def base_shared(self) -> int:      # MoE only
+        return self.base_exp + self.E * self.pg.S
+
+    @property
     def kv_store_dim(self) -> int:
         return self.D // 2 if self.kv_bits == 4 else self.D
 
@@ -108,8 +141,6 @@ class PrefillPlan:
 def supports_prefill(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
                      bucket: int) -> bool:
     from dashinfer_tpu.ops.pallas import megakernel as mk
-    if cfg.moe is not None:
-        return False
     if bucket > 1024 or bucket % 128:
         return False
     view = weight_only_decode_view(params)
@@ -118,6 +149,23 @@ def supports_prefill(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
     if not mk.supports(cfg, rt, view):
         return False
     lp = view["layers"]
+    if cfg.moe is not None:
+        # per-expert interleaved streams: gate/up/down chunked IDENTICALLY
+        # over moe_inter — uniform bits; group alignment is covered by
+        # mk._moe_supports via mk.supports above
+        from dashinfer_tpu.ops.pallas.megakernel import _expert_leaf_bits
+        ex = lp["experts"]
+        ebits = {_expert_leaf_bits(ex[n]) for n in ("gate_proj", "up_proj",
+                                                    "down_proj")}
+        if len(ebits) != 1:
+            return False
+        if cfg.moe.shared_expert_intermediate_size:
+            se = lp["shared_expert"]
+            sbits = {_weight_bits(se[n]) for n in ("gate_proj", "up_proj",
+                                                   "down_proj")}
+            if len(sbits) != 1:
+                return False
+        return True
     # the interleaved mlp stream needs gate/up/down chunked IDENTICALLY
     # over inter: uniform bits and 128-aligned (or per-channel) groups
     bits = {_weight_bits(lp[n]) for n in ("gate_proj", "up_proj",
@@ -161,23 +209,46 @@ def make_prefill_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
     o = dataclasses.replace(o, S=hid // o.chunk, Np=hid)
 
     # interleaved mlp: ONE chunk width over inter shared by gate/up/down
-    bits = _weight_bits(lp["gate_proj"])
-    gs_g = gs_of(lp["gate_proj"], hid)
-    gs_d = gs_of(lp["down_proj"], inter)
-    step = 256 if bits == 4 else 128
-    if gs_d:
-        step = max(step, 128)
-    per_col = hid * (0.5 if bits == 4 else 1 if bits == 8 else 2) * 3
-    cols = max(step, int(target_chunk_bytes / per_col) // step * step)
-    cols = min(cols, _round_up(inter, step))
-    Smd = -(-inter // cols)
-    cols = _round_up(-(-inter // Smd), step)
-    Smd = -(-inter // cols)
-    interp = Smd * cols
-    pg = StreamPlan("pg", bits, hid, inter, hid, interp, cols, Smd, gs_g, "n")
-    pu = dataclasses.replace(pg, name="pu")
-    pd = StreamPlan("pd", bits, inter, hid, interp, _round_up(hid, 128),
-                    cols, Smd, gs_d, "k")
+    def plan_interleave(prefix, bits, gs_g, gs_d, m_inter):
+        step = 256 if bits == 4 else 128
+        per_col = hid * (0.5 if bits == 4 else 1 if bits == 8 else 2) * 3
+        cols = max(step, int(target_chunk_bytes / per_col) // step * step)
+        cols = min(cols, _round_up(m_inter, step))
+        Smd = -(-m_inter // cols)
+        cols = _round_up(-(-m_inter // Smd), step)
+        Smd = -(-m_inter // cols)
+        interp = Smd * cols
+        g = StreamPlan(prefix + "g", bits, hid, m_inter, hid, interp, cols,
+                       Smd, gs_g, "n")
+        u = dataclasses.replace(g, name=prefix + "u")
+        d = StreamPlan(prefix + "d", bits, m_inter, hid, interp,
+                       _round_up(hid, 128), cols, Smd, gs_d, "k")
+        return g, u, d
+
+    from dashinfer_tpu.ops.pallas.megakernel import (_expert_gs,
+                                                     _expert_leaf_bits)
+    moe = cfg.moe
+    psg = psu = psd = None
+    sh_inter = 0
+    if moe is not None:
+        ex = lp["experts"]
+        inter = moe.moe_intermediate_size
+        pg, pu, pd = plan_interleave(
+            "p", _expert_leaf_bits(ex["gate_proj"]),
+            _expert_gs(ex["gate_proj"], hid),
+            _expert_gs(ex["down_proj"], inter), inter)
+        if moe.shared_expert_intermediate_size:
+            se = lp["shared_expert"]
+            sh_inter = moe.shared_expert_intermediate_size
+            psg, psu, psd = plan_interleave(
+                "s", _weight_bits(se["gate_proj"]),
+                gs_of(se["gate_proj"], hid),
+                gs_of(se["down_proj"], sh_inter), sh_inter)
+    else:
+        pg, pu, pd = plan_interleave(
+            "p", _weight_bits(lp["gate_proj"]),
+            gs_of(lp["gate_proj"], hid),
+            gs_of(lp["down_proj"], inter), inter)
 
     lm_leaf = params["lm_head"] if not cfg.tie_word_embeddings else \
         {"w": params["embed_tokens"]["w"]}
@@ -198,7 +269,16 @@ def make_prefill_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
         has_qkv_bias=("b" in lp["q_proj"]),
         qkv=qkv, o=o, pg=pg, pu=pu, pd=pd, lm=lm,
         rms_eps=cfg.rms_norm_eps, qk_norm=cfg.qk_norm,
-        alibi=cfg.position_embedding.value == "alibi")
+        alibi=cfg.position_embedding.value == "alibi",
+        E=moe.num_experts if moe else 0,
+        k_top=moe.num_experts_per_tok if moe else 0,
+        norm_topk=moe.norm_topk_prob if moe else False,
+        has_shared=psg is not None,
+        has_shared_gate=(moe is not None and "shared_expert_gate" in lp),
+        EP=(max(128, _round_up(
+            moe.num_experts + (1 if psg is not None else 0), 128))
+            if moe else 128),
+        psg=psg, psu=psu, psd=psd, shared_inter=sh_inter)
 
 
 def pack_prefill_params(cfg: ModelConfig, plan: PrefillPlan,
@@ -222,14 +302,64 @@ def pack_prefill_params(cfg: ModelConfig, plan: PrefillPlan,
             out[sp.name + "_s"] = jnp.asarray(np.stack(scs))
             out[sp.name + "_z"] = jnp.asarray(np.stack(zcs))
 
+    def pack_expert(sp: StreamPlan, leaves_per_expert):
+        """[L, E*S, rows, cols]: expert e's chunks at rows e*S..(e+1)*S."""
+        from dashinfer_tpu.ops.pallas.megakernel import _expert_leaf
+        pays, scs, zcs = [], [], []
+        for l in range(L):
+            ep, es, ez = [], [], []
+            for e in range(plan.E):
+                pay, sc, zc = _chunk_leaves(sp, leaves_per_expert(l, e))
+                ep.append(pay)
+                if sc is not None:
+                    es.append(sc)
+                    ez.append(zc)
+            pays.append(np.concatenate(ep, axis=0))
+            if es:
+                scs.append(np.concatenate(es, axis=0))
+                zcs.append(np.concatenate(ez, axis=0))
+        out[sp.name + "_w"] = jnp.asarray(np.stack(pays))
+        if sp.bits != 16:
+            out[sp.name + "_s"] = jnp.asarray(np.stack(scs))
+            out[sp.name + "_z"] = jnp.asarray(np.stack(zcs))
+
     pack(plan.qkv, lambda l: [
         jax.tree.map(lambda a: a[l], lp["q_proj"]),
         jax.tree.map(lambda a: a[l], lp["k_proj"]),
         jax.tree.map(lambda a: a[l], lp["v_proj"])])
     pack(plan.o, lambda l: [jax.tree.map(lambda a: a[l], lp["o_proj"])])
-    pack(plan.pg, lambda l: [jax.tree.map(lambda a: a[l], lp["gate_proj"])])
-    pack(plan.pu, lambda l: [jax.tree.map(lambda a: a[l], lp["up_proj"])])
-    pack(plan.pd, lambda l: [jax.tree.map(lambda a: a[l], lp["down_proj"])])
+    if plan.E:
+        from dashinfer_tpu.ops.pallas.megakernel import _expert_leaf
+        ex = lp["experts"]
+        pack_expert(plan.pg,
+                    lambda l, e: [_expert_leaf(ex["gate_proj"], l, e)])
+        pack_expert(plan.pu,
+                    lambda l, e: [_expert_leaf(ex["up_proj"], l, e)])
+        pack_expert(plan.pd,
+                    lambda l, e: [_expert_leaf(ex["down_proj"], l, e)])
+        if plan.has_shared:
+            se = lp["shared_expert"]
+            pack(plan.psg,
+                 lambda l: [jax.tree.map(lambda a: a[l], se["gate_proj"])])
+            pack(plan.psu,
+                 lambda l: [jax.tree.map(lambda a: a[l], se["up_proj"])])
+            pack(plan.psd,
+                 lambda l: [jax.tree.map(lambda a: a[l], se["down_proj"])])
+        # router (+ shared gate col E) padded to EP lanes, bf16
+        rw = np.zeros((L, plan.hid, plan.EP), np.float32)
+        for l in range(L):
+            rw[l, :, :plan.E] = np.asarray(lp["router"]["w"][l], np.float32)
+            if plan.has_shared_gate:
+                rw[l, :, plan.E:plan.E + 1] = np.asarray(
+                    lp["shared_expert_gate"]["w"][l], np.float32)
+        out["router_w"] = jnp.asarray(rw.astype(jnp.bfloat16))
+    else:
+        pack(plan.pg,
+             lambda l: [jax.tree.map(lambda a: a[l], lp["gate_proj"])])
+        pack(plan.pu,
+             lambda l: [jax.tree.map(lambda a: a[l], lp["up_proj"])])
+        pack(plan.pd,
+             lambda l: [jax.tree.map(lambda a: a[l], lp["down_proj"])])
 
     lm_leaf = params["lm_head"] if not cfg.tie_word_embeddings else \
         {"w": np.asarray(params["embed_tokens"]["w"]).T}
@@ -364,14 +494,32 @@ def build_prefill_megakernel(plan: PrefillPlan,
     ]
     arg_names = ["x0", "cos", "sin"]
 
-    stream_defs = [
-        (qkv, stream_idx(0, qkv.S)),
-        (o_sp, stream_idx(plan.base_o, o_sp.S)),
-        (pg, stream_idx(plan.base_mlp, pg.S)),
-        (pu, stream_idx(plan.base_mlp, pu.S)),
-        (pd, stream_idx(plan.base_mlp, pd.S)),
-        (lm, lm_idx),
-    ]
+    MOE = plan.E > 0
+    E, EP = plan.E, plan.EP
+    if MOE:
+        stream_defs = [
+            (qkv, stream_idx(0, qkv.S)),
+            (o_sp, stream_idx(plan.base_o, o_sp.S)),
+            (pg, stream_idx(plan.base_exp, E * pg.S)),
+            (pu, stream_idx(plan.base_exp, E * pu.S)),
+            (pd, stream_idx(plan.base_exp, E * pd.S)),
+        ]
+        if plan.has_shared:
+            stream_defs += [
+                (plan.psg, stream_idx(plan.base_shared, plan.psg.S)),
+                (plan.psu, stream_idx(plan.base_shared, plan.psu.S)),
+                (plan.psd, stream_idx(plan.base_shared, plan.psd.S)),
+            ]
+        stream_defs.append((lm, lm_idx))
+    else:
+        stream_defs = [
+            (qkv, stream_idx(0, qkv.S)),
+            (o_sp, stream_idx(plan.base_o, o_sp.S)),
+            (pg, stream_idx(plan.base_mlp, pg.S)),
+            (pu, stream_idx(plan.base_mlp, pu.S)),
+            (pd, stream_idx(plan.base_mlp, pd.S)),
+            (lm, lm_idx),
+        ]
     for sp, idx in stream_defs:
         in_specs.append(payload_spec(sp, idx))
         arg_names.append(sp.name + "_w")
@@ -381,6 +529,9 @@ def build_prefill_megakernel(plan: PrefillPlan,
             in_specs.append(qparam_spec(sp, idx))
             arg_names.append(sp.name + "_z")
 
+    if MOE:
+        in_specs.append(pl.BlockSpec((1, hid, EP), norm_idx))
+        arg_names.append("router_w")
     in_specs.append(pl.BlockSpec((1, 2, hid), norm_idx))
     arg_names.append("norms")
     in_specs.append(pl.BlockSpec((1, 1, plan.QKVN), norm_idx))
@@ -413,6 +564,8 @@ def build_prefill_megakernel(plan: PrefillPlan,
         pltpu.VMEM((8, hid), jnp.bfloat16),          # 9 x_last
         pltpu.SemaphoreType.DMA((4, maxPb)),         # 10 page write sems
     ]
+    if MOE:
+        scratch_shapes.append(pltpu.VMEM((S, EP), jnp.float32))  # 11 gates
 
     NARG = len(arg_names)
 
@@ -426,8 +579,12 @@ def build_prefill_megakernel(plan: PrefillPlan,
             kqpool_o = refs[NSCAL + NARG + 3]
             vqpool_o = refs[NSCAL + NARG + 4]
         sc = refs[NSCAL + NARG + 1 + npools:]
-        (x_resid, x_norm, qkv_out, attn_out, acc_mlp, kpay, vpay,
-         kq_rows, vq_rows, x_last, wsems) = sc
+        if MOE:
+            (x_resid, x_norm, qkv_out, attn_out, acc_mlp, kpay, vpay,
+             kq_rows, vq_rows, x_last, wsems, gates_st) = sc
+        else:
+            (x_resid, x_norm, qkv_out, attn_out, acc_mlp, kpay, vpay,
+             kq_rows, vq_rows, x_last, wsems) = sc
 
         t = pl.program_id(0)
         l = layer_of(t)
@@ -596,23 +753,14 @@ def build_prefill_megakernel(plan: PrefillPlan,
             x_resid[:, pl.ds(pl.multiple_of(c * o_sp.chunk, 128),
                              o_sp.chunk)] = cur + y
 
-        # ---------------- interleaved mlp phase ----------------
-        @pl.when(jnp.logical_and(~in_lm, s >= plan.base_mlp))
-        def _mlp():
-            c = s - plan.base_mlp
-
-            @pl.when(c == 0)
-            def _():
-                x_norm[:] = _rms(x_resid[:], args["norms"][0, 1],
-                                 eps).astype(jnp.bfloat16)
-                acc_mlp[:] = jnp.zeros_like(acc_mlp)
-
-            wg = _wdeq_tile(pg, args["pg_w"], args.get("pg_s"),
-                            args.get("pg_z"))
-            wu = _wdeq_tile(pu, args["pu_w"], args.get("pu_s"),
-                            args.get("pu_z"))
-            wd = _wdeq_tile(pd, args["pd_w"], args.get("pd_s"),
-                            args.get("pd_z"))
+        def interleave_chunk(g_sp, u_sp, d_sp, pre):
+            """One interleaved gate/up/down chunk -> [S, hid] partial."""
+            wg = _wdeq_tile(g_sp, args[pre + "g_w"], args.get(pre + "g_s"),
+                            args.get(pre + "g_z"))
+            wu = _wdeq_tile(u_sp, args[pre + "u_w"], args.get(pre + "u_s"),
+                            args.get(pre + "u_z"))
+            wd = _wdeq_tile(d_sp, args[pre + "d_w"], args.get(pre + "d_s"),
+                            args.get(pre + "d_z"))
             g_ = jax.lax.dot_general(
                 x_norm[:], wg, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -620,14 +768,102 @@ def build_prefill_megakernel(plan: PrefillPlan,
                 x_norm[:], wu, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             act = (g_ * jax.lax.logistic(g_) * u_).astype(jnp.bfloat16)
-            y = jax.lax.dot_general(
+            return jax.lax.dot_general(
                 act, wd, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            acc_mlp[:] = acc_mlp[:] + y[:, :hid]
 
-            @pl.when(c == pg.S - 1)
-            def _():
-                x_resid[:] = x_resid[:] + acc_mlp[:]
+        if MOE:
+            # ------------- router phase (softmax top-k gates) -------------
+            lane_ep = jax.lax.broadcasted_iota(jnp.int32, (S, EP), 1)
+
+            @pl.when(jnp.logical_and(~in_lm, s == plan.base_router))
+            def _router():
+                x_norm[:] = _rms(x_resid[:], args["norms"][0, 1],
+                                 eps).astype(jnp.bfloat16)
+                acc_mlp[:] = jnp.zeros_like(acc_mlp)
+                rw = args["router_w"][0]                  # [hid, EP] bf16
+                logits = jax.lax.dot_general(
+                    x_norm[:], rw, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [S, EP]
+                ml = jnp.where(lane_ep < E, logits, _NEG_INF)
+                m = jnp.max(ml, axis=-1, keepdims=True)
+                p = jnp.exp(ml - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                gates = jnp.zeros((S, EP), jnp.float32)
+                pw = p
+                for _ in range(plan.k_top):
+                    mi = jnp.max(pw, axis=-1, keepdims=True)
+                    fl = jnp.min(jnp.where(pw >= mi, lane_ep, EP),
+                                 axis=-1, keepdims=True)
+                    sel = lane_ep == fl
+                    gates = jnp.where(sel, p, gates)
+                    pw = jnp.where(sel, -1.0, pw)
+                if plan.norm_topk:
+                    gates = gates / jnp.sum(gates, axis=-1, keepdims=True)
+                if plan.has_shared:
+                    if plan.has_shared_gate:
+                        sval = jnp.sum(
+                            jnp.where(lane_ep == E, logits, 0.0),
+                            axis=-1, keepdims=True)
+                        sgv = jax.lax.logistic(sval)
+                    else:
+                        sgv = jnp.ones((S, 1), jnp.float32)
+                    gates = jnp.where(lane_ep == E, sgv, gates)
+                gates_st[:] = gates
+
+            # ------------- per-expert interleaved chunks -------------
+            in_exp = jnp.logical_and(s >= plan.base_exp,
+                                     s < plan.base_shared)
+
+            @pl.when(jnp.logical_and(~in_lm, in_exp))
+            def _emlp():
+                c_all = jnp.clip(s - plan.base_exp, 0, E * pg.S - 1)
+                e_idx = c_all // pg.S
+                y = interleave_chunk(pg, pu, pd, "p")
+                # per-token gate of THIS expert (0 for unrouted tokens)
+                ge = jnp.sum(
+                    jnp.where(lane_ep == e_idx, gates_st[:], 0.0),
+                    axis=-1, keepdims=True)               # [S, 1]
+                acc_mlp[:] = acc_mlp[:] + ge * y[:, :hid]
+                if not plan.has_shared:
+                    @pl.when(c_all == E * pg.S - 1)
+                    def _():
+                        x_resid[:] = x_resid[:] + acc_mlp[:]
+
+            # ------------- shared expert (CalcExpert) -------------
+            if plan.has_shared:
+                psg_, psu_, psd_ = plan.psg, plan.psu, plan.psd
+
+                @pl.when(jnp.logical_and(~in_lm, s >= plan.base_shared))
+                def _smlp():
+                    c = s - plan.base_shared
+                    y = interleave_chunk(psg_, psu_, psd_, "s")
+                    sgv = jnp.sum(
+                        jnp.where(lane_ep == E, gates_st[:], 0.0),
+                        axis=-1, keepdims=True)
+                    acc_mlp[:] = acc_mlp[:] + sgv * y[:, :hid]
+
+                    @pl.when(c == psg_.S - 1)
+                    def _():
+                        x_resid[:] = x_resid[:] + acc_mlp[:]
+        else:
+            # ---------------- interleaved mlp phase ----------------
+            @pl.when(jnp.logical_and(~in_lm, s >= plan.base_mlp))
+            def _mlp():
+                c = s - plan.base_mlp
+
+                @pl.when(c == 0)
+                def _():
+                    x_norm[:] = _rms(x_resid[:], args["norms"][0, 1],
+                                     eps).astype(jnp.bfloat16)
+                    acc_mlp[:] = jnp.zeros_like(acc_mlp)
+
+                y = interleave_chunk(pg, pu, pd, "p")
+                acc_mlp[:] = acc_mlp[:] + y[:, :hid]
+
+                @pl.when(c == pg.S - 1)
+                def _():
+                    x_resid[:] = x_resid[:] + acc_mlp[:]
 
         # ---------------- lm phase (last valid token only) ----------------
         @pl.when(in_lm)
@@ -681,6 +917,8 @@ def build_prefill_megakernel(plan: PrefillPlan,
             if sp.bits != 16:
                 tensors.append(packed[sp.name + "_s"])
                 tensors.append(packed[sp.name + "_z"])
+        if MOE:
+            tensors.append(packed["router_w"])
         tensors += [packed["norms"], packed["qkv_b"], packed["final_norm"]]
         if plan.qk_norm:
             tensors.append(packed["qk_norms"])

@@ -84,18 +84,21 @@ def _prep_cache(cfg, rt, params, mode, lens, pt):
     return cache
 
 
-@pytest.mark.parametrize("quant,kv_mode_name,qk_norm,alibi", [
-    ("none", "default", False, False),
-    ("none", "int8", False, False),
-    ("a16w4", "int8", False, False),
-    ("a16w8", "uint4", False, False),
-    ("none", "int8", True, False),      # Qwen3 per-head QK RMSNorm
-    ("a16w4", "int8", True, False),
-    ("a8w8", "int8", False, False),     # decoder_weight_only_ view (§2.11)
-    ("none", "int8", False, True),      # ALiBi (Baichuan-13B)
-    ("a16w4", "int8", False, True),
+@pytest.mark.parametrize("quant,kv_mode_name,qk_norm,alibi,page_chunk", [
+    ("none", "default", False, False, 1),
+    ("none", "int8", False, False, 1),
+    ("a16w4", "int8", False, False, 1),
+    ("a16w8", "uint4", False, False, 1),
+    ("none", "int8", True, False, 1),      # Qwen3 per-head QK RMSNorm
+    ("a16w4", "int8", True, False, 1),
+    ("a8w8", "int8", False, False, 1),     # decoder_weight_only_ view (§2.11)
+    ("none", "int8", False, True, 1),      # ALiBi (Baichuan-13B)
+    ("a16w4", "int8", False, True, 1),
+    ("none", "int8", False, False, 2),     # chunked page loop + dummy tails
+    ("a16w4", "uint4", False, False, 2),
 ])
-def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi):
+def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi,
+                                      page_chunk):
     import jax
     import jax.numpy as jnp
     from dashinfer_tpu.config import CacheConfig, CacheMode, QuantConfig, \
@@ -126,6 +129,8 @@ def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi):
 
     assert mk.supports(cfg, rt, params)
     plan = mk.make_plan(cfg, rt, params, target_chunk_bytes=64 * 1024)
+    if page_chunk != 1:
+        plan = dataclasses.replace(plan, page_chunk=page_chunk)
     packed = mk.pack_params(cfg, plan, params)
     fn = mk.build_decode_megakernel(plan, interpret=True)
 
@@ -171,7 +176,8 @@ def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi):
         cosk = jnp.tile(cos, (1, KH))
         sink = jnp.tile(sin, (1, KH))
     sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
-        jnp.asarray(pt), jnp.asarray(lens), jnp.asarray(active > 0), ps)
+        jnp.asarray(pt), jnp.asarray(lens), jnp.asarray(active > 0), ps,
+        chunk=plan.page_chunk)
     pools = [cache.k, cache.v]
     if cache.k_qparams is not None:
         pools += [cache.k_qparams, cache.v_qparams]
@@ -279,6 +285,19 @@ def test_build_schedule():
     assert pairs == {(0, 0), (0, 1), (2, 0), (2, 1), (2, 2)}
     assert int(tgt[0]) == int(pt[0, 1])   # 17 // 16 = col 1
     assert int(tgt[2]) == int(pt[2, 2])
+
+    # chunk=2: per-seq counts pad to multiples of 2, groups never straddle
+    # sequences, dummies carry sched_p >= ceil(len/ps)
+    sb, sp, n, _ = build_schedule(pt, lens, active, 16, chunk=2)
+    n = int(n[0])
+    assert n == 2 + 4  # 2 stays, 3 pads to 4
+    assert n % 2 == 0
+    for gi in range(n // 2):
+        assert int(sb[2 * gi]) == int(sb[2 * gi + 1])  # same seq per group
+    pairs = [(int(sb[i]), int(sp[i])) for i in range(n)]
+    assert pairs[:2] == [(0, 0), (0, 1)]
+    assert pairs[2:5] == [(2, 0), (2, 1), (2, 2)]
+    assert pairs[5][0] == 2 and pairs[5][1] >= 3  # dummy tail, masked
 
 
 def test_engine_serving_uses_megakernel_greedy_parity():

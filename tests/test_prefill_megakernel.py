@@ -4,11 +4,11 @@ last-token logits AND the KV pages written to the pools must match."""
 import numpy as np
 import pytest
 
-from tests.test_megakernel import _tiny, _prep_cache  # noqa: F401
+from tests.test_megakernel import _tiny, _tiny_moe, _prep_cache  # noqa: F401
 
 
 def _run_case(quant, kv_mode_name, qk_norm, n_tokens, bucket=128, ps=16,
-              alibi=False):
+              alibi=False, moe=False, shared=True, shared_gate=True):
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -21,7 +21,12 @@ def _run_case(quant, kv_mode_name, qk_norm, n_tokens, bucket=128, ps=16,
     from dashinfer_tpu.runtime.kv_cache import create_kv_cache
 
     kv_mode = CacheMode(kv_mode_name)
-    cfg, rt, params = _tiny(qk_norm=qk_norm, ps=ps, alibi=alibi)
+    if moe:
+        cfg, rt, params = _tiny_moe(ps=ps, shared=shared,
+                                    shared_gate=shared_gate,
+                                    qk_norm=qk_norm)
+    else:
+        cfg, rt, params = _tiny(qk_norm=qk_norm, ps=ps, alibi=alibi)
     rt = dataclasses.replace(
         rt, max_length=bucket + ps,
         cache=dataclasses.replace(rt.cache, mode=kv_mode))
@@ -119,6 +124,12 @@ def _run_case(quant, kv_mode_name, qk_norm, n_tokens, bucket=128, ps=16,
             jnp.asarray(zr), kv_mode)), sc[..., None]
 
     exact = cache_ref if cache_d is None else cache_d
+    # MoE: the kernel's bf16 router logits can flip the top-k selection of
+    # a near-tie token vs the f32 XLA reference (a numerically legitimate
+    # outcome, same class as the reference engine vs HF); allow a couple of
+    # flipped TOKEN rows, zero for dense.
+    flip_budget = 2 if moe else 0
+    flipped = set()
     for off, name in ((0, "k"), (1, "v")):
         got_pool = new_pools[off]
         got_qpool = new_pools[2 + off] if kv_mode != CacheMode.DEFAULT \
@@ -135,8 +146,11 @@ def _run_case(quant, kv_mode_name, qk_norm, n_tokens, bucket=128, ps=16,
                     .reshape(ps, KH, -1)
                 a, b, asc = a[:w_tok], b[:w_tok], asc[:w_tok]
                 tol = 1.5 * asc + 0.03 * (np.abs(b).max() + 1e-6)
-                excess = (np.abs(a - b) - tol).max()
-                assert excess < 0, (name, j, l, excess)
+                excess = (np.abs(a - b) - tol).max(axis=(1, 2))  # per token
+                bad = np.nonzero(excess > 0)[0]
+                flipped.update(j * ps + int(i) for i in bad)
+                assert len(flipped) <= flip_budget, \
+                    (name, j, l, sorted(flipped), float(excess.max()))
 
 
 @pytest.mark.parametrize("quant,kv_mode_name,qk_norm,n_tokens", [
@@ -163,6 +177,19 @@ def test_prefill_megakernel_partial_last_page():
     # n not page-aligned and smaller than the bucket: the tail page is
     # written partially and pages beyond n are left untouched
     _run_case("none", "int8", False, 17)
+
+
+@pytest.mark.parametrize("quant,shared,shared_gate", [
+    ("none", True, True),
+    ("a16w8", True, True),     # quantized experts + shared expert
+    ("a16w4", False, False),   # Qwen3-MoE shape (no shared expert)
+])
+def test_prefill_megakernel_moe_matches_reference(quant, shared,
+                                                  shared_gate):
+    """MoE prefill megakernel (router + per-expert gated streams + shared
+    expert) vs the XLA ragged-dot prefill path (reference MOE op)."""
+    _run_case(quant, "int8", False, 45, moe=True, shared=shared,
+              shared_gate=shared_gate)
 
 
 def test_engine_prefill_uses_megakernel_greedy_parity():
