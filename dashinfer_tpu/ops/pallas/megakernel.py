@@ -1137,7 +1137,9 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                     return jnp.concatenate(cols, axis=-1) * w
                 qr = rmsh(qr, H, args["qk_norms"][0, 0][None, :]
                           .astype(jnp.float32))
-                kr = rmsh(kr, KH, args["qk_norms"][0, 1][None, :KH * D]
+                # slice-then-None: [None, :KH*D] on a 1-D value traces to a
+                # gather Mosaic can't lower
+                kr = rmsh(kr, KH, args["qk_norms"][0, 1][:KH * D][None, :]
                           .astype(jnp.float32))
             if plan.alibi:
                 # ALiBi: no rotary; the positional signal is the score bias

@@ -654,8 +654,11 @@ def build_prefill_megakernel(plan: PrefillPlan,
 
             def head_slice(base_col, idx, w_norm=None):
                 """bias + optional per-head RMS + rope for one [S, D] head."""
+                # NB: bias[a:b][None, :] NOT bias[None, a:b] — the latter
+                # traces to a 1-D gather Mosaic can't lower
                 v = qkv_out[:, base_col + idx * D:base_col + (idx + 1) * D] \
-                    + bias[None, base_col + idx * D:base_col + (idx + 1) * D]
+                    + bias[base_col + idx * D:
+                           base_col + (idx + 1) * D][None, :]
                 if w_norm is not None:
                     var = jnp.mean(v * v, axis=-1, keepdims=True)
                     v = v * jax.lax.rsqrt(var + eps) * w_norm
@@ -693,14 +696,14 @@ def build_prefill_megakernel(plan: PrefillPlan,
                 dist = (col - row).astype(jnp.float32)
             G = H // KH
             for h in range(KH):
-                wk = qkn[1, None, h * D:(h + 1) * D].astype(jnp.float32) \
-                    if plan.qk_norm else None
+                wk = qkn[1][h * D:(h + 1) * D][None, :] \
+                    .astype(jnp.float32) if plan.qk_norm else None
                 kh = head_slice(HD, h, wk)                    # [S, D] roped
                 vcol = HD + KH * D + h * D
-                vh = qkv_out[:, vcol:vcol + D] + bias[None, vcol:vcol + D]
+                vh = qkv_out[:, vcol:vcol + D] + bias[vcol:vcol + D][None, :]
                 for g in range(G):
                     hh = h * G + g
-                    wq = qkn[0, None, hh * D:(hh + 1) * D] \
+                    wq = qkn[0][hh * D:(hh + 1) * D][None, :] \
                         .astype(jnp.float32) if plan.qk_norm else None
                     qh = head_slice(0, hh, wq)
                     sco = jax.lax.dot_general(

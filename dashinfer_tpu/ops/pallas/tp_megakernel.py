@@ -473,7 +473,9 @@ def build_attn_segment(plan: MegaPlan, interpret: Optional[bool] = None):
                     return jnp.concatenate(cols, axis=-1) * w
                 qr = rmsh(qr, H, args["qk_norms"][0, 0][None, :]
                           .astype(jnp.float32))
-                kr = rmsh(kr, KH, args["qk_norms"][0, 1][None, :KH * D]
+                # slice-then-None: [None, :KH*D] on a 1-D value traces to a
+                # gather Mosaic can't lower
+                kr = rmsh(kr, KH, args["qk_norms"][0, 1][:KH * D][None, :]
                           .astype(jnp.float32))
             if plan.alibi:
                 q_rot, k_rot = qr, kr
@@ -1486,8 +1488,11 @@ def build_prefill_attn_segment(plan, interpret: Optional[bool] = None):
                 qkn = args["qk_norms"][0]
 
             def head_slice(base_col, idx, w_norm=None):
+                # slice-then-None: bias[None, a:b] traces to a gather
+                # Mosaic can't lower
                 v = qkv_out[:, base_col + idx * D:base_col + (idx + 1) * D] \
-                    + bias[None, base_col + idx * D:base_col + (idx + 1) * D]
+                    + bias[base_col + idx * D:
+                           base_col + (idx + 1) * D][None, :]
                 if w_norm is not None:
                     var = jnp.mean(v * v, axis=-1, keepdims=True)
                     v = v * jax.lax.rsqrt(var + eps) * w_norm
@@ -1524,14 +1529,14 @@ def build_prefill_attn_segment(plan, interpret: Optional[bool] = None):
                 dist = (col - row).astype(jnp.float32)
             G = H // KH
             for h in range(KH):
-                wk = qkn[1, None, h * D:(h + 1) * D].astype(jnp.float32) \
-                    if plan.qk_norm else None
+                wk = qkn[1][h * D:(h + 1) * D][None, :] \
+                    .astype(jnp.float32) if plan.qk_norm else None
                 kh = head_slice(HD, h, wk)
                 vcol = HD + KH * D + h * D
-                vh = qkv_out[:, vcol:vcol + D] + bias[None, vcol:vcol + D]
+                vh = qkv_out[:, vcol:vcol + D] + bias[vcol:vcol + D][None, :]
                 for g in range(G):
                     hh = h * G + g
-                    wq = qkn[0, None, hh * D:(hh + 1) * D] \
+                    wq = qkn[0][hh * D:(hh + 1) * D][None, :] \
                         .astype(jnp.float32) if plan.qk_norm else None
                     qh = head_slice(0, hh, wq)
                     sco = jax.lax.dot_general(

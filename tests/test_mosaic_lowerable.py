@@ -1,0 +1,140 @@
+"""Guard against jaxpr constructs interpret mode executes but Mosaic can't
+lower on real TPU hardware.
+
+The megakernel unit tests run in interpret mode on CPU, which happily
+executes ANY jaxpr — including `gather` ops that the Mosaic TPU lowering
+rejects ("Only 2D gather is supported"). jnp indexing silently produces
+gathers for innocuous-looking expressions: `bias[None, a:b]` (None + partial
+slice on a 1-D value) and `qkn[1, None, a:b]` both trace to gather, while
+`bias[a:b][None, :]` traces to a plain slice. This bit the prefill
+megakernel in production: every CPU test passed, and the first on-TPU
+compile crashed.
+
+These tests trace every kernel variant to a jaxpr and assert no gather /
+scatter primitives appear, which is the cheapest CPU-side proxy for "Mosaic
+can lower this"."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from tests.test_megakernel import _tiny, _tiny_moe, _prep_cache
+
+
+def _jaxpr_primitives(fn, *args):
+    import jax
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    prims = set()
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            prims.add(eqn.primitive.name)
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    walk(sub.jaxpr)
+                elif isinstance(sub, (list, tuple)):
+                    for s in sub:
+                        if hasattr(s, "jaxpr"):
+                            walk(s.jaxpr)
+    walk(jaxpr.jaxpr)
+    return prims
+
+
+_BANNED = {"gather", "scatter", "scatter-add", "scatter_add"}
+
+
+def _assert_lowerable(prims, what):
+    bad = prims & _BANNED
+    assert not bad, f"{what} traces {bad} — Mosaic cannot lower these on TPU"
+
+
+@pytest.mark.parametrize("qk_norm,alibi,moe", [
+    (False, False, False),
+    (True, False, False),     # Qwen3 QK-norm (the historically broken path)
+    (False, True, False),     # ALiBi
+    (False, False, True),     # MoE
+])
+def test_decode_megakernel_no_gather(qk_norm, alibi, moe):
+    import jax
+    import jax.numpy as jnp
+    from dashinfer_tpu.config import CacheMode
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+    from dashinfer_tpu.runtime.kv_cache import create_kv_cache
+
+    if moe:
+        cfg, rt, params = _tiny_moe()
+    else:
+        cfg, rt, params = _tiny(qk_norm=qk_norm, alibi=alibi)
+    rt = dataclasses.replace(
+        rt, cache=dataclasses.replace(rt.cache, mode=CacheMode.INT8))
+    assert mk.supports(cfg, rt, params)
+    plan = mk.make_plan(cfg, rt, params, target_chunk_bytes=64 * 1024)
+    packed = mk.pack_params(cfg, plan, params)
+    fn = mk.build_decode_megakernel(plan, interpret=True)
+
+    B, ps = rt.max_batch, rt.cache.page_size
+    lens = np.full((B,), ps, np.int32)
+    pt = np.arange(B * rt.max_pages_per_seq,
+                   dtype=np.int32).reshape(B, -1)
+    cache = _prep_cache(cfg, rt, params, CacheMode.INT8, lens, pt)
+
+    x = jnp.zeros((B, plan.hid), jnp.bfloat16)
+    cos = jnp.ones((B, plan.D), jnp.bfloat16)
+    cosq, sinq = jnp.tile(cos, (1, plan.H)), jnp.tile(cos, (1, plan.H))
+    cosk, sink = jnp.tile(cos, (1, plan.KH)), jnp.tile(cos, (1, plan.KH))
+    active = np.ones((B,), np.int32)
+    sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
+        jnp.asarray(pt), jnp.asarray(lens), jnp.ones((B,), bool), ps)
+    pools = [cache.k, cache.v, cache.k_qparams, cache.v_qparams]
+    prims = _jaxpr_primitives(
+        lambda *a: fn(*a),
+        packed, x, cosq, sinq, cosk, sink,
+        jnp.asarray(pt), jnp.asarray(lens), jnp.asarray(active),
+        tgt_page, sched_b, sched_p, n_sched, *pools)
+    _assert_lowerable(prims, f"decode megakernel qk_norm={qk_norm} "
+                             f"alibi={alibi} moe={moe}")
+
+
+@pytest.mark.parametrize("qk_norm,alibi,moe", [
+    (False, False, False),
+    (True, False, False),
+    (False, True, False),
+    (False, False, True),
+])
+def test_prefill_megakernel_no_gather(qk_norm, alibi, moe):
+    import jax
+    import jax.numpy as jnp
+    from dashinfer_tpu.config import CacheMode
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+    from dashinfer_tpu.ops.pallas import prefill_megakernel as pmk
+    from dashinfer_tpu.runtime.kv_cache import create_kv_cache
+
+    if moe:
+        cfg, rt, params = _tiny_moe()
+    else:
+        cfg, rt, params = _tiny(qk_norm=qk_norm, alibi=alibi)
+    bucket, ps = 128, rt.cache.page_size
+    rt = dataclasses.replace(
+        rt, max_length=bucket + ps,
+        cache=dataclasses.replace(rt.cache, mode=CacheMode.INT8))
+    assert pmk.supports_prefill(cfg, rt, params, bucket)
+    plan = pmk.make_prefill_plan(cfg, rt, params, bucket)
+    packed = pmk.pack_prefill_params(cfg, plan, params)
+    fn = pmk.build_prefill_megakernel(plan, interpret=True)
+
+    cache = create_kv_cache(cfg, rt.cache,
+                            rt.cache.num_pages * cfg.num_layers,
+                            model_dtype=jnp.bfloat16)
+    maxPb = bucket // ps
+    x0 = jnp.zeros((bucket, plan.hid), jnp.bfloat16)
+    cos = jnp.zeros((bucket, plan.D), jnp.float32)
+    page_row = jnp.arange(maxPb, dtype=jnp.int32)
+    pools = [cache.k, cache.v]
+    if cache.k_qparams is not None:
+        pools += [cache.k_qparams, cache.v_qparams]
+    prims = _jaxpr_primitives(
+        lambda *a: fn(*a),
+        packed, x0, cos, cos, page_row, jnp.int32(45), *pools)
+    _assert_lowerable(prims, f"prefill megakernel qk_norm={qk_norm} "
+                             f"alibi={alibi} moe={moe}")

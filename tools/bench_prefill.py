@@ -6,9 +6,12 @@ TTFT a single request pays after compile. Reference comparison point:
 Llama-3-8B bs=1 in128 TTFT = 0.21 s on 48-core EMR (docs/EN/performance.md
 :32-66).
 
-Usage: python tools/bench_prefill.py [--mega] [buckets...] (default 128 1024)
+Usage: python tools/bench_prefill.py [--mega] [--moe] [buckets...]
+       (default buckets 128 1024)
   --mega  route through the Pallas prefill megakernel
           (ops/pallas/prefill_megakernel.py) instead of the XLA path
+  --moe   bench the Qwen1.5-MoE-A2.7B shape (router + 60 experts + shared
+          expert) instead of the dense 7B shape
 """
 
 import os
@@ -33,16 +36,30 @@ def main():
     from dashinfer_tpu.engine import steps as steps_mod
     from dashinfer_tpu.runtime.batch_state import make_decode_state
     from dashinfer_tpu.runtime.kv_cache import create_kv_cache
-    from bench import build_qwen2_7b_params
+    from bench import build_qwen15_moe_params, build_qwen2_7b_params
 
     args = sys.argv[1:]
     use_mega = "--mega" in args
-    args = [a for a in args if a != "--mega"]
+    use_moe = "--moe" in args
+    args = [a for a in args if a not in ("--mega", "--moe")]
     buckets = [int(a) for a in args] or [128, 1024]
-    cfg = ModelConfig(
-        arch="qwen2", vocab_size=152064, hidden_size=3584,
-        intermediate_size=18944, num_layers=28, num_heads=28,
-        num_kv_heads=4, head_dim=128, qkv_bias=True, rope_theta=1000000.0)
+    if use_moe:
+        from dashinfer_tpu.config import MoEConfig
+        cfg = ModelConfig(
+            arch="qwen2_moe", vocab_size=151936, hidden_size=2048,
+            intermediate_size=5632, num_layers=24, num_heads=16,
+            num_kv_heads=16, head_dim=128, qkv_bias=True,
+            rope_theta=1000000.0,
+            moe=MoEConfig(num_experts=60, num_experts_per_tok=4,
+                          moe_intermediate_size=1408,
+                          shared_expert_intermediate_size=5632,
+                          norm_topk_prob=False))
+    else:
+        cfg = ModelConfig(
+            arch="qwen2", vocab_size=152064, hidden_size=3584,
+            intermediate_size=18944, num_layers=28, num_heads=28,
+            num_kv_heads=4, head_dim=128, qkv_bias=True,
+            rope_theta=1000000.0)
     ps = 256
     max_len = max(buckets) + 64
     rt = RuntimeConfig(
@@ -52,7 +69,8 @@ def main():
         dtype="bfloat16", min_prefill_bucket=128)
 
     t0 = time.time()
-    host_params = build_qwen2_7b_params(cfg, quantize_lm=True)
+    host_params = (build_qwen15_moe_params(cfg) if use_moe
+                   else build_qwen2_7b_params(cfg, quantize_lm=True))
     print(f"params built host-side in {time.time()-t0:.1f}s",
           file=sys.stderr)
 
