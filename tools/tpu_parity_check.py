@@ -1,9 +1,15 @@
-"""Hardware parity smoke check: run the tiny engine greedy drive ON THE TPU
-with the megakernel fast path forced and compare tokens against the HF torch
-oracle. Catches silent Mosaic lowering divergences that interpret-mode tests
-cannot (they run the kernel as jax ops on CPU).
+"""Hardware parity smoke check: run tiny engine greedy drives ON THE TPU
+with the megakernel fast paths forced and compare tokens against the HF
+torch oracle. Catches silent Mosaic lowering divergences that interpret-mode
+tests cannot (they run the kernel as jax ops on CPU).
 
-Usage: python tools/tpu_parity_check.py   (needs the real TPU)
+Cases:
+  qwen2-decode    decode megakernel (prefill via tiny XLA bucket)
+  qwen2-prefill   prefill megakernel (128 bucket) + decode megakernel
+  qwen3-prefill   Qwen3 per-head QK RMSNorm through both kernels
+  qwen2moe        MoE router/expert streams through both kernels
+
+Usage: python tools/tpu_parity_check.py [case ...]   (needs the real TPU)
 """
 
 import os
@@ -13,28 +19,25 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
-def main():
-    import jax
-    assert jax.default_backend() == "tpu", "needs the real TPU"
-    import numpy as np
+def run_case(name, hf, min_bucket, want_prefill_mega):
     import hf_util
     from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
     from dashinfer_tpu.loader import build_from_torch_model
 
-    # head_dim must be 128 for the megakernel; bf16 end-to-end like prod
-    hf = hf_util.tiny_qwen2_config(vocab=512, hidden=256, inter=512,
-                                   layers=2, heads=2, kv_heads=1)
     model = hf_util.make_torch_model(hf)
     cfg, params = build_from_torch_model(model, hf.to_dict(), "float32")
-    rt = (RuntimeConfigBuilder("m").max_length(96).max_batch(4)
-          .kv_cache_page_size(16).kv_cache_num_pages(32).dtype("float32")
-          .update({"min_prefill_bucket": 16}).build())
+    rt = (RuntimeConfigBuilder("m").max_length(192).max_batch(4)
+          .kv_cache_page_size(16).kv_cache_num_pages(48).dtype("float32")
+          .update({"min_prefill_bucket": min_bucket}).build())
     eng = Engine().install_model("m", rt, params=params, model_config=cfg)
     mrt = eng._models["m"]
     assert mrt.mega_plan is not None, \
-        "megakernel not selected — parity check would not cover it"
+        f"[{name}] decode megakernel not selected — check would not cover it"
+    if want_prefill_mega:
+        assert mrt._pmk_plans, \
+            f"[{name}] prefill megakernel not selected for any bucket"
     eng.start_model("m")
-    prompt = [5, 9, 2, 41, 77, 3]
+    prompt = [(7 * i + 5) % (hf.vocab_size - 2) + 1 for i in range(40)]
     n_new = 14
     _, h, q = eng.start_request("m", prompt, GenerationConfig(
         max_length=len(prompt) + n_new, do_sample=False, top_k=1,
@@ -42,13 +45,46 @@ def main():
     eng.sync_request("m", h, timeout_s=1800)
     got = list(q.GetAllGeneratedTokens())
     want = list(hf_util.hf_greedy_tokens(model, prompt, n_new))
-    print("tpu   :", got)
-    print("oracle:", want)
+    print(f"[{name}] tpu   :", got)
+    print(f"[{name}] oracle:", want)
+    eng.release_model("m")
     # fp32 engine vs fp32 torch through a bf16-ish kernel: token-level match
     # expected on a tiny model; any divergence needs a look
-    assert got == want, "TPU megakernel tokens diverge from HF oracle"
-    print("TPU megakernel parity: OK")
-    eng.release_model("m")
+    assert got == want, \
+        f"[{name}] TPU megakernel tokens diverge from HF oracle"
+    print(f"[{name}] TPU megakernel parity: OK", flush=True)
+
+
+def main():
+    import jax
+    assert jax.default_backend() == "tpu", "needs the real TPU"
+    import hf_util
+
+    # head_dim must be 128 for the megakernel; min_prefill_bucket=16 keeps
+    # prefill on the XLA path (decode-only coverage), 128 forces the
+    # prefill megakernel bucket
+    cases = {
+        "qwen2-decode": lambda: run_case(
+            "qwen2-decode", hf_util.tiny_qwen2_config(
+                vocab=512, hidden=256, inter=512, layers=2, heads=2,
+                kv_heads=1), 16, False),
+        "qwen2-prefill": lambda: run_case(
+            "qwen2-prefill", hf_util.tiny_qwen2_config(
+                vocab=512, hidden=256, inter=512, layers=2, heads=2,
+                kv_heads=1), 128, True),
+        "qwen3-prefill": lambda: run_case(
+            "qwen3-prefill", hf_util.tiny_qwen3_config(
+                vocab=512, hidden=256, inter=512, layers=2, heads=2,
+                kv_heads=1), 128, True),
+        "qwen2moe": lambda: run_case(
+            "qwen2moe", hf_util.tiny_qwen2_moe_config(
+                vocab=512, hidden=256, inter=512, layers=2, heads=2,
+                kv_heads=1), 128, True),
+    }
+    picked = sys.argv[1:] or list(cases)
+    for name in picked:
+        cases[name]()
+    print("ALL PARITY CASES OK")
 
 
 if __name__ == "__main__":
