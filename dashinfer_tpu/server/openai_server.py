@@ -158,15 +158,36 @@ class OpenAIServer:
         })
 
     _IMG_MARK = "\x00<di:image>\x00"
+    _VID_MARK = "\x00<di:video>\x00"
+
+    @staticmethod
+    def _decode_data_url(url):
+        import base64
+        if not url.startswith("data:"):
+            raise ValueError(
+                "only base64 data URLs supported (no egress)")
+        return base64.b64decode(url.split(",", 1)[1])
 
     def _extract_images(self, messages):
-        """Decode image_url parts (base64 data URLs) -> preprocessed
-        (patches, grid) list; parts are replaced by a marker in the text."""
-        import base64
+        """Decode image_url / video_url parts (base64 data URLs) ->
+        preprocessed (patches, grid) list + parallel kinds list; parts are
+        replaced by markers in the text. Video sources: a multi-frame
+        data URL (GIF/APNG via PIL ImageSequence) or a list of per-frame
+        data URLs (qwen-vl-utils style {"type": "video", "video": [...]})."""
         import io
-        from dashinfer_tpu.vlm.preprocess import preprocess_image
+        from dashinfer_tpu.vlm.preprocess import (preprocess_image,
+                                                  preprocess_video)
         images = []
+        kinds = []
         flat = []
+        vc = self.vision.vcfg
+
+        def frames_of(raw):
+            from PIL import Image, ImageSequence
+            img = Image.open(io.BytesIO(raw))
+            return [f.convert("RGB")
+                    for f in ImageSequence.Iterator(img)]
+
         for m in messages:
             content = m.get("content")
             if not isinstance(content, list):
@@ -174,30 +195,45 @@ class OpenAIServer:
                 continue
             parts = []
             for part in content:
-                if part.get("type") == "image_url":
-                    url = part["image_url"]["url"]
-                    if not url.startswith("data:"):
-                        raise ValueError(
-                            "only base64 data URLs supported (no egress)")
-                    raw = base64.b64decode(url.split(",", 1)[1])
+                ptype = part.get("type")
+                if ptype == "image_url":
+                    raw = self._decode_data_url(part["image_url"]["url"])
                     from PIL import Image
                     img = Image.open(io.BytesIO(raw))
-                    vc = self.vision.vcfg
                     images.append(preprocess_image(
                         img, patch_size=vc.patch_size,
                         merge_size=vc.spatial_merge_size,
                         temporal_patch_size=vc.temporal_patch_size))
+                    kinds.append("image")
                     parts.append(self._IMG_MARK)
-                elif part.get("type") == "text":
+                elif ptype in ("video_url", "video"):
+                    if ptype == "video":
+                        src = part["video"]
+                    else:
+                        src = part["video_url"]["url"]
+                    if isinstance(src, (list, tuple)):
+                        frames = []
+                        for u in src:
+                            frames.extend(frames_of(self._decode_data_url(u)))
+                    else:
+                        frames = frames_of(self._decode_data_url(src))
+                    images.append(preprocess_video(
+                        frames, patch_size=vc.patch_size,
+                        merge_size=vc.spatial_merge_size,
+                        temporal_patch_size=vc.temporal_patch_size))
+                    kinds.append("video")
+                    parts.append(self._VID_MARK)
+                elif ptype == "text":
                     parts.append(part.get("text", ""))
             flat.append({"role": m.get("role"), "content": "".join(parts)})
-        return flat, images
+        return flat, images, kinds
 
     def _vl_input_ids(self, messages):
-        """Tokenize chat with image placeholders expanded to
-        vision_start + image_pad*n + vision_end (reference placeholder-run
-        injection, extra_embedding.hpp)."""
-        flat, images = self._extract_images(messages)
+        """Tokenize chat with image/video placeholders expanded to
+        vision_start + {image,video}_pad*n + vision_end (reference
+        placeholder-run injection, extra_embedding.hpp)."""
+        import re
+        flat, images, kinds = self._extract_images(messages)
         try:
             text = self.tokenizer.apply_chat_template(
                 flat, add_generation_prompt=True, tokenize=False)
@@ -208,17 +244,22 @@ class OpenAIServer:
         merge2 = self.vision.vcfg.spatial_merge_size ** 2
         ids: List[int] = []
         img_i = 0
-        for i, seg in enumerate(text.split(self._IMG_MARK)):
-            if i > 0:
+        pat = "(%s|%s)" % (re.escape(self._IMG_MARK),
+                           re.escape(self._VID_MARK))
+        for seg in re.split(pat, text):
+            if seg in (self._IMG_MARK, self._VID_MARK):
                 patches, grid = images[img_i]
                 n = (grid[0] * grid[1] * grid[2]) // merge2
+                tok = vi["image_token_id"] if kinds[img_i] == "image" \
+                    else vi["video_token_id"]
                 ids.append(vi["vision_start_id"])
-                ids.extend([vi["image_token_id"]] * n)
+                ids.extend([tok] * n)
                 ids.append(vi["vision_end_id"])
                 img_i += 1
-            ids.extend(self.tokenizer.encode(seg,
-                                             add_special_tokens=False))
-        return ids, images
+            elif seg:
+                ids.extend(self.tokenizer.encode(seg,
+                                                 add_special_tokens=False))
+        return ids, images, kinds
 
     async def chat_completions(self, request):
         from aiohttp import web
@@ -228,10 +269,10 @@ class OpenAIServer:
                                for m in messages)
         mm_fields = None
         if has_vision_parts and self.vision is not None:
-            input_ids, images = self._vl_input_ids(messages)
+            input_ids, images, kinds = self._vl_input_ids(messages)
             mm_fields = self.vision.build_request(
                 input_ids, images, self.vision_ids["image_token_id"],
-                self.vision_ids.get("video_token_id", -1))
+                self.vision_ids.get("video_token_id", -1), kinds=kinds)
         else:
             try:
                 input_ids = self.tokenizer.apply_chat_template(

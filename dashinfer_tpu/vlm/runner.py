@@ -74,16 +74,27 @@ class VisionRunner:
 
     def build_request(self, input_ids: List[int],
                       images: Sequence[Tuple[np.ndarray, Tuple[int, int, int]]],
-                      image_token_id: int, video_token_id: int) -> Dict:
+                      image_token_id: int, video_token_id: int,
+                      kinds: Optional[Sequence[str]] = None) -> Dict:
         """Run the ViT for each (patches, grid), compute mRoPE positions,
         and return the GenerationConfig fields for injection
-        (mm_info / mrope_positions / mrope_position_delta)."""
+        (mm_info / mrope_positions / mrope_position_delta).
+
+        kinds (optional, parallel to `images`): "image" | "video" per
+        item — videos' embeddings inject into video_token_id placeholder
+        runs (reference model_type QWEN2-VL video flow). Default: all
+        images."""
         embeds = [self.embed(p, g) for p, g in images]
         grids = [tuple(g) for _, g in images]
         pos, delta = VL.get_mrope_positions(
             input_ids, grids, image_token_id, video_token_id,
             self.vcfg.spatial_merge_size)
-        mm = [(image_token_id, np.concatenate(embeds, axis=0))] if embeds \
-            else []
+        kinds = list(kinds) if kinds is not None else ["image"] * len(embeds)
+        mm = []
+        for tok, kind in ((image_token_id, "image"),
+                          (video_token_id, "video")):
+            rows = [e for e, k in zip(embeds, kinds) if k == kind]
+            if rows:
+                mm.append((tok, np.concatenate(rows, axis=0)))
         return {"mm_info": mm, "mrope_positions": pos,
                 "mrope_position_delta": delta}

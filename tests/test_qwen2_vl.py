@@ -148,6 +148,89 @@ def test_preprocess_matches_hf_processor():
                                atol=2e-2)  # PIL resample rounding
 
 
+def test_preprocess_video_matches_hf_processor():
+    """3 frames pad to 4 (repeat-last), grid_t=2; rows match HF's
+    (deprecated but canonical) Qwen2VLImageProcessor video path."""
+    from transformers import Qwen2VLImageProcessor
+    from dashinfer_tpu.vlm.preprocess import preprocess_video
+
+    rng = np.random.RandomState(0)
+    frames = [(rng.rand(30, 42, 3) * 255).astype(np.uint8)
+              for _ in range(3)]
+    proc = Qwen2VLImageProcessor(patch_size=4, merge_size=2,
+                                 temporal_patch_size=2)
+    want = proc(images=None, videos=[frames], return_tensors="np")
+    got, grid = preprocess_video(frames, patch_size=4, merge_size=2,
+                                 temporal_patch_size=2,
+                                 min_pixels=proc.min_pixels,
+                                 max_pixels=proc.max_pixels)
+    assert tuple(want["video_grid_thw"][0]) == grid
+    assert grid[0] == 2
+    np.testing.assert_allclose(got, want["pixel_values_videos"], rtol=2e-2,
+                               atol=2e-2)  # PIL resample rounding
+
+
+def test_vlm_e2e_video_greedy_matches_hf(vl_model):
+    """Video flow: grid_t > 1 embeddings injected at video_token_id runs +
+    temporal mRoPE -> greedy tokens match HF generate with the same
+    pixel_values_videos."""
+    import jax.numpy as jnp
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.loader import build_from_torch_model
+    from dashinfer_tpu.models import qwen2_vl as VL
+    from dashinfer_tpu.runtime.request import GenerateRequestStatus
+
+    cfg, m = vl_model
+    merge = cfg.vision_config.spatial_merge_size
+    grid = [(2, 4, 4)]
+    npatch = 2 * 4 * 4
+    n_vid_tokens = npatch // (merge * merge)
+    rng = np.random.RandomState(11)
+    vcfg = VL.vision_config_from_hf(cfg.vision_config.to_dict())
+    pixels = rng.randn(npatch, vcfg.patch_input_dim).astype(np.float32)
+
+    ids = ([7, 8, cfg.vision_start_token_id]
+           + [cfg.video_token_id] * n_vid_tokens
+           + [cfg.vision_end_token_id, 9, 10, 11])
+    n_new = 6
+
+    with torch.no_grad():
+        out = m.generate(
+            input_ids=torch.tensor([ids]),
+            pixel_values_videos=torch.from_numpy(pixels),
+            video_grid_thw=torch.tensor(grid),
+            max_new_tokens=n_new, do_sample=False)
+    golden = out[0, len(ids):].tolist()
+
+    tcfg, params = build_from_torch_model(m, cfg.to_dict(), "float32")
+    vparams = VL.convert_hf_visual(dict(m.state_dict()), vcfg)
+    embeds = np.asarray(VL.vision_forward(vcfg, vparams,
+                                          jnp.asarray(pixels), grid))
+    pos, delta = VL.get_mrope_positions(ids, grid, cfg.image_token_id,
+                                        cfg.video_token_id, merge)
+    with torch.no_grad():
+        want_pos, want_delta = m.model.get_rope_index(
+            torch.tensor([ids]), video_grid_thw=torch.tensor(grid))
+    np.testing.assert_array_equal(pos, want_pos[:, 0].numpy())
+
+    rt = (RuntimeConfigBuilder("vl").max_length(96).max_batch(2)
+          .kv_cache_page_size(16).kv_cache_num_pages(32).dtype("float32")
+          .update({"min_prefill_bucket": 16}).build())
+    eng = Engine().install_model("vl", rt, params=params, model_config=tcfg)
+    eng.start_model("vl")
+    gen = GenerationConfig(
+        max_length=len(ids) + n_new, do_sample=False, top_k=1,
+        eos_token_id=-1,
+        mm_info=[(cfg.video_token_id, embeds)],
+        mrope_positions=pos, mrope_position_delta=delta)
+    _, h, q = eng.start_request("vl", ids, gen)
+    eng.sync_request("vl", h, timeout_s=600)
+    assert q.GenerateStatus() == GenerateRequestStatus.GenerateFinished
+    got = q.GetAllGeneratedTokens()
+    eng.release_model("vl")
+    assert got == golden
+
+
 def test_vision_runner_cache(vl_model):
     from dashinfer_tpu.models import qwen2_vl as VL
     from dashinfer_tpu.vlm.runner import VisionRunner

@@ -109,3 +109,30 @@ def test_vlm_chat_with_image(vl_server):
     assert out["usage"]["completion_tokens"] >= 1
     # vision runner actually ran (cache has one entry)
     assert vl_server.vision.misses >= 1
+
+
+def test_vlm_chat_with_video(vl_server):
+    """Multi-frame GIF data URL -> video content part -> video_token_id
+    placeholder run with grid_t > 1 (reference video modality, §2.19)."""
+    import asyncio
+    from PIL import Image
+
+    rng = np.random.RandomState(5)
+    frames = [Image.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8))
+              for _ in range(4)]
+    buf = io.BytesIO()
+    frames[0].save(buf, format="GIF", save_all=True,
+                   append_images=frames[1:])
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    app = vl_server.build_app()
+    out = asyncio.new_event_loop().run_until_complete(_post(
+        app, "/v1/chat/completions",
+        {"messages": [{"role": "user", "content": [
+            {"type": "text", "text": "what happens "},
+            {"type": "video_url",
+             "video_url": {"url": f"data:image/gif;base64,{b64}"}},
+        ]}],
+         "max_tokens": 4, "temperature": 0}))
+    assert out["object"] == "chat.completion"
+    assert out["usage"]["completion_tokens"] >= 1
