@@ -40,6 +40,7 @@ out = sum_g (x_g @ q_g) * scale_g + xsum_g * zero_g).
 import dataclasses
 import functools
 import math
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -50,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dashinfer_tpu.config import CacheMode, ModelConfig, RuntimeConfig
 
-PACK_VERSION = 3   # bump when plan geometry / packed layout changes
+PACK_VERSION = 4   # bump when plan geometry / packed layout changes
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 _RMW_W = 8          # aligned row window for in-place pool writes
@@ -479,8 +480,14 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
             rt.max_batch, cfg.num_layers, hid, H, KH, D, G8, inter, QKVN,
             rt.cache.page_size, kvb)
         budget = 72 * (1 << 20) - scratch
-        batch_cap = (32 << 20) // max(rt.max_batch, 1) if rt.max_batch > 16 \
-            else 2 << 20
+        if rt.max_batch >= _GDOT_LOOP_B:
+            # looped group-dot epilogue: no [G, B, cols] temporary, so the
+            # chunk size no longer needs to shrink with batch
+            batch_cap = 2 << 20
+        elif rt.max_batch > 16:
+            batch_cap = (32 << 20) // max(rt.max_batch, 1)
+        else:
+            batch_cap = 2 << 20
         target_chunk_bytes = max(1 << 18,
                                  min(2 << 20, batch_cap, budget // 11))
 
@@ -805,6 +812,11 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
 # the kernel
 # ---------------------------------------------------------------------------
 
+# batch threshold for the looped group-dot epilogue (see _stream_dot);
+# override with DI_MK_GDOT_LOOP_B (0 disables, 1 forces always-on)
+_GDOT_LOOP_B = int(os.environ.get("DI_MK_GDOT_LOOP_B", "32")) or 10 ** 9
+
+
 def _dequant_chunk(w_ref, bits: int):
     """Chunk payload ref slice [rows, store_cols] -> bf16 [rows, cols]."""
     if bits == 16:
@@ -824,14 +836,18 @@ def _stream_dot(plan: MegaPlan, sp: StreamPlan, x_bf16, w_ref, s_ref, z_ref,
     x_bf16: [B, Kc] (Kc = sp.Kp for n-chunked, sp.chunk for k-chunked).
     Returns f32 [B, cols].
 
-    Two dequant placements:
-    - result-side (default): MXU dot on the raw int payload, per-group
-      affine on the [G, B, cols] result — cheapest VPU work when
-      G*B << rows (small batch).
-    - weight-side (wdeq): dequantize the weight tile [rows, cols] once
-      (B-independent), then ONE plain dot — trades a bigger VPU tile for
-      no grouped-dot temporaries; candidate fix for the batch-scaling
-      observed at B >= 32."""
+    Three dequant placements:
+    - result-side batched (small batch): MXU dot on the raw int payload,
+      per-group affine on the [G, B, cols] result — cheapest VPU work
+      when G*B << rows, but the f32 temporary scales with B*cols and
+      Mosaic spills it at bs>=32 with big chunks.
+    - result-side looped (B >= _GDOT_LOOP_B): unrolled loop over groups,
+      each a flat [B, gs] @ [gs, cols] dot accumulated into ONE [B, cols]
+      f32 — identical math and MXU work, no [G, B, cols] temporary, so
+      chunk size is decoupled from batch.
+    - weight-side (wdeq): dequantize the weight tile [rows, cols] once,
+      then ONE plain dot — measured 9% worse (the full-tile VPU dequant
+      does not overlap)."""
     q = _dequant_chunk(w_ref, sp.bits)                       # [rows, cols]
     B = x_bf16.shape[0]
     if sp.bits == 16:
@@ -857,6 +873,19 @@ def _stream_dot(plan: MegaPlan, sp: StreamPlan, x_bf16, w_ref, s_ref, z_ref,
         return jax.lax.dot_general(
             x_bf16, w.reshape(rows, cols), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+    if B >= _GDOT_LOOP_B:
+        s = s_ref[0, 0].astype(jnp.float32)                  # [G, cols]
+        z = z_ref[0, 0].astype(jnp.float32)
+        acc = None
+        for g in range(groups):
+            xg = x_bf16[:, g * gs:(g + 1) * gs]
+            part = jax.lax.dot_general(
+                xg, q[g * gs:(g + 1) * gs], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [B, cols]
+            xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+            term = part * s[g][None, :] + xsum * z[g][None, :]
+            acc = term if acc is None else acc + term
+        return acc
     xg = x_bf16.reshape(B, groups, gs).swapaxes(0, 1)        # [G, B, gs]
     qg = q.reshape(groups, gs, -1)                           # [G, gs, cols]
     part = jax.lax.dot_general(

@@ -263,12 +263,24 @@ def test_make_plan_batch_aware_chunks():
             dtype="bfloat16")
         return mk.make_plan(cfg, rt, params)
 
+    import dashinfer_tpu.ops.pallas.megakernel as mk_mod
+
     p16, p32 = plan_for(16), plan_for(32)
-    # bs=16 keeps large chunks (at the streaming floor); bs=32 must cap at
-    # 32 MB / 32 = 1 MB, reproducing the swept-best geometry (1294 tok/s;
-    # 2 MB spills VMEM, 768 KB loses streaming rate)
-    assert p16.qkv.chunk > p32.qkv.chunk
-    assert p32.qkv.chunk == 512 and p32.qkv.S == 9
+    # the looped group-dot epilogue (B >= _GDOT_LOOP_B) removes the
+    # [G, B, cols] spill driver, so bs=32 keeps full-size chunks
+    # (measured: 1427 tok/s vs 1280 with the old 1 MB cap)
+    assert p32.qkv.chunk >= p16.qkv.chunk - 512
+
+    # with the loop epilogue disabled the batched grouped dot spills at
+    # bs>=32 with big chunks — the plan must cap at 32 MB / B
+    old = mk_mod._GDOT_LOOP_B
+    mk_mod._GDOT_LOOP_B = 10 ** 9
+    try:
+        p32c = plan_for(32)
+    finally:
+        mk_mod._GDOT_LOOP_B = old
+    assert p16.qkv.chunk > p32c.qkv.chunk
+    assert p32c.qkv.chunk == 512 and p32c.qkv.S == 9
 
 
 def test_build_schedule():
