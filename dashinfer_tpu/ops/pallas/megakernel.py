@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dashinfer_tpu.config import CacheMode, ModelConfig, RuntimeConfig
 
-PACK_VERSION = 4   # bump when plan geometry / packed layout changes
+PACK_VERSION = 5   # bump when plan geometry / packed layout changes
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 _RMW_W = 8          # aligned row window for in-place pool writes
@@ -448,7 +448,7 @@ def _scratch_bytes_estimate(B, L, hid, H, KH, D, G8, inter, QKVN, ps,
     rings = 2 * _RING * ps * KH * D * kv_bytes + \
         2 * _RING * max(2 * KH, 8) * ps * 4
     rmw = B * (2 * L * _RMW_W * KH * D * kv_bytes +
-               2 * L * max(2 * KH, 8) * ps * 4)
+               2 * L * max(2 * KH, 8) * min(ps, 128) * 4)
     return b_dep + rings + rmw
 
 
@@ -938,6 +938,10 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
     C = plan.page_chunk
     RING = _RING if C == 1 else max(2, _RING // C)
     psC = C * ps
+    # RMW qparam window: only the 128-lane block holding the new token's
+    # column needs the read-modify-write (full-ps windows were B*L-scaled
+    # VMEM: 29 MB at bs=64 ps=256, eating the whole chunk budget)
+    RWQ = 128 if ps > 128 else ps
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # weight-side dequant experiment switch (see _stream_dot docstring)
@@ -1090,8 +1094,8 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
         pltpu.VMEM((RING, 2 * KH, psC), jnp.float32),  # 18 vqbuf
         pltpu.VMEM((B, L, _RMW_W, F), kv_dtype),      # 19 rmw_k (per slot)
         pltpu.VMEM((B, L, _RMW_W, F), kv_dtype),      # 20 rmw_v
-        pltpu.VMEM((B, L, 2 * KH, ps), jnp.float32),  # 21 rmw_kq
-        pltpu.VMEM((B, L, 2 * KH, ps), jnp.float32),  # 22 rmw_vq
+        pltpu.VMEM((B, L, 2 * KH, RWQ), jnp.float32),  # 21 rmw_kq
+        pltpu.VMEM((B, L, 2 * KH, RWQ), jnp.float32),  # 22 rmw_vq
         pltpu.SemaphoreType.DMA((4, RING, C)),        # 23 page sems
         pltpu.SemaphoreType.DMA((4, B)),              # 24 rmw sems
     ]
@@ -1625,12 +1629,14 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                     g = tgt_page[b]
                     off = lens[b] % ps
                     w0 = pl.multiple_of((off // _RMW_W) * _RMW_W, _RMW_W)
-                    return g * L, w0, off
+                    q0 = pl.multiple_of((off // RWQ) * RWQ, RWQ) \
+                        if ps > RWQ else 0
+                    return g * L, w0, off, q0
 
                 for b in range(B):
                     @pl.when(active[b] > 0)
                     def _(b=b):
-                        row0, w0, off = slot_win(b)
+                        row0, w0, off, q0 = slot_win(b)
                         pltpu.make_async_copy(
                             args["k"].at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
                             rmw_k.at[b], rmw_sems.at[0, b]).start()
@@ -1639,16 +1645,18 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                             rmw_v.at[b], rmw_sems.at[1, b]).start()
                         if kv_quant:
                             pltpu.make_async_copy(
-                                args["kq"].at[pl.ds(row0, L)], rmw_kq.at[b],
-                                rmw_sems.at[2, b]).start()
+                                args["kq"].at[pl.ds(row0, L), :,
+                                              pl.ds(q0, RWQ)],
+                                rmw_kq.at[b], rmw_sems.at[2, b]).start()
                             pltpu.make_async_copy(
-                                args["vq"].at[pl.ds(row0, L)], rmw_vq.at[b],
-                                rmw_sems.at[3, b]).start()
+                                args["vq"].at[pl.ds(row0, L), :,
+                                              pl.ds(q0, RWQ)],
+                                rmw_vq.at[b], rmw_sems.at[3, b]).start()
 
                 for b in range(B):
                     @pl.when(active[b] > 0)
                     def _(b=b):
-                        row0, w0, off = slot_win(b)
+                        row0, w0, off, q0 = slot_win(b)
                         r = off - w0
                         pltpu.make_async_copy(
                             args["k"].at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
@@ -1674,14 +1682,16 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                             rmw_sems.at[1, b]).start()
                         if kv_quant:
                             pltpu.make_async_copy(
-                                args["kq"].at[pl.ds(row0, L)], rmw_kq.at[b],
-                                rmw_sems.at[2, b]).wait()
+                                args["kq"].at[pl.ds(row0, L), :,
+                                              pl.ds(q0, RWQ)],
+                                rmw_kq.at[b], rmw_sems.at[2, b]).wait()
                             pltpu.make_async_copy(
-                                args["vq"].at[pl.ds(row0, L)], rmw_vq.at[b],
-                                rmw_sems.at[3, b]).wait()
+                                args["vq"].at[pl.ds(row0, L), :,
+                                              pl.ds(q0, RWQ)],
+                                rmw_vq.at[b], rmw_sems.at[3, b]).wait()
                             lane2 = jax.lax.broadcasted_iota(
-                                jnp.int32, (L, ps), 1)
-                            hit = lane2 == off
+                                jnp.int32, (L, RWQ), 1)
+                            hit = lane2 == off - q0
                             # nkp lanes: [scale(h=0..KH-1), zero(h=0..KH-1)];
                             # pool rows: 2h = scale_h, 2h+1 = zero_h
                             for h in range(KH):
@@ -1695,16 +1705,20 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                                     rmw_vq[b, :, 2 * h + j, :] = jnp.where(
                                         hit, vcol, rmw_vq[b, :, 2 * h + j, :])
                             pltpu.make_async_copy(
-                                rmw_kq.at[b], kqpool_o.at[pl.ds(row0, L)],
+                                rmw_kq.at[b],
+                                kqpool_o.at[pl.ds(row0, L), :,
+                                            pl.ds(q0, RWQ)],
                                 rmw_sems.at[2, b]).start()
                             pltpu.make_async_copy(
-                                rmw_vq.at[b], vqpool_o.at[pl.ds(row0, L)],
+                                rmw_vq.at[b],
+                                vqpool_o.at[pl.ds(row0, L), :,
+                                            pl.ds(q0, RWQ)],
                                 rmw_sems.at[3, b]).start()
 
                 for b in range(B):
                     @pl.when(active[b] > 0)
                     def _(b=b):
-                        row0, w0, off = slot_win(b)
+                        row0, w0, off, q0 = slot_win(b)
                         pltpu.make_async_copy(
                             rmw_k.at[b],
                             kpool_o.at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
@@ -1715,10 +1729,14 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                             rmw_sems.at[1, b]).wait()
                         if kv_quant:
                             pltpu.make_async_copy(
-                                rmw_kq.at[b], kqpool_o.at[pl.ds(row0, L)],
+                                rmw_kq.at[b],
+                                kqpool_o.at[pl.ds(row0, L), :,
+                                            pl.ds(q0, RWQ)],
                                 rmw_sems.at[2, b]).wait()
                             pltpu.make_async_copy(
-                                rmw_vq.at[b], vqpool_o.at[pl.ds(row0, L)],
+                                rmw_vq.at[b],
+                                vqpool_o.at[pl.ds(row0, L), :,
+                                            pl.ds(q0, RWQ)],
                                 rmw_sems.at[3, b]).wait()
 
             y = _stream_dot(plan, lm, x_norm[:],

@@ -70,7 +70,10 @@ def _prep_cache(cfg, rt, params, mode, lens, pt):
                             rt.cache.num_pages * cfg.num_layers,
                             model_dtype=jnp.float32
                             if rt.dtype == "float32" else jnp.bfloat16)
-    S = 32
+    ps = rt.cache.page_size
+    maxT = max(int(t) for t in lens) if len(lens) else 1
+    S = max(32, -(-maxT // ps) * ps)
+    n_pages = -(-S // ps)
     rng = np.random.RandomState(3)
     for b in range(B):
         T = int(lens[b])
@@ -79,26 +82,28 @@ def _prep_cache(cfg, rt, params, mode, lens, pt):
         toks = np.zeros((S,), np.int32)
         toks[:T] = rng.randint(1, cfg.vocab_size, size=T)
         _, cache = transformer.prefill_forward(
-            cfg, params, jnp.asarray(toks), cache, jnp.asarray(pt[b, :2]),
+            cfg, params, jnp.asarray(toks), cache,
+            jnp.asarray(pt[b, :n_pages]),
             jnp.int32(0), jnp.int32(T), mode=mode, use_kernel=False)
     return cache
 
 
-@pytest.mark.parametrize("quant,kv_mode_name,qk_norm,alibi,page_chunk", [
-    ("none", "default", False, False, 1),
-    ("none", "int8", False, False, 1),
-    ("a16w4", "int8", False, False, 1),
-    ("a16w8", "uint4", False, False, 1),
-    ("none", "int8", True, False, 1),      # Qwen3 per-head QK RMSNorm
-    ("a16w4", "int8", True, False, 1),
-    ("a8w8", "int8", False, False, 1),     # decoder_weight_only_ view (§2.11)
-    ("none", "int8", False, True, 1),      # ALiBi (Baichuan-13B)
-    ("a16w4", "int8", False, True, 1),
-    ("none", "int8", False, False, 2),     # chunked page loop + dummy tails
-    ("a16w4", "uint4", False, False, 2),
+@pytest.mark.parametrize("quant,kv_mode_name,qk_norm,alibi,page_chunk,ps", [
+    ("none", "default", False, False, 1, 16),
+    ("none", "int8", False, False, 1, 16),
+    ("a16w4", "int8", False, False, 1, 16),
+    ("a16w8", "uint4", False, False, 1, 16),
+    ("none", "int8", True, False, 1, 16),    # Qwen3 per-head QK RMSNorm
+    ("a16w4", "int8", True, False, 1, 16),
+    ("a8w8", "int8", False, False, 1, 16),   # decoder_weight_only_ (§2.11)
+    ("none", "int8", False, True, 1, 16),    # ALiBi (Baichuan-13B)
+    ("a16w4", "int8", False, True, 1, 16),
+    ("none", "int8", False, False, 2, 16),   # chunked page loop + dummies
+    ("a16w4", "uint4", False, False, 2, 16),
+    ("a16w4", "int8", False, False, 1, 256),  # 128-lane RMW qparam windows
 ])
 def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi,
-                                      page_chunk):
+                                      page_chunk, ps):
     import jax
     import jax.numpy as jnp
     from dashinfer_tpu.config import CacheConfig, CacheMode, QuantConfig, \
@@ -109,7 +114,7 @@ def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi,
     from dashinfer_tpu.ops import kv_ops
 
     kv_mode = CacheMode(kv_mode_name)
-    cfg, rt, params = _tiny(qk_norm=qk_norm, alibi=alibi)
+    cfg, rt, params = _tiny(qk_norm=qk_norm, alibi=alibi, ps=ps)
     rt = dataclasses.replace(
         rt, cache=dataclasses.replace(rt.cache, mode=kv_mode))
     if quant != "none":
@@ -136,7 +141,11 @@ def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi,
 
     B, L, ps = rt.max_batch, cfg.num_layers, rt.cache.page_size
     maxP = rt.max_pages_per_seq
-    lens = np.asarray([17, 16, 5, 0], np.int32)[:B]
+    if ps > 128:
+        # offsets past lane 128 exercise the windowed RMW qparam writes
+        lens = np.asarray([2 * ps - 60, ps, 140, 0], np.int32)[:B]
+    else:
+        lens = np.asarray([17, 16, 5, 0], np.int32)[:B]
     active = np.asarray([1, 1, 1, 0], np.int32)[:B]
     pt = np.zeros((B, maxP), np.int32)
     g = 1
@@ -214,6 +223,22 @@ def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi,
             else:
                 # quant levels may differ by rounding; compare dequantized
                 assert got.shape == want.shape
+        if kv_mode != CacheMode.DEFAULT:
+            # the RMW windowed qparam write: only column `off` of the
+            # target page changed (loose — the kernel's bf16 K/V shifts
+            # the computed scale slightly vs the f32 reference); every
+            # OTHER column must be untouched (a mis-offset window would
+            # corrupt them)
+            keep = np.arange(ps) != off
+            for pool_i, ref_q in ((3, ref_cache.k_qparams),
+                                  (4, ref_cache.v_qparams)):
+                for l in range(L):
+                    got = np.asarray(outs[pool_i][gpage * L + l], np.float32)
+                    want = np.asarray(ref_q[gpage * L + l], np.float32)
+                    np.testing.assert_array_equal(got[:, keep],
+                                                  want[:, keep])
+                    np.testing.assert_allclose(got[:, off], want[:, off],
+                                               atol=5e-2, rtol=5e-2)
 
 
 def test_make_plan_batch_aware_chunks():
