@@ -20,24 +20,30 @@ import numpy as np
 import pytest
 
 from tests.test_megakernel import _tiny, _tiny_moe, _prep_cache
+from tests.test_tp_megakernel import _tp_tiny
 
 
 def _jaxpr_primitives(fn, *args):
+    """Primitives appearing INSIDE pallas_call kernels reached from fn
+    (ops outside kernels — e.g. embedding gathers — are XLA's business)."""
     import jax
     jaxpr = jax.make_jaxpr(fn)(*args)
     prims = set()
 
-    def walk(jx):
+    def collect(jx, inside):
         for eqn in jx.eqns:
-            prims.add(eqn.primitive.name)
+            here = inside or eqn.primitive.name == "pallas_call"
+            if inside:
+                prims.add(eqn.primitive.name)
             for sub in eqn.params.values():
-                if hasattr(sub, "jaxpr"):
-                    walk(sub.jaxpr)
-                elif isinstance(sub, (list, tuple)):
-                    for s in sub:
-                        if hasattr(s, "jaxpr"):
-                            walk(s.jaxpr)
-    walk(jaxpr.jaxpr)
+                for s in (sub if isinstance(sub, (list, tuple)) else [sub]):
+                    if hasattr(s, "jaxpr"):
+                        collect(s.jaxpr if hasattr(s.jaxpr, "eqns")
+                                else s.jaxpr.jaxpr, here)
+                    elif hasattr(s, "eqns"):
+                        collect(s, here)
+    collect(jaxpr.jaxpr, False)
+    assert prims, "no pallas_call kernel reached from fn"
     return prims
 
 
@@ -138,3 +144,104 @@ def test_prefill_megakernel_no_gather(qk_norm, alibi, moe):
         packed, x0, cos, cos, page_row, jnp.int32(45), *pools)
     _assert_lowerable(prims, f"prefill megakernel qk_norm={qk_norm} "
                              f"alibi={alibi} moe={moe}")
+
+
+@pytest.mark.parametrize("qk_norm,alibi", [
+    (False, False),
+    (True, False),
+    (False, True),
+])
+def test_tp_decode_megakernel_no_gather(qk_norm, alibi):
+    import jax
+    import jax.numpy as jnp
+    from dashinfer_tpu.config import CacheMode, QuantConfig
+    from dashinfer_tpu.loader.quantize import quantize_params
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+    from dashinfer_tpu.ops.pallas import tp_megakernel as tpk
+    from dashinfer_tpu.parallel import make_mesh, shard_cache
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    N = 2
+    cfg, rt, params = _tp_tiny(qk_norm=qk_norm, alibi=alibi)
+    rt = dataclasses.replace(
+        rt, cache=dataclasses.replace(rt.cache, mode=CacheMode.INT8))
+    params = quantize_params(params, QuantConfig(mode="a16w4",
+                                                 group_size=128))
+    assert tpk.supports_tp(cfg, rt, params, N)
+    plan, packed = tpk.make_tp_plan(cfg, rt, params, N,
+                                    target_chunk_bytes=48 * 1024)
+
+    B, ps = rt.max_batch, rt.cache.page_size
+    lens = np.full((B,), ps, np.int32)
+    pt = np.arange(B * rt.max_pages_per_seq,
+                   dtype=np.int32).reshape(B, -1)
+    cache = _prep_cache(cfg, rt, params, CacheMode.INT8, lens, pt)
+
+    mesh = make_mesh((1, N))
+    packed = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P("model"))), packed)
+    cache_s = shard_cache(cache, cfg, mesh)
+    x0 = jnp.zeros((B, plan.hid), jnp.bfloat16)
+    if alibi:
+        cos = jnp.ones((B, cfg.head_dim), jnp.bfloat16)
+    else:
+        cos = jnp.concatenate(
+            [jnp.ones((B, cfg.head_dim // 2), jnp.bfloat16)] * 2, axis=-1)
+    sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
+        jnp.asarray(pt), jnp.asarray(lens), jnp.ones((B,), bool), ps)
+    fn = tpk.build_tp_decode_fn(plan, mesh, cfg.vocab_size, interpret=True)
+    pools = [cache_s.k, cache_s.v, cache_s.k_qparams, cache_s.v_qparams]
+    prims = _jaxpr_primitives(
+        lambda *a: fn(*a),
+        packed, x0, cos, cos, jnp.asarray(pt), jnp.asarray(lens),
+        jnp.ones((B,), np.int32), tgt_page, sched_b, sched_p, n_sched,
+        *pools)
+    _assert_lowerable(prims, f"tp decode megakernel qk_norm={qk_norm} "
+                             f"alibi={alibi}")
+
+
+@pytest.mark.parametrize("qk_norm,alibi", [
+    (False, False),
+    (True, False),
+    (False, True),
+])
+def test_tp_prefill_megakernel_no_gather(qk_norm, alibi):
+    import jax
+    import jax.numpy as jnp
+    from dashinfer_tpu.config import CacheMode, QuantConfig
+    from dashinfer_tpu.loader.quantize import quantize_params
+    from dashinfer_tpu.ops.pallas import tp_megakernel as tpk
+    from dashinfer_tpu.parallel import make_mesh, shard_cache
+    from dashinfer_tpu.runtime.kv_cache import create_kv_cache
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    N = 2
+    bucket, ps = 128, 16
+    cfg, rt, params = _tp_tiny(ps=ps, qk_norm=qk_norm, alibi=alibi)
+    rt = dataclasses.replace(
+        rt, max_length=bucket + ps,
+        cache=dataclasses.replace(rt.cache, mode=CacheMode.INT8))
+    params = quantize_params(params, QuantConfig(mode="a16w4",
+                                                 group_size=128))
+    assert tpk.supports_prefill_tp(cfg, rt, params, bucket, N)
+    plan, packed = tpk.make_tp_prefill_plan(cfg, rt, params, bucket, N,
+                                            target_chunk_bytes=48 * 1024)
+
+    L = cfg.num_layers
+    mesh = make_mesh((1, N))
+    packed = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P("model"))), packed)
+    cache = create_kv_cache(cfg, rt.cache, rt.cache.num_pages * L,
+                            model_dtype=jnp.float32)
+    cache = shard_cache(cache, cfg, mesh)
+    x0 = jnp.zeros((bucket, plan.hid), jnp.bfloat16)
+    cos = jnp.ones((bucket, cfg.head_dim), jnp.bfloat16)
+    page_row = np.arange(1, plan.maxPb + 1, dtype=np.int32)
+    fn = tpk.build_tp_prefill_fn(plan, mesh, cfg.vocab_size, interpret=True)
+    pools = [cache.k, cache.v, cache.k_qparams, cache.v_qparams]
+    prims = _jaxpr_primitives(
+        lambda *a: fn(*a),
+        packed, x0, cos, cos, jnp.asarray(page_row * L), jnp.int32(45),
+        *pools)
+    _assert_lowerable(prims, f"tp prefill megakernel qk_norm={qk_norm} "
+                             f"alibi={alibi}")
