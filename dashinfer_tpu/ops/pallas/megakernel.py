@@ -817,12 +817,25 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
 _GDOT_LOOP_B = int(os.environ.get("DI_MK_GDOT_LOOP_B", "32")) or 10 ** 9
 
 
+# u4 unpack lane width: "u8" does the bitwise mask/shift on native 8-bit
+# vregs (4x the lane density of the i32 path) before widening to bf16.
+# Measured on v5e (bench bs=32): the unpack is the kernel's VPU bottleneck
+# (~23e9 ops at i32 density), so this is the default; DI_MK_U4DEQ=i32
+# restores the old path for A/B.
+_U4DEQ = os.environ.get("DI_MK_U4DEQ", "u8")
+
+
 def _dequant_chunk(w_ref, bits: int):
     """Chunk payload ref slice [rows, store_cols] -> bf16 [rows, cols]."""
     if bits == 16:
         return w_ref[0, 0]
     if bits == 8:
         return w_ref[0, 0].astype(jnp.bfloat16)
+    if _U4DEQ == "u8":
+        p8 = w_ref[0, 0]  # uint8: & and >> stay on 8-bit lanes
+        lo = (p8 & 0xF).astype(jnp.bfloat16)
+        hi = (p8 >> 4).astype(jnp.bfloat16)
+        return jnp.concatenate([lo, hi], axis=-1)
     p32 = w_ref[0, 0].astype(jnp.int32)  # u8 zero-extends: >>4 needs no mask
     lo = (p32 & 0xF).astype(jnp.bfloat16)
     hi = (p32 >> 4).astype(jnp.bfloat16)
@@ -876,15 +889,20 @@ def _stream_dot(plan: MegaPlan, sp: StreamPlan, x_bf16, w_ref, s_ref, z_ref,
     if B >= _GDOT_LOOP_B:
         s = s_ref[0, 0].astype(jnp.float32)                  # [G, cols]
         z = z_ref[0, 0].astype(jnp.float32)
-        acc = None
+        # zero-point term for ALL groups in one MXU dot ([B,G] group sums
+        # against [G, cols] zeros) instead of G VPU rank-1 updates; the
+        # per-group loop then only needs one [B, cols] FMA each.
+        xs = jnp.sum(x_bf16.astype(jnp.float32).reshape(B, groups, gs),
+                     axis=2)                                 # [B, G]
+        acc = jax.lax.dot_general(
+            xs, z, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [B, cols]
         for g in range(groups):
             xg = x_bf16[:, g * gs:(g + 1) * gs]
             part = jax.lax.dot_general(
                 xg, q[g * gs:(g + 1) * gs], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [B, cols]
-            xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-            term = part * s[g][None, :] + xsum * z[g][None, :]
-            acc = term if acc is None else acc + term
+            acc = acc + part * s[g][None, :]
         return acc
     xg = x_bf16.reshape(B, groups, gs).swapaxes(0, 1)        # [G, B, gs]
     qg = q.reshape(groups, gs, -1)                           # [G, gs, cols]

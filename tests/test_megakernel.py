@@ -241,6 +241,22 @@ def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi,
                                                atol=5e-2, rtol=5e-2)
 
 
+def test_megakernel_looped_gdot_epilogue_parity():
+    """The B >= _GDOT_LOOP_B looped group-dot epilogue (with the folded
+    zero-point MXU dot) must match the reference exactly like the default
+    batched epilogue — forced on here since parity configs use B=4."""
+    from dashinfer_tpu.ops.pallas import megakernel as mk_mod
+    old = mk_mod._GDOT_LOOP_B
+    mk_mod._GDOT_LOOP_B = 1
+    try:
+        test_megakernel_matches_reference(
+            "a16w4", "int8", False, False, 1, 16)
+        test_megakernel_matches_reference(
+            "a16w8", "uint4", False, False, 1, 16)
+    finally:
+        mk_mod._GDOT_LOOP_B = old
+
+
 def test_make_plan_batch_aware_chunks():
     """Chunk bytes must shrink as batch grows: the grouped-dequant dot
     materializes [groups, B, cols] f32 temporaries, and at bs=32 a 2 MB
