@@ -73,11 +73,10 @@ def paged_attention(q: jnp.ndarray, cache: KVCache, mode: CacheMode,
                     alibi: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Dispatch decode attention to the Pallas kernel or the jnp reference.
     ALiBi models take the jnp path (the Pallas kernel is RoPE-family only;
-    ALiBi archs are off the megakernel fast path anyway). Quantized KV with
-    page_size < 128 also falls back: the qparam blocks' lane dim is the page
-    size and Mosaic cannot slice sub-128 lane tiles on hardware."""
-    quant_small_page = (mode != CacheMode.DEFAULT and cache.page_size < 128)
-    if use_kernel and alibi is None and not quant_small_page:
+    ALiBi archs are off the megakernel fast path anyway). Quantized KV at
+    any page_size takes the kernel: the qparam pool's lane dim is 128-padded
+    (runtime/kv_cache.py qparam_lanes) so sub-128 pages fetch whole tiles."""
+    if use_kernel and alibi is None:
         return _pa_kernel.paged_attention(q, cache, mode, page_tables, lens,
                                           scale)
     return paged_attention_ref(q, cache, mode, page_tables, lens, scale,

@@ -4,7 +4,8 @@ Rebuilds the reference's cache-movement CUDA kernels
 (csrc/core/kernel/cuda/cache/{decoder_cache_append, context_span_copy,
 prefix_cache_copy}) as XLA scatters/gathers over the page-major flat pool
 (runtime/kv_cache.py layout v2: payload [P, ps, KH*Ds], qparams
-[P, 2*KH, ps] f32, per-head scale/zero row pairs). The decode-side scatter touches only `[B, KH*D]`
+[P, 2*KH, QL] f32 with QL = round_up(ps, 128), per-head scale/zero row
+pairs, token t at lane t). The decode-side scatter touches only `[B, KH*D]`
 elements per layer per step, so plain XLA scatter is fine; the
 bandwidth-critical READ side is the Pallas decode path
 (ops/pallas/megakernel.py fast path, ops/pallas/paged_attention.py fallback).
@@ -86,7 +87,7 @@ def _flat(payload: jnp.ndarray) -> jnp.ndarray:
 
 def _qparam_rows(scale: jnp.ndarray, zero: jnp.ndarray) -> jnp.ndarray:
     """scale/zero [..., KH] -> [..., 2*KH] matching the qparams layout
-    [P, 2*KH, ps] (row 2h = scale_h, row 2h+1 = zero_h)."""
+    [P, 2*KH, QL] (row 2h = scale_h, row 2h+1 = zero_h)."""
     return jnp.stack([scale, zero], axis=-1).reshape(
         *scale.shape[:-1], 2 * scale.shape[-1])
 
@@ -179,7 +180,8 @@ def gather_kv_pages(cache: KVCache, mode: CacheMode, page_row: jnp.ndarray,
         pages = pool[page_row]                        # [nP, ps, KH*Ds]
         x4 = pages.reshape(nP, ps, KH, -1)            # [nP, ps, KH, Ds]
         if qparams is not None:
-            qp = qparams[page_row]                    # [nP, 2*KH, ps]
+            qp = qparams[page_row][..., :ps]          # [nP, 2*KH, ps] (drop
+            #                                           the 128-pad lanes)
             scale = jnp.transpose(qp[:, 0::2, :], (0, 2, 1))  # [nP, ps, KH]
             zero = jnp.transpose(qp[:, 1::2, :], (0, 2, 1))
             x = dequantize_page_tokens(x4, scale, zero, mode, out_dtype)

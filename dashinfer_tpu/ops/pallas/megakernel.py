@@ -402,6 +402,14 @@ def supports(cfg: ModelConfig, rt: RuntimeConfig, params: Dict) -> bool:
             return False
         if rt.max_batch > 64:
             return False
+        # UINT4 KV with KH*D/2 < 128: the RMW merge's int8 [L, F] store
+        # into [B, L, W, F] scratch needs a (L,F)->(1,L,1,F) relayout that
+        # Mosaic only lowers when F fills a 128-lane tile (verified on
+        # v5e: "infer-vector-layout: unsupported shape cast" at F=64).
+        # Single-KV-head u4 models take the XLA path instead.
+        if rt.cache.mode == CacheMode.UINT4 and \
+                cfg.num_kv_heads * (cfg.head_dim // 2) < 128:
+            return False
         if not moe:
             dnl = lp["down_proj"]
             if "w_q" in dnl:
@@ -445,10 +453,11 @@ def _scratch_bytes_estimate(B, L, hid, H, KH, D, G8, inter, QKVN, ps,
                  + HD * 2 + 2 * inter * 2 + hid * 4
                  + L * KH * D * kv_bytes * 2 + L * 2 * KH * 4 * 2
                  + 12 * HD + 2 * 2 * KH * D * 4)  # + rope tiles (f32, dbuf)
+    QLe = -(-ps // 128) * 128  # qparam rows are 128-lane padded
     rings = 2 * _RING * ps * KH * D * kv_bytes + \
-        2 * _RING * max(2 * KH, 8) * ps * 4
+        2 * _RING * max(2 * KH, 8) * QLe * 4
     rmw = B * (2 * L * _RMW_W * KH * D * kv_bytes +
-               2 * L * max(2 * KH, 8) * min(ps, 128) * 4)
+               2 * L * max(2 * KH, 8) * 128 * 4)
     return b_dep + rings + rmw
 
 
@@ -817,12 +826,18 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
 _GDOT_LOOP_B = int(os.environ.get("DI_MK_GDOT_LOOP_B", "32")) or 10 ** 9
 
 
-# u4 unpack lane width: "u8" does the bitwise mask/shift on native 8-bit
-# vregs (4x the lane density of the i32 path) before widening to bf16.
-# Measured on v5e (bench bs=32): the unpack is the kernel's VPU bottleneck
-# (~23e9 ops at i32 density), so this is the default; DI_MK_U4DEQ=i32
-# restores the old path for A/B.
-_U4DEQ = os.environ.get("DI_MK_U4DEQ", "u8")
+# u4 unpack variant. "i32" (default) widens each byte to i32 once, then
+# masks/shifts at i32 lane density — every op in the chain Mosaic-lowers on
+# v5e. "u8" keeps the nibble masks on native 8-bit vregs (4x lane density)
+# before widening; v5e Mosaic canNOT lower 8-bit vector SHIFTS
+# (`arith.shrui` on vector<i8> fails to legalize) or direct uint8->bf16
+# casts, so the u8 variant extracts the hi nibble with a second AND
+# (p & 0xF0) and folds the /16 into an exact bf16 multiply after the
+# widen — measured-on-hardware lowerable (probe: & on i8 OK, >> on i8
+# FAIL). Read at trace time so DI_MK_U4DEQ set after import still applies
+# (kernels re-trace per plan; the env read costs nothing at runtime).
+def _u4deq_variant() -> str:
+    return os.environ.get("DI_MK_U4DEQ", "i32")
 
 
 def _dequant_chunk(w_ref, bits: int):
@@ -831,10 +846,11 @@ def _dequant_chunk(w_ref, bits: int):
         return w_ref[0, 0]
     if bits == 8:
         return w_ref[0, 0].astype(jnp.bfloat16)
-    if _U4DEQ == "u8":
-        p8 = w_ref[0, 0]  # uint8: & and >> stay on 8-bit lanes
-        lo = (p8 & 0xF).astype(jnp.bfloat16)
-        hi = (p8 >> 4).astype(jnp.bfloat16)
+    if _u4deq_variant() == "u8":
+        p8 = w_ref[0, 0]  # uint8: the two ANDs stay on 8-bit lanes
+        lo = (p8 & 0xF).astype(jnp.int32).astype(jnp.bfloat16)
+        hi = (p8 & 0xF0).astype(jnp.int32).astype(jnp.bfloat16) \
+            * jnp.bfloat16(0.0625)  # exact: values 0..240, /16 a pow2
         return jnp.concatenate([lo, hi], axis=-1)
     p32 = w_ref[0, 0].astype(jnp.int32)  # u8 zero-extends: >>4 needs no mask
     lo = (p32 & 0xF).astype(jnp.bfloat16)
@@ -894,9 +910,14 @@ def _stream_dot(plan: MegaPlan, sp: StreamPlan, x_bf16, w_ref, s_ref, z_ref,
         # per-group loop then only needs one [B, cols] FMA each.
         xs = jnp.sum(x_bf16.astype(jnp.float32).reshape(B, groups, gs),
                      axis=2)                                 # [B, G]
+        # HIGHEST precision: default MXU precision rounds f32 operands
+        # toward bf16, losing bits of the zero term vs the batched
+        # epilogue's full-f32 VPU math; [B,G]x[G,cols] is tiny, so exact
+        # passes cost nothing (ADVICE r1)
         acc = jax.lax.dot_general(
             xs, z, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [B, cols]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)             # [B, cols]
         for g in range(groups):
             xg = x_bf16[:, g * gs:(g + 1) * gs]
             part = jax.lax.dot_general(
@@ -956,10 +977,17 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
     C = plan.page_chunk
     RING = _RING if C == 1 else max(2, _RING // C)
     psC = C * ps
+    # qparam pool rows are [2*KH, QL] with QL = round_up(ps, 128) (see
+    # runtime/kv_cache.py): Mosaic requires lane-dim DMA slices aligned to
+    # the 128 tile, so all qparam copies move whole 128-lane blocks; token
+    # t of page j sits at ring-buffer lane j*QL + t
+    QL = -(-ps // 128) * 128
+    qlC = C * QL
     # RMW qparam window: only the 128-lane block holding the new token's
     # column needs the read-modify-write (full-ps windows were B*L-scaled
-    # VMEM: 29 MB at bs=64 ps=256, eating the whole chunk budget)
-    RWQ = 128 if ps > 128 else ps
+    # VMEM: 29 MB at bs=64 ps=256, eating the whole chunk budget); 128 is
+    # both the minimum legal DMA width and enough for any in-page offset
+    RWQ = 128
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # weight-side dequant experiment switch (see _stream_dot docstring)
@@ -1108,8 +1136,8 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
         pltpu.VMEM((B, L, 2 * KH), jnp.float32),      # 14 nvp_buf
         pltpu.VMEM((RING, psC, F), kv_dtype),         # 15 kbuf
         pltpu.VMEM((RING, psC, F), kv_dtype),         # 16 vbuf
-        pltpu.VMEM((RING, 2 * KH, psC), jnp.float32),  # 17 kqbuf
-        pltpu.VMEM((RING, 2 * KH, psC), jnp.float32),  # 18 vqbuf
+        pltpu.VMEM((RING, 2 * KH, qlC), jnp.float32),  # 17 kqbuf
+        pltpu.VMEM((RING, 2 * KH, qlC), jnp.float32),  # 18 vqbuf
         pltpu.VMEM((B, L, _RMW_W, F), kv_dtype),      # 19 rmw_k (per slot)
         pltpu.VMEM((B, L, _RMW_W, F), kv_dtype),      # 20 rmw_v
         pltpu.VMEM((B, L, 2 * KH, RWQ), jnp.float32),  # 21 rmw_kq
@@ -1232,9 +1260,26 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                 kpay, ksc, kzr = k3.astype(kv_dtype), None, None
                 vpay, vsc, vzr = v3.astype(kv_dtype), None, None
 
-            lsel = jax.lax.broadcasted_iota(jnp.int32, (B, L, F), 1) == l
-            nk_buf[:] = jnp.where(lsel, kpay.reshape(B, 1, F), nk_buf[:])
-            nv_buf[:] = jnp.where(lsel, vpay.reshape(B, 1, F), nv_buf[:])
+            if plan.kv_bits == 4:
+                # u4: Dsc=64 per head, so kpay is [B, KH, 64] and the
+                # flat reshape would merge sub-128-lane i8 rows — Mosaic
+                # rejects that relayout ("unsupported shape cast"). Merge
+                # per head into the 64-lane block instead: sub-128 i8
+                # lane-sliced where-stores DO lower (probed on v5e).
+                lsel_h = jax.lax.broadcasted_iota(
+                    jnp.int32, (B, L, Dsc), 1) == l
+                for h in range(KH):
+                    kh_pay = kpay[:, h, :]
+                    vh_pay = vpay[:, h, :]
+                    cols = slice(h * Dsc, (h + 1) * Dsc)
+                    nk_buf[:, :, cols] = jnp.where(
+                        lsel_h, kh_pay[:, None, :], nk_buf[:, :, cols])
+                    nv_buf[:, :, cols] = jnp.where(
+                        lsel_h, vh_pay[:, None, :], nv_buf[:, :, cols])
+            else:
+                lsel = jax.lax.broadcasted_iota(jnp.int32, (B, L, F), 1) == l
+                nk_buf[:] = jnp.where(lsel, kpay.reshape(B, 1, F), nk_buf[:])
+                nv_buf[:] = jnp.where(lsel, vpay.reshape(B, 1, F), nv_buf[:])
             if kv_quant:
                 lsel2 = jax.lax.broadcasted_iota(
                     jnp.int32, (B, L, 2 * KH), 1) == l
@@ -1292,11 +1337,11 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                     if kv_quant:
                         cps.append(pltpu.make_async_copy(
                             args["kq"].at[phys],
-                            kqbuf.at[slot, :, pl.ds(j * ps, ps)],
+                            kqbuf.at[slot, :, pl.ds(j * QL, QL)],
                             page_sems.at[2, slot, j]))
                         cps.append(pltpu.make_async_copy(
                             args["vq"].at[phys],
-                            vqbuf.at[slot, :, pl.ds(j * ps, ps)],
+                            vqbuf.at[slot, :, pl.ds(j * QL, QL)],
                             page_sems.at[3, slot, j]))
                 return cps
 
@@ -1325,6 +1370,20 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                          for j in range(C)], axis=1)
                 tmask = tok < lens[bb]
 
+                def qrow(buf, r):
+                    """qparam row r of this ring slot as [1, psC], compacted
+                    from the QL-strided lane layout (token t of page j at
+                    lane j*ps + t, matching the score tile). 2-D slices and
+                    concat on purpose: Mosaic lowers 1-D lane concats only
+                    within the first 128-lane tile; the 2-D form at
+                    128-aligned offsets lowers at any width."""
+                    row2 = buf[slot][r:r + 1]                # [1, C*QL]
+                    if QL == ps:
+                        return row2
+                    return jnp.concatenate(
+                        [row2[:, j * QL:j * QL + ps] for j in range(C)],
+                        axis=1)
+
                 for h in range(KH):
                     qh = q4[bb, h].astype(jnp.float32)   # [G8, D]
 
@@ -1339,20 +1398,20 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                     elif plan.kv_bits == 8:
                         kk = kbuf[slot][:, h * D:(h + 1) * D].astype(jnp.float32)
                         sraw = dot_nt(qh, kk)
-                        kscal = kqbuf[slot][2 * h]
-                        kzero = kqbuf[slot][2 * h + 1]
+                        kscal = qrow(kqbuf, 2 * h)       # [1, psC]
+                        kzero = qrow(kqbuf, 2 * h + 1)
                         qs = jnp.sum(qh, axis=1, keepdims=True)
-                        sco = sraw * kscal[None, :] + qs * kzero[None, :]
+                        sco = sraw * kscal + qs * kzero
                     else:
                         D2 = D // 2
                         p32 = kbuf[slot][:, h * D2:(h + 1) * D2].astype(jnp.int32)
                         klo = (p32 & 0xF).astype(jnp.float32)
                         khi = (p32 >> 4).astype(jnp.float32)
                         sraw = dot_nt(qh[:, :D2], klo) + dot_nt(qh[:, D2:], khi)
-                        kscal = kqbuf[slot][2 * h]
-                        kzero = kqbuf[slot][2 * h + 1]
+                        kscal = qrow(kqbuf, 2 * h)       # [1, psC]
+                        kzero = qrow(kqbuf, 2 * h + 1)
                         qs = jnp.sum(qh, axis=1, keepdims=True)
-                        sco = sraw * kscal[None, :] + qs * kzero[None, :]
+                        sco = sraw * kscal + qs * kzero
 
                     sco = sco * scale_att
                     if plan.alibi:
@@ -1378,11 +1437,14 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                         pv = jnp.dot(pexp, vv,
                                      preferred_element_type=jnp.float32)
                     else:
-                        vscal = vqbuf[slot][2 * h]
-                        vzero = vqbuf[slot][2 * h + 1]
-                        pexp_s = pexp * vscal[None, :]
-                        zterm = jnp.dot(pexp, vzero[:, None],
-                                        preferred_element_type=jnp.float32)
+                        vscal = qrow(vqbuf, 2 * h)       # [1, psC]
+                        vzero = qrow(vqbuf, 2 * h + 1)
+                        pexp_s = pexp * vscal
+                        # lane-reduce instead of a [psC,1] MXU dot: vzero is
+                        # a 2-D row (see qrow); sum(pexp*vzero) is the same
+                        # zero-point term without a transpose
+                        zterm = jnp.sum(pexp * vzero, axis=-1,
+                                        keepdims=True)
                         if plan.kv_bits == 8:
                             vv = vbuf[slot][:, h * D:(h + 1) * D].astype(jnp.float32)
                             pv = jnp.dot(pexp_s, vv,
@@ -1648,7 +1710,7 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                     off = lens[b] % ps
                     w0 = pl.multiple_of((off // _RMW_W) * _RMW_W, _RMW_W)
                     q0 = pl.multiple_of((off // RWQ) * RWQ, RWQ) \
-                        if ps > RWQ else 0
+                        if QL > RWQ else 0
                     return g * L, w0, off, q0
 
                 for b in range(B):

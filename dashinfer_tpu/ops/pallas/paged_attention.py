@@ -27,7 +27,7 @@ Design:
       (q . k_t) = (q . q_int_t) * scale_t + (sum_d q_d) * zero_t
   so the MXU dot runs on the raw int payload (cast bf16) and the per-token
   affine is applied on the [G, ps] score tile — O(G*ps) VPU work instead of
-  O(ps*D) dequant. Same trick on the V pass. qparams layout [P, 2*KH, ps]
+  O(ps*D) dequant. Same trick on the V pass. qparams layout [P, 2*KH, QL]
   hands each head contiguous [1, ps] scale/zero rows (no transposes).
 """
 
@@ -47,7 +47,7 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 def _kernel(pt_ref, lens_ref,              # scalar prefetch
             q_ref, k_ref, v_ref,           # [1,H,D], [1,ps,KH*Ds]
-            kq_ref, vq_ref,                # [1,2*KH,ps] f32 or None
+            kq_ref, vq_ref,                # [1,2*KH,QL] f32 or None
             o_ref,                         # [1,H,D]
             m_ref, l_ref, acc_ref,         # scratch [H,1],[H,1],[H,D]
             *, scale: float, mode: CacheMode, kv_heads: int, q_per_kv: int):
@@ -91,8 +91,8 @@ def _kernel(pt_ref, lens_ref,              # scalar prefetch
                 else:
                     s_raw = dot_nt(
                         q, k_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32))
-                k_scale = kq_ref[0, 2 * h]                        # [ps]
-                k_zero = kq_ref[0, 2 * h + 1]
+                k_scale = kq_ref[0, 2 * h][:ps]                   # [ps]
+                k_zero = kq_ref[0, 2 * h + 1][:ps]
                 q_sum = jnp.sum(q, axis=1, keepdims=True)         # [G, 1]
                 s = s_raw * k_scale[None, :] + q_sum * k_zero[None, :]
 
@@ -111,8 +111,8 @@ def _kernel(pt_ref, lens_ref,              # scalar prefetch
                 v = v_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32)
                 pv = jnp.dot(pexp, v, preferred_element_type=jnp.float32)
             else:
-                v_scale = vq_ref[0, 2 * h]
-                v_zero = vq_ref[0, 2 * h + 1]
+                v_scale = vq_ref[0, 2 * h][:ps]
+                v_zero = vq_ref[0, 2 * h + 1][:ps]
                 pexp_s = pexp * v_scale[None, :]
                 zero_term = jnp.dot(pexp, v_zero[:, None],
                                     preferred_element_type=jnp.float32)
@@ -183,7 +183,10 @@ def paged_attention(q: jnp.ndarray, cache: KVCache, mode: CacheMode,
     in_specs = [q_spec, kv_spec, kv_spec]
     args = [q, cache.k, cache.v]
     if quant:
-        qp_spec = pl.BlockSpec((1, 2 * KH, ps), qparam_index)
+        # whole [2*KH, QL] qparam row per page (QL = round_up(ps, 128):
+        # the pool's 128-padded lane dim, runtime/kv_cache.py)
+        qp_spec = pl.BlockSpec((1, 2 * KH, cache.k_qparams.shape[2]),
+                               qparam_index)
         in_specs += [qp_spec, qp_spec]
         args += [cache.k_qparams, cache.v_qparams]
 

@@ -426,6 +426,26 @@ def _wdeq_tile(sp: StreamPlan, w_ref, s_ref, z_ref):
     return w.reshape(rows, cols).astype(jnp.bfloat16)
 
 
+def _restripe_qrow(vec, ps: int, QL: int):
+    """[S] per-token qparams (lane = sequence position) -> [1, maxPb*QL]
+    page-strided row (token t of page j at lane j*QL + t; pad lanes zero,
+    never read) so each page's write-out is a whole 128-lane-aligned [QL]
+    block. Identity (reshaped 2-D) when QL == ps: ps >= 128 is already
+    aligned. 2-D concatenate on purpose — Mosaic lowers 1-D lane concats
+    only within the first 128-lane tile ("Input offsets outside of the
+    first tile"), and `vec[None, a:b]` would trace to an unlowerable
+    gather (None + partial slice), so reshape FIRST, slice 2-D after."""
+    v2 = vec[None, :]
+    if QL == ps:
+        return v2
+    S = vec.shape[0]
+    assert S % ps == 0, (S, ps)  # ps < 128 divides the 128-multiple bucket
+    pad = jnp.zeros((1, QL - ps), vec.dtype)
+    return jnp.concatenate(
+        [part for j in range(S // ps)
+         for part in (v2[:, j * ps:(j + 1) * ps], pad)], axis=1)
+
+
 def build_prefill_megakernel(plan: PrefillPlan,
                              interpret: Optional[bool] = None):
     """Returns fn(packed, x0 [S, hid] bf16, cos [S, D], sin [S, D],
@@ -435,6 +455,13 @@ def build_prefill_megakernel(plan: PrefillPlan,
     H, KH, D = plan.H, plan.KH, plan.D
     HD = H * D
     ps, maxPb = plan.ps, plan.maxPb
+    # qparam pool rows are [2*KH, QL], QL = round_up(ps, 128) (see
+    # runtime/kv_cache.py — Mosaic requires 128-lane-aligned DMA slices).
+    # For ps < 128 the qparam stash is page-strided (page j's tokens at
+    # lanes j*QL..j*QL+ps-1) so each page's write-out is one aligned
+    # full-row copy; for ps >= 128 the compact layout is already aligned.
+    QL = -(-ps // 128) * 128
+    SQ = S if QL == ps else maxPb * QL
     S_layer, T_total = plan.S_layer, plan.T_total
     kv_quant = plan.kv_mode != CacheMode.DEFAULT
     Dsc = plan.kv_store_dim
@@ -559,8 +586,8 @@ def build_prefill_megakernel(plan: PrefillPlan,
         pltpu.VMEM((S, hid), jnp.float32),           # 4 acc_mlp
         pltpu.VMEM((S, F), kv_dtype),                # 5 kpay
         pltpu.VMEM((S, F), kv_dtype),                # 6 vpay
-        pltpu.VMEM((2 * KH, S), jnp.float32),        # 7 kq_rows
-        pltpu.VMEM((2 * KH, S), jnp.float32),        # 8 vq_rows
+        pltpu.VMEM((2 * KH, SQ), jnp.float32),       # 7 kq_rows
+        pltpu.VMEM((2 * KH, SQ), jnp.float32),       # 8 vq_rows
         pltpu.VMEM((8, hid), jnp.bfloat16),          # 9 x_last
         pltpu.SemaphoreType.DMA((4, maxPb)),         # 10 page write sems
     ]
@@ -606,12 +633,22 @@ def build_prefill_megakernel(plan: PrefillPlan,
                     vpool_o.at[phys, pl.ds(0, width), :], wsems.at[1, j]),
             ]
             if kv_quant:
-                cps.append(pltpu.make_async_copy(
-                    kq_rows.at[:, pl.ds(j * ps, width)],
-                    kqpool_o.at[phys, :, pl.ds(0, width)], wsems.at[2, j]))
-                cps.append(pltpu.make_async_copy(
-                    vq_rows.at[:, pl.ds(j * ps, width)],
-                    vqpool_o.at[phys, :, pl.ds(0, width)], wsems.at[3, j]))
+                if QL == ps:  # compact layout; width is a 128-multiple
+                    cps.append(pltpu.make_async_copy(
+                        kq_rows.at[:, pl.ds(j * ps, width)],
+                        kqpool_o.at[phys, :, pl.ds(0, width)],
+                        wsems.at[2, j]))
+                    cps.append(pltpu.make_async_copy(
+                        vq_rows.at[:, pl.ds(j * ps, width)],
+                        vqpool_o.at[phys, :, pl.ds(0, width)],
+                        wsems.at[3, j]))
+                else:  # page-strided stash -> whole [2*KH, QL] pool row
+                    cps.append(pltpu.make_async_copy(
+                        kq_rows.at[:, pl.ds(j * QL, QL)],
+                        kqpool_o.at[phys], wsems.at[2, j]))
+                    cps.append(pltpu.make_async_copy(
+                        vq_rows.at[:, pl.ds(j * QL, QL)],
+                        vqpool_o.at[phys], wsems.at[3, j]))
             return cps
 
         @pl.when(t == 0)
@@ -727,10 +764,12 @@ def build_prefill_megakernel(plan: PrefillPlan,
                     vp, vs, vz = qz_head(vh)
                     kpay[:, h * Dsc:(h + 1) * Dsc] = kp
                     vpay[:, h * Dsc:(h + 1) * Dsc] = vp
-                    kq_rows[2 * h, :] = ks
-                    kq_rows[2 * h + 1, :] = kz
-                    vq_rows[2 * h, :] = vs
-                    vq_rows[2 * h + 1, :] = vz
+                    kq_rows[2 * h:2 * h + 1, :] = _restripe_qrow(ks, ps, QL)
+                    kq_rows[2 * h + 1:2 * h + 2, :] = \
+                        _restripe_qrow(kz, ps, QL)
+                    vq_rows[2 * h:2 * h + 1, :] = _restripe_qrow(vs, ps, QL)
+                    vq_rows[2 * h + 1:2 * h + 2, :] = \
+                        _restripe_qrow(vz, ps, QL)
                 else:
                     kpay[:, h * Dsc:(h + 1) * Dsc] = kh.astype(kv_dtype)
                     vpay[:, h * Dsc:(h + 1) * Dsc] = vh.astype(kv_dtype)

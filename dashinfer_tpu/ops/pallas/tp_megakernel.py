@@ -354,6 +354,9 @@ def build_attn_segment(plan: MegaPlan, interpret: Optional[bool] = None):
     H, KH, D, G, G8 = plan.H, plan.KH, plan.D, plan.G, plan.G8
     HD = H * D
     ps = plan.ps
+    # qparam pool rows are [2*KH, QL], QL = round_up(ps, 128) (see
+    # runtime/kv_cache.py — Mosaic lane-tile alignment for DMAs)
+    QL = -(-ps // 128) * 128
     kv_quant = plan.kv_mode != CacheMode.DEFAULT
     Dsc = plan.kv_store_dim
     F = KH * Dsc
@@ -413,12 +416,12 @@ def build_attn_segment(plan: MegaPlan, interpret: Optional[bool] = None):
         pltpu.VMEM((B, KH, G8, D), jnp.float32),       # acc_at
         pltpu.VMEM((_RING, ps, F), kv_dtype),          # kbuf
         pltpu.VMEM((_RING, ps, F), kv_dtype),          # vbuf
-        pltpu.VMEM((_RING, 2 * KH, ps), jnp.float32),  # kqbuf
-        pltpu.VMEM((_RING, 2 * KH, ps), jnp.float32),  # vqbuf
+        pltpu.VMEM((_RING, 2 * KH, QL), jnp.float32),  # kqbuf
+        pltpu.VMEM((_RING, 2 * KH, QL), jnp.float32),  # vqbuf
         pltpu.VMEM((B, _RMW_W, F), kv_dtype),          # rmw_k
         pltpu.VMEM((B, _RMW_W, F), kv_dtype),          # rmw_v
-        pltpu.VMEM((B, 2 * KH, ps), jnp.float32),      # rmw_kq
-        pltpu.VMEM((B, 2 * KH, ps), jnp.float32),      # rmw_vq
+        pltpu.VMEM((B, 2 * KH, QL), jnp.float32),      # rmw_kq
+        pltpu.VMEM((B, 2 * KH, QL), jnp.float32),      # rmw_vq
         pltpu.SemaphoreType.DMA((4, _RING)),           # page sems
         pltpu.SemaphoreType.DMA((4, B)),               # rmw sems
     ]
@@ -613,8 +616,8 @@ def build_attn_segment(plan: MegaPlan, interpret: Optional[bool] = None):
                         kk = kbuf[slot][:, h * D:(h + 1) * D] \
                             .astype(jnp.float32)
                         sraw = dot_nt(qh, kk)
-                        kscal = kqbuf[slot][2 * h]
-                        kzero = kqbuf[slot][2 * h + 1]
+                        kscal = kqbuf[slot][2 * h][:ps]
+                        kzero = kqbuf[slot][2 * h + 1][:ps]
                         qs = jnp.sum(qh, axis=1, keepdims=True)
                         sco = sraw * kscal[None, :] + qs * kzero[None, :]
                     else:
@@ -625,8 +628,8 @@ def build_attn_segment(plan: MegaPlan, interpret: Optional[bool] = None):
                         khi = (p32 >> 4).astype(jnp.float32)
                         sraw = dot_nt(qh[:, :D2], klo) + \
                             dot_nt(qh[:, D2:], khi)
-                        kscal = kqbuf[slot][2 * h]
-                        kzero = kqbuf[slot][2 * h + 1]
+                        kscal = kqbuf[slot][2 * h][:ps]
+                        kzero = kqbuf[slot][2 * h + 1][:ps]
                         qs = jnp.sum(qh, axis=1, keepdims=True)
                         sco = sraw * kscal[None, :] + qs * kzero[None, :]
 
@@ -653,8 +656,8 @@ def build_attn_segment(plan: MegaPlan, interpret: Optional[bool] = None):
                         pv = jnp.dot(pexp, vv,
                                      preferred_element_type=jnp.float32)
                     else:
-                        vscal = vqbuf[slot][2 * h]
-                        vzero = vqbuf[slot][2 * h + 1]
+                        vscal = vqbuf[slot][2 * h][:ps]
+                        vzero = vqbuf[slot][2 * h + 1][:ps]
                         pexp_s = pexp * vscal[None, :]
                         zterm = jnp.dot(pexp, vzero[:, None],
                                         preferred_element_type=jnp.float32)
@@ -719,14 +722,27 @@ def build_attn_segment(plan: MegaPlan, interpret: Optional[bool] = None):
                     pltpu.make_async_copy(
                         args["v"].at[row_of(b), pl.ds(w0, _RMW_W), :],
                         rmw_v.at[b], rmw_sems.at[1, b]).wait()
-                    krow = kpay[b].reshape(1, F)
-                    vrow = vpay[b].reshape(1, F)
-                    for w in range(_RMW_W):
-                        sel = r == w
-                        rmw_k[b, w, :] = jnp.where(sel, krow[0],
-                                                   rmw_k[b, w, :])
-                        rmw_v[b, w, :] = jnp.where(sel, vrow[0],
-                                                   rmw_v[b, w, :])
+                    if plan.kv_bits == 4:
+                        # u4: Dsc=64 rows — the [KH, 64] -> [1, F] i8
+                        # merge reshape doesn't lower; merge per head
+                        # into its 64-lane block (see megakernel stash)
+                        for w in range(_RMW_W):
+                            sel = r == w
+                            for h in range(KH):
+                                cols = slice(h * Dsc, (h + 1) * Dsc)
+                                rmw_k[b, w, cols] = jnp.where(
+                                    sel, kpay[b, h, :], rmw_k[b, w, cols])
+                                rmw_v[b, w, cols] = jnp.where(
+                                    sel, vpay[b, h, :], rmw_v[b, w, cols])
+                    else:
+                        krow = kpay[b].reshape(1, F)
+                        vrow = vpay[b].reshape(1, F)
+                        for w in range(_RMW_W):
+                            sel = r == w
+                            rmw_k[b, w, :] = jnp.where(sel, krow[0],
+                                                       rmw_k[b, w, :])
+                            rmw_v[b, w, :] = jnp.where(sel, vrow[0],
+                                                       rmw_v[b, w, :])
                     pltpu.make_async_copy(
                         rmw_k.at[b],
                         kpool_o.at[row_of(b), pl.ds(w0, _RMW_W), :],
@@ -743,7 +759,7 @@ def build_attn_segment(plan: MegaPlan, interpret: Optional[bool] = None):
                             args["vq"].at[row_of(b)], rmw_vq.at[b],
                             rmw_sems.at[3, b]).wait()
                         lane2 = jax.lax.broadcasted_iota(
-                            jnp.int32, (1, ps), 1)
+                            jnp.int32, (1, QL), 1)
                         hit = lane2 == off
                         for h in range(KH):
                             kvals = (ksc[b, h], kzr[b, h])
@@ -1361,11 +1377,16 @@ def build_prefill_attn_segment(plan, interpret: Optional[bool] = None):
     fn(l, x [S, hid] f32, cos, sin, page_row, n_tokens, packed, *pools)
        -> (o_partial [S, hid] f32, *pools)
     """
-    from dashinfer_tpu.ops.pallas.prefill_megakernel import _wdeq_tile
+    from dashinfer_tpu.ops.pallas.prefill_megakernel import (
+        _restripe_qrow, _wdeq_tile)
     S, L, hid = plan.S, plan.L, plan.hid
     H, KH, D = plan.H, plan.KH, plan.D
     HD = H * D
     ps, maxPb = plan.ps, plan.maxPb
+    # qparam pool rows are [2*KH, QL] (see runtime/kv_cache.py); page-
+    # strided stash for ps < 128 as in prefill_megakernel
+    QL = -(-ps // 128) * 128
+    SQ = S if QL == ps else maxPb * QL
     kv_quant = plan.kv_mode != CacheMode.DEFAULT
     Dsc = plan.kv_store_dim
     F = KH * Dsc
@@ -1421,8 +1442,8 @@ def build_prefill_attn_segment(plan, interpret: Optional[bool] = None):
         pltpu.VMEM((S, HD), jnp.bfloat16),           # attn_out
         pltpu.VMEM((S, F), kv_dtype),                # kpay
         pltpu.VMEM((S, F), kv_dtype),                # vpay
-        pltpu.VMEM((2 * KH, S), jnp.float32),        # kq_rows
-        pltpu.VMEM((2 * KH, S), jnp.float32),        # vq_rows
+        pltpu.VMEM((2 * KH, SQ), jnp.float32),       # kq_rows
+        pltpu.VMEM((2 * KH, SQ), jnp.float32),       # vq_rows
         pltpu.SemaphoreType.DMA((4, maxPb)),         # page write sems
     ]
     NARG = len(arg_names)
@@ -1454,12 +1475,22 @@ def build_prefill_attn_segment(plan, interpret: Optional[bool] = None):
                     vpool_o.at[phys, pl.ds(0, width), :], wsems.at[1, j]),
             ]
             if kv_quant:
-                cps.append(pltpu.make_async_copy(
-                    kq_rows.at[:, pl.ds(j * ps, width)],
-                    kqpool_o.at[phys, :, pl.ds(0, width)], wsems.at[2, j]))
-                cps.append(pltpu.make_async_copy(
-                    vq_rows.at[:, pl.ds(j * ps, width)],
-                    vqpool_o.at[phys, :, pl.ds(0, width)], wsems.at[3, j]))
+                if QL == ps:  # compact layout; width is a 128-multiple
+                    cps.append(pltpu.make_async_copy(
+                        kq_rows.at[:, pl.ds(j * ps, width)],
+                        kqpool_o.at[phys, :, pl.ds(0, width)],
+                        wsems.at[2, j]))
+                    cps.append(pltpu.make_async_copy(
+                        vq_rows.at[:, pl.ds(j * ps, width)],
+                        vqpool_o.at[phys, :, pl.ds(0, width)],
+                        wsems.at[3, j]))
+                else:  # page-strided stash -> whole [2*KH, QL] pool row
+                    cps.append(pltpu.make_async_copy(
+                        kq_rows.at[:, pl.ds(j * QL, QL)],
+                        kqpool_o.at[phys], wsems.at[2, j]))
+                    cps.append(pltpu.make_async_copy(
+                        vq_rows.at[:, pl.ds(j * QL, QL)],
+                        vqpool_o.at[phys], wsems.at[3, j]))
             return cps
 
         # ---------------- qkv phase ----------------
@@ -1559,10 +1590,12 @@ def build_prefill_attn_segment(plan, interpret: Optional[bool] = None):
                     vp, vs, vz = qz_head(vh)
                     kpay[:, h * Dsc:(h + 1) * Dsc] = kp
                     vpay[:, h * Dsc:(h + 1) * Dsc] = vp
-                    kq_rows[2 * h, :] = ks
-                    kq_rows[2 * h + 1, :] = kz
-                    vq_rows[2 * h, :] = vs
-                    vq_rows[2 * h + 1, :] = vz
+                    kq_rows[2 * h:2 * h + 1, :] = _restripe_qrow(ks, ps, QL)
+                    kq_rows[2 * h + 1:2 * h + 2, :] = \
+                        _restripe_qrow(kz, ps, QL)
+                    vq_rows[2 * h:2 * h + 1, :] = _restripe_qrow(vs, ps, QL)
+                    vq_rows[2 * h + 1:2 * h + 2, :] = \
+                        _restripe_qrow(vz, ps, QL)
                 else:
                     kpay[:, h * Dsc:(h + 1) * Dsc] = kh.astype(kv_dtype)
                     vpay[:, h * Dsc:(h + 1) * Dsc] = vh.astype(kv_dtype)

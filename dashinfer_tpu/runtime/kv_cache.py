@@ -20,11 +20,17 @@ K/V for all layers with a single strided DMA.
 
 Quantized modes (reference span layout: virtual_cache.cpp:202-232 — int8/uint4
 payload + per-token-per-head fp32 scale & zero):
-  INT8:  payload int8, same lane count; qparams `[P, 2*KH, page_size]`
-         f32 — row 2h is head h's per-token scale row, row 2h+1 its zero row
-         (contiguous `[1, page_size]` rows per head for kernels; per-head row
-         PAIRS keep the sublane dim 8-aligned for KH>=4 and shardable over
-         heads for tensor parallelism).
+  INT8:  payload int8, same lane count; qparams `[P, 2*KH, QL]` f32 with
+         QL = round_up(page_size, 128) — row 2h is head h's per-token scale
+         row, row 2h+1 its zero row; token t lives at lane t, lanes >= ps are
+         never read (contiguous `[1, QL]` rows per head for kernels; per-head
+         row PAIRS keep the sublane dim 8-aligned for KH>=4 and shardable
+         over heads for tensor parallelism). The lane dim is 128-padded
+         because Mosaic tiles the minor dim of every HBM array to 128: a
+         <128-lane pool physically occupies the padded lanes anyway, and any
+         row-sliced async copy of it is rejected ("Slice shape along
+         dimension 2 must be aligned to tiling (128)") — declaring the
+         padding makes every DMA legal at zero extra HBM cost.
   UINT4: payload packs 2 nibbles/byte per head (HALVES packing within each
          head's lane block: byte j of head h = dims j | j+D/2 << 4), lanes =
          kv_heads * head_dim / 2; same qparams.
@@ -47,7 +53,8 @@ class KVCache:
     """Device-side paged KV pool (a pytree of arrays).
 
     k/v: [P, ps, KH*Ds] payload (Ds = head_dim, or head_dim//2 packed u4)
-    k_qparams/v_qparams: [P, 2*KH, ps] f32 or None (scale/zero row pairs)
+    k_qparams/v_qparams: [P, 2*KH, QL] f32 or None (scale/zero row pairs,
+    QL = round_up(ps, 128); token t at lane t, lanes >= ps unread)
     """
 
     k: jax.Array
@@ -62,6 +69,13 @@ class KVCache:
     @property
     def page_size(self) -> int:
         return self.k.shape[1]
+
+
+def qparam_lanes(page_size: int) -> int:
+    """Lane count of a qparam pool row: page_size rounded up to the Mosaic
+    lane tile (128). The sub-128 physical padding exists regardless; naming
+    it keeps row-sliced DMAs tile-aligned (see module docstring)."""
+    return -(-page_size // 128) * 128
 
 
 def cache_dtype_and_dim(mode: CacheMode, head_dim: int,
@@ -90,7 +104,8 @@ def create_kv_cache(model_cfg: ModelConfig, cache_cfg: CacheConfig,
     k = jnp.zeros(shape, dtype)
     v = jnp.zeros(shape, dtype)
     if quant:
-        qshape = (num_physical_pages, 2 * kh, cache_cfg.page_size)
+        qshape = (num_physical_pages, 2 * kh,
+                  qparam_lanes(cache_cfg.page_size))
         kq = jnp.zeros(qshape, jnp.float32)
         vq = jnp.zeros(qshape, jnp.float32)
     else:
@@ -103,10 +118,10 @@ def physical_page_bytes(model_cfg: ModelConfig, cache_cfg: CacheConfig,
     """Bytes of K+V pool held by ONE physical page (one layer's span)."""
     dtype, dim, quant = cache_dtype_and_dim(cache_cfg.mode, model_cfg.head_dim,
                                             model_dtype)
-    per_tok = dim * jnp.dtype(dtype).itemsize
-    if quant:
-        per_tok += 2 * 4
-    return 2 * model_cfg.num_kv_heads * cache_cfg.page_size * per_tok
+    kh, ps = model_cfg.num_kv_heads, cache_cfg.page_size
+    payload = 2 * kh * ps * dim * jnp.dtype(dtype).itemsize
+    qparams = 2 * 2 * kh * qparam_lanes(ps) * 4 if quant else 0
+    return payload + qparams
 
 
 def logical_page_bytes(model_cfg: ModelConfig, cache_cfg: CacheConfig,

@@ -114,7 +114,12 @@ def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi,
     from dashinfer_tpu.ops import kv_ops
 
     kv_mode = CacheMode(kv_mode_name)
-    cfg, rt, params = _tiny(qk_norm=qk_norm, alibi=alibi, ps=ps)
+    # uint4 KV packs head_dim to 64 lanes; the megakernel needs the pool's
+    # KH*D/2 lane dim to fill a 128 tile (supports() gates KH=1 + u4 off
+    # the fast path), so u4-KV cases run the realistic GQA geometry
+    kh = 2 if kv_mode == CacheMode.UINT4 else 1
+    cfg, rt, params = _tiny(qk_norm=qk_norm, alibi=alibi, ps=ps, KH=kh,
+                            H=2 * kh)
     rt = dataclasses.replace(
         rt, cache=dataclasses.replace(rt.cache, mode=kv_mode))
     if quant != "none":
@@ -233,8 +238,10 @@ def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi,
             for pool_i, ref_q in ((3, ref_cache.k_qparams),
                                   (4, ref_cache.v_qparams)):
                 for l in range(L):
-                    got = np.asarray(outs[pool_i][gpage * L + l], np.float32)
-                    want = np.asarray(ref_q[gpage * L + l], np.float32)
+                    got = np.asarray(outs[pool_i][gpage * L + l],
+                                     np.float32)[:, :ps]  # drop pad lanes
+                    want = np.asarray(ref_q[gpage * L + l],
+                                      np.float32)[:, :ps]
                     np.testing.assert_array_equal(got[:, keep],
                                                   want[:, keep])
                     np.testing.assert_allclose(got[:, off], want[:, off],

@@ -26,7 +26,11 @@ def _run_case(quant, kv_mode_name, qk_norm, n_tokens, bucket=128, ps=16,
                                     shared_gate=shared_gate,
                                     qk_norm=qk_norm)
     else:
-        cfg, rt, params = _tiny(qk_norm=qk_norm, ps=ps, alibi=alibi)
+        # u4 KV needs KH*D/2 >= 128 for the megakernel family (supports()
+        # gates single-KV-head u4 off the fast path)
+        kh = 2 if kv_mode == CacheMode.UINT4 else 1
+        cfg, rt, params = _tiny(qk_norm=qk_norm, ps=ps, alibi=alibi,
+                                KH=kh, H=2 * kh)
     rt = dataclasses.replace(
         rt, max_length=bucket + ps,
         cache=dataclasses.replace(rt.cache, mode=kv_mode))
@@ -116,7 +120,8 @@ def _run_case(quant, kv_mode_name, qk_norm, n_tokens, bucket=128, ps=16,
         if kv_mode == CacheMode.DEFAULT:
             x = pay.astype(np.float32).reshape(ps, KH, -1)
             return x, np.zeros(x.shape[:-1] + (1,), np.float32)
-        qp = np.asarray(qpool[phys], np.float32)       # [2*KH, ps]
+        qp = np.asarray(qpool[phys], np.float32)[:, :ps]  # [2*KH, ps]
+        #                                       (drop 128-pad lanes)
         sc = qp[0::2].T                                # [ps, KH]
         zr = qp[1::2].T
         return np.asarray(dequantize_page_tokens(

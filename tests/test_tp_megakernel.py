@@ -408,7 +408,7 @@ def test_tp_prefill_megakernel_matches_reference(quant, kv_mode_name,
                 a = pay.astype(np.float32).reshape(ps, KH, -1)
                 asc = np.zeros(a.shape[:-1] + (1,), np.float32)
             else:
-                qp = np.asarray(new_kq[phys], np.float32)
+                qp = np.asarray(new_kq[phys], np.float32)[:, :ps]  # drop pad
                 sc = qp[0::2].T
                 zr = qp[1::2].T
                 a = np.asarray(dequantize_page_tokens(
