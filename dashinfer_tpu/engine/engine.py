@@ -38,8 +38,12 @@ class _ModelLoop:
         self.msgs: "queue.Queue" = queue.Queue()
         self.wake = threading.Event()
         self.stop_flag = False
+        # GracefulStop (reference as_engine.cpp:2549-2575): stop admitting,
+        # drain running requests to completion, then exit the loop
+        self.draining = False
         self.thread: Optional[threading.Thread] = None
         self.last_stat_log = time.monotonic()
+        self.last_ttl_sweep = time.monotonic()
 
     def start(self):
         self.thread = threading.Thread(target=self._run, daemon=True,
@@ -67,16 +71,34 @@ class _ModelLoop:
 
             did_work = False
             # 2. prefill admission (reference scheduling strategies,
-            #    as_engine_prefill.cpp:149-186)
-            try:
-                if strategy == SchedulingStrategy.CONTEXT_PRIORITY:
-                    while rt.try_prefill_one():
-                        did_work = True
-                else:  # BALANCE: one prefill per turn
-                    did_work |= rt.try_prefill_one()
-            except Exception:
-                logger.exception("prefill scheduling failed")
-                self._fail_head()
+            #    as_engine_prefill.cpp:149-186); suspended while draining —
+            #    GracefulStop admits nothing new (as_engine.cpp:2549)
+            if self.draining:
+                try:
+                    while rt.pending:
+                        # never-admitted requests are interrupted, running
+                        # ones drain to completion below
+                        req = rt.pending[0]
+                        if not rt.stop_request(req.uuid) and \
+                                rt.pending and rt.pending[0] is req:
+                            rt.pending.popleft()
+                except Exception:
+                    logger.exception("drain of pending queue failed")
+                if not rt.active_requests():
+                    rt._drain_inflight()
+                    if not rt.active_requests():
+                        self.stop_flag = True
+                        continue
+            else:
+                try:
+                    if strategy == SchedulingStrategy.CONTEXT_PRIORITY:
+                        while rt.try_prefill_one():
+                            did_work = True
+                    else:  # BALANCE: one prefill per turn
+                        did_work |= rt.try_prefill_one()
+                except Exception:
+                    logger.exception("prefill scheduling failed")
+                    self._fail_head()
 
             # 3. decode tick
             try:
@@ -86,8 +108,19 @@ class _ModelLoop:
                 for r in rt.active_requests():
                     rt.release_request(r.uuid)
 
-            # 4. periodic stats
+            # 4. periodic stats + prefix-cache TTL sweep (reference TTLs
+            #    unreferenced nodes at prefix_cache_ttl_s, default 300 s —
+            #    filter_timeout_hash, prefix_cache_manager.cpp:211)
             now = time.monotonic()
+            if rt.prefix_cache is not None and \
+                    now - self.last_ttl_sweep > EnvConfig.ttl_sweep_interval_s():
+                try:
+                    n = rt.prefix_cache.expire_ttl()
+                    if n:
+                        logger.info("prefix cache TTL: expired %d pages", n)
+                except Exception:
+                    logger.exception("prefix cache TTL sweep failed")
+                self.last_ttl_sweep = now
             if now - self.last_stat_log > EnvConfig.log_status_interval_s():
                 rt.update_stats()
                 rt.stat.tick_throughput()
@@ -108,11 +141,17 @@ class _ModelLoop:
             if q:
                 q.set_status(GenerateRequestStatus.InternalError)
 
-    def shutdown(self, graceful: bool = True):
-        if graceful:
-            # let running requests finish is the reference GracefulStop; here
-            # we simply stop issuing new work and interrupt the rest
-            pass
+    def shutdown(self, graceful: bool = False, timeout_s: float = 600.0):
+        """graceful=True (reference GracefulStop, as_engine.cpp:2549-2575):
+        stop admitting, interrupt never-admitted pending requests, let every
+        RUNNING request decode to completion, then join. graceful=False:
+        interrupt everything now."""
+        if graceful and self.thread and self.thread.is_alive():
+            self.draining = True
+            self.wake.set()
+            self.thread.join(timeout=timeout_s)
+            if self.thread.is_alive():
+                logger.warning("graceful stop timed out; forcing")
         self.stop_flag = True
         self.wake.set()
         if self.thread:
@@ -172,11 +211,16 @@ class Engine:
             loop.start()
         return self
 
-    def stop_model(self, name: str):
+    def stop_model(self, name: str, graceful: bool = False,
+                   timeout_s: float = 600.0):
+        """graceful=True mirrors the reference GracefulStopModel
+        (allspark.h:527, as_engine.cpp:2549-2575): new requests are
+        rejected, never-admitted pending ones are interrupted, and every
+        running request decodes to completion before the loop exits."""
         with self._lock:
             loop = self._loops.pop(name, None)
         if loop:
-            loop.shutdown()
+            loop.shutdown(graceful=graceful, timeout_s=timeout_s)
         return self
 
     def release_model(self, name: str):

@@ -64,6 +64,12 @@ class EnvConfig:
         return _get("DI_DUMP_OUTPUT_TOKEN", False)
 
     @staticmethod
+    def kernels_enabled() -> bool:
+        # DI_KERNELS=0: pure-XLA compute path even on TPU (no Pallas at
+        # all) — the cross-implementation oracle for parity checks
+        return _get("DI_KERNELS", "1") != "0"
+
+    @staticmethod
     def megakernel_enabled() -> bool:
         return _get("DI_MEGAKERNEL", "1") != "0"
 
@@ -75,3 +81,17 @@ class EnvConfig:
     def log_status_interval_s() -> float:
         # reference: HIE_LOG_STATUS_INTERVAL (as_engine.cpp:2508-2513)
         return _get("DI_LOG_STATUS_INTERVAL", 30.0)
+
+    @staticmethod
+    def warmup_enabled() -> bool:
+        # DI_WARMUP=0 skips the AOT warmup measurement in KV-pool planning
+        # (reference BFC warmup analog, as_engine.cpp:1035-1258) and falls
+        # back to the analytic activation-headroom heuristic
+        return _get("DI_WARMUP", "1") != "0"
+
+    @staticmethod
+    def ttl_sweep_interval_s() -> float:
+        # how often the scheduler loop sweeps TTL-expired prefix-cache nodes
+        # (the TTL itself is RuntimeConfig.prefix_cache_ttl_s, reference
+        # default 300 s — allspark.h:201)
+        return _get("DI_TTL_SWEEP_INTERVAL", 10.0)

@@ -196,3 +196,47 @@ def test_run_forward_generic_operator(engine_setup):
     np.testing.assert_allclose(out["logits"], np.asarray(ref), atol=2e-3,
                                rtol=2e-3)
     assert eng.get_engine_stat("tiny")["used_span"] == before
+
+
+def test_graceful_stop_drains_running_rejects_new():
+    """GracefulStop (reference as_engine.cpp:2549-2575): a running request
+    decodes to completion, never-admitted pending requests are interrupted,
+    and new start_request calls are rejected once the stop begins."""
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.loader import build_from_torch_model
+    from dashinfer_tpu.runtime.request import GenerateRequestStatus
+
+    hf_cfg = hf_util.tiny_qwen2_config()
+    model = hf_util.make_torch_model(hf_cfg)
+    cfg, params = build_from_torch_model(model, hf_cfg.to_dict(), "float32")
+    rt = (RuntimeConfigBuilder("gs").max_length(128).max_batch(1)
+          .kv_cache_page_size(16).kv_cache_num_pages(32).dtype("float32")
+          .update({"min_prefill_bucket": 16}).build())
+    eng = Engine()
+    eng.install_model("gs", rt, params=params, model_config=cfg)
+    eng.start_model("gs")
+    try:
+        rng = np.random.RandomState(21)
+        p1 = rng.randint(1, hf_cfg.vocab_size, size=9).tolist()
+        golden = hf_util.hf_greedy_tokens(model, p1, 20)
+        gen = lambda p, n: GenerationConfig(  # noqa: E731
+            max_length=len(p) + n, do_sample=False, top_k=1, eos_token_id=-1)
+        _, h1, q1 = eng.start_request("gs", p1, gen(p1, 20))
+        # wait until it is actually running (max_batch=1 keeps p2 pending)
+        deadline = time.monotonic() + 300
+        while not eng._models["gs"].active_requests() and \
+                time.monotonic() < deadline:
+            time.sleep(0.01)
+        p2 = rng.randint(1, hf_cfg.vocab_size, size=7).tolist()
+        _, h2, q2 = eng.start_request("gs", p2, gen(p2, 20))
+
+        eng.stop_model("gs", graceful=True, timeout_s=300)
+
+        assert q1.GenerateStatus() == GenerateRequestStatus.GenerateFinished
+        assert q1.GetAllGeneratedTokens() == golden
+        # the never-admitted request was interrupted, not silently dropped
+        assert q2.GenerateStatus() == GenerateRequestStatus.GenerateInterrupted
+        with pytest.raises(RuntimeError):
+            eng.start_request("gs", p1, gen(p1, 4))
+    finally:
+        eng.release_model("gs")

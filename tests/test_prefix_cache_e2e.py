@@ -112,3 +112,53 @@ def test_host_tier_swap_roundtrip():
     assert second == first
     assert pc.host_hits >= 1
     eng.release_model("ht")
+
+
+def test_ttl_expiry_sweep(monkeypatch):
+    """TTL-expired unreferenced nodes are freed by the scheduler loop's
+    periodic sweep (reference filter_timeout_hash,
+    prefix_cache_manager.cpp:211; TTL default allspark.h:201) — not only
+    under allocation pressure."""
+    import time
+
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.loader import build_from_torch_model
+
+    monkeypatch.setenv("DI_TTL_SWEEP_INTERVAL", "0.05")
+    hf_cfg = hf_util.tiny_qwen2_config()
+    model = hf_util.make_torch_model(hf_cfg)
+    cfg, params = build_from_torch_model(model, hf_cfg.to_dict(), "float32")
+
+    # host_bytes>0 selects the Python manager whose node deadlines the test
+    # can pin directly (expire_ttl LOGIC parity Python==native is covered by
+    # test_native.py; this test proves the scheduler-loop WIRING frees pages
+    # without allocation pressure, which round 1 lacked)
+    rt = (RuntimeConfigBuilder("ttl").max_length(128).max_batch(2)
+          .kv_cache_page_size(16).kv_cache_num_pages(32).dtype("float32")
+          .prefix_cache(True, ttl_s=300.0, host_bytes=1 << 20)
+          .update({"min_prefill_bucket": 16}).build())
+    eng = Engine()
+    eng.install_model("ttl", rt, params=params, model_config=cfg)
+    eng.start_model("ttl")
+    try:
+        rng = np.random.RandomState(3)
+        prompt = rng.randint(1, hf_cfg.vocab_size, size=37).tolist()
+        gen = GenerationConfig(max_length=len(prompt) + 4, do_sample=False,
+                               top_k=1, eos_token_id=-1)
+        _, h, q = eng.start_request("ttl", prompt, gen)
+        eng.sync_request("ttl", h, timeout_s=600)
+        eng.release_request("ttl", h)
+
+        pc = eng._models["ttl"].prefix_cache
+        assert pc.num_cached_pages > 0  # release left nodes cached
+        free0 = eng._models["ttl"].allocator.num_free
+        for node in pc.nodes.values():  # expire them now
+            node.ttl_deadline = time.monotonic() - 1.0
+
+        deadline = time.monotonic() + 10
+        while pc.num_cached_pages > 0 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert pc.num_cached_pages == 0, "TTL sweep never freed the nodes"
+        assert eng._models["ttl"].allocator.num_free > free0
+    finally:
+        eng.release_model("ttl")
