@@ -42,10 +42,27 @@ logger = get_logger("model_runtime")
 
 class _DevicePager:
     """Moves one logical page's pool rows device<->host for the prefix
-    cache's host tier."""
+    cache's host tier.
+
+    Swap-OUT is asynchronous (gather_page_async): the row gather is
+    dispatched on the scheduler thread (single-stream dispatch order
+    guarantees it reads the pool before any later donated step overwrites
+    the freed page), copy_to_host_async starts the D2H DMA, and a worker
+    thread materializes the blob and lands it in the host tier — decode
+    ticks never block on jax.device_get (reference overlaps swaps via a
+    32-thread pool + pinned buffers, prefix_cache_manager.h:201-210).
+    Swap-IN (restore_page) stays on the scheduler thread: its scatter is
+    async-dispatched by JAX anyway and the result must be visible to the
+    very next prefill."""
 
     def __init__(self, runtime: "ModelRuntime"):
+        import queue as _queue
+        import threading
         self.rt = runtime
+        self._q: "_queue.Queue" = _queue.Queue()
+        self._thread = threading.Thread(target=self._drain, daemon=True,
+                                        name="di-pager")
+        self._thread.start()
 
     def _rows(self, logical_page: int):
         L = self.rt.cfg.num_layers
@@ -53,6 +70,34 @@ class _DevicePager:
 
     def gather_page(self, logical_page: int):
         return self.rt._pager_gather(self._rows(logical_page))
+
+    def gather_page_async(self, logical_page: int, done_cb, fail_cb) -> None:
+        arrs = self.rt._gather_rows_fn()(self.rt.cache,
+                                         self._rows(logical_page))
+        for a in arrs:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        self._q.put((arrs, done_cb, fail_cb))
+
+    def _drain(self):
+        while True:
+            arrs, done_cb, fail_cb = self._q.get()
+            try:
+                done_cb(jax.device_get(arrs))
+            except Exception:
+                logger.exception("pager swap-out drain failed")
+                try:
+                    fail_cb()
+                except Exception:
+                    pass
+            finally:
+                self._q.task_done()
+
+    def flush(self) -> None:
+        """Block until all pending swap-outs have landed (tests/shutdown)."""
+        self._q.join()
 
     def restore_page(self, blob) -> int:
         page = self.rt.allocator.alloc(1)[0]
@@ -63,7 +108,21 @@ class _DevicePager:
             raise
         return page
 
-_DEFAULT_HBM = 16 * 1024**3  # v5e per-chip
+_DEFAULT_HBM = 16 * 1024**3  # v5e per-chip (fallback when probing fails)
+
+
+def _detect_hbm_bytes() -> int:
+    """Per-chip HBM capacity from the runtime (v5e 16G / v5p 95G / v4 32G)
+    instead of a hardcoded generation guess."""
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        if st:
+            for key in ("bytes_limit", "bytes_reservable_limit"):
+                if st.get(key):
+                    return int(st[key])
+    except Exception:  # memory_stats unsupported on this backend
+        pass
+    return _DEFAULT_HBM
 
 
 def _weight_bytes(params) -> int:
@@ -78,7 +137,10 @@ class ModelRuntime:
         self.rt = rt
         self.tokenizer = tokenizer
         if use_kernel is None:
-            use_kernel = jax.default_backend() == "tpu"
+            # DI_KERNELS=0 forces the pure-XLA path even on TPU — the
+            # cross-implementation oracle for tools/tpu_parity_check.py
+            use_kernel = (jax.default_backend() == "tpu" and
+                          EnvConfig.kernels_enabled())
         self.use_kernel = use_kernel
         self.dtype = jnp.bfloat16 if rt.dtype == "bfloat16" else jnp.dtype(rt.dtype)
 
@@ -232,10 +294,27 @@ class ModelRuntime:
         lpb = logical_page_bytes(cfg, rt.cache, self.dtype)
         kv_bytes = rt.kv_pool_bytes or EnvConfig.kv_pool_bytes()
         if not kv_bytes:
-            hbm = rt.hbm_bytes or _DEFAULT_HBM
+            hbm = rt.hbm_bytes or _detect_hbm_bytes()
             w = _weight_bytes(self.params)
-            # activation headroom: scales with the largest prefill bucket
-            act = min(2 * 1024**3, max(512 * 1024**2, w // 4))
+            if self.mega_params is not None:
+                # packed megakernel streams live in HBM alongside raw params
+                w += _weight_bytes(self.mega_params)
+            act = None
+            if EnvConfig.warmup_enabled():
+                act = self._measure_step_temp_bytes()
+            if act is not None:
+                # measured XLA temps + program code/runtime slack (the
+                # reference warms up with fake requests and reads the
+                # allocator high-water instead, as_engine.cpp:1035-1258;
+                # AOT memory_analysis gives the same number without
+                # executing)
+                logger.info("warmup-measured step temps: %.2f GiB",
+                            act / 1024**3)
+                act += 256 * 1024**2
+            else:
+                # heuristic fallback (non-warmup / TP mesh): scales with
+                # the largest prefill bucket
+                act = min(2 * 1024**3, max(512 * 1024**2, w // 4))
             kv_bytes = int(hbm * EnvConfig.hbm_mem_ratio()) - w - act
         n = max(kv_bytes // lpb, 2 * rt.max_batch)
         # never exceed what max_batch sequences can use
@@ -243,6 +322,76 @@ class ModelRuntime:
         logger.info("KV pool: %d logical pages (%.2f GiB)", n,
                     n * lpb / 1024**3)
         return int(n)
+
+    def _measure_step_temp_bytes(self) -> Optional[int]:
+        """AOT-compile (lower+compile, NO execution) the decode step and the
+        largest-bucket XLA prefill step against ShapeDtypeStruct args and
+        return the max XLA temp footprint — the warmup phase of the
+        reference's two-phase pool sizing (as_engine.cpp:1035-1258,
+        model.cpp:1527-1576) without running fake requests. The XLA prefill
+        bounds the megakernel prefill (any request can fall back to it:
+        prefix hits, chunked continuations, LoRA), and pool arguments are
+        donated so temps are the only unaccounted HBM. Returns None when
+        unmeasurable (TP mesh per-rank sizing, backend without
+        memory_analysis)."""
+        if self.mesh is not None:
+            return None
+        try:
+            cfg, rt = self.cfg, self.rt
+            B = rt.max_batch
+            i32 = jnp.int32
+
+            def sds(tree):
+                return jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                                   jnp.result_type(x)), tree)
+
+            n0 = 2 * B  # provisional pool size; temps do not scale with it
+            cache_sds = jax.eval_shape(lambda: create_kv_cache(
+                cfg, rt.cache, n0 * cfg.num_layers, model_dtype=self.dtype))
+            state_sds = jax.eval_shape(
+                lambda: make_decode_state(cfg, rt))
+
+            def temp_of(lowered):
+                ma = lowered.compile().memory_analysis()
+                if ma is None:
+                    return None
+                return int(ma.temp_size_in_bytes)
+
+            dec = steps_mod.build_decode_step(
+                cfg, rt, use_kernel=self.use_kernel,
+                megakernel_plan=self.mega_plan)
+            t_dec = temp_of(dec.lower(
+                sds(self._decode_params(False)), cache_sds, state_sds,
+                jax.ShapeDtypeStruct((B,), i32)))
+
+            bucket = rt.max_length  # == self._make_buckets()[-1]
+            maxPb = -(-bucket // rt.cache.page_size)
+            init_sds = jax.eval_shape(lambda: steps_mod.SlotInit(
+                slot=jnp.int32(0), temperature=jnp.float32(1),
+                top_k=jnp.int32(1), top_p=jnp.float32(1),
+                repetition_penalty=jnp.float32(1),
+                presence_penalty=jnp.float32(0),
+                frequency_penalty=jnp.float32(0), seed=jnp.uint32(0),
+                min_gen_len=jnp.int32(0),
+                stop_token_ids=jnp.zeros((rt.max_stop_token_ids,),
+                                         jnp.int32),
+                lora_idx=jnp.int32(-1), pos_offset=jnp.int32(0)))
+            pf = steps_mod.build_prefill_step(
+                cfg, rt, bucket, use_kernel=self.use_kernel)
+            t_pf = temp_of(pf.lower(
+                sds(self.params), cache_sds, state_sds,
+                jax.ShapeDtypeStruct((bucket,), i32),
+                jax.ShapeDtypeStruct((maxPb,), i32),
+                jax.ShapeDtypeStruct((), i32), jax.ShapeDtypeStruct((), i32),
+                init_sds))
+            if t_dec is None or t_pf is None:
+                return None
+            return max(t_dec, t_pf)
+        except Exception:
+            logger.exception("warmup temp measurement failed; falling back "
+                             "to the analytic headroom heuristic")
+            return None
 
     def _make_buckets(self) -> List[int]:
         rt = self.rt
@@ -895,7 +1044,7 @@ class ModelRuntime:
         self.queues.pop(uuid, None)
         self._cached_len.pop(uuid, None)
 
-    def _pager_gather(self, rows):
+    def _gather_rows_fn(self):
         if self._gather_rows is None:
             def g(cache, rows):
                 out = [cache.k[rows], cache.v[rows]]
@@ -903,7 +1052,10 @@ class ModelRuntime:
                     out += [cache.k_qparams[rows], cache.v_qparams[rows]]
                 return tuple(out)
             self._gather_rows = jax.jit(g)
-        return jax.device_get(self._gather_rows(self.cache, rows))
+        return self._gather_rows
+
+    def _pager_gather(self, rows):
+        return jax.device_get(self._gather_rows_fn()(self.cache, rows))
 
     def _pager_scatter(self, rows, blob):
         if self._scatter_rows is None:

@@ -48,18 +48,28 @@ class HostTier:
     """Host-RAM tier for evicted prefix pages (reference CacheUnion CPU table
     + swap pools, prefix_cache_manager.h:34-84, 201-210). Holds one blob
     (the page's K/V rows pulled via the pager) per node key, LRU-bounded by
-    a byte budget."""
+    a byte budget.
+
+    Thread-safe with an IN-FLIGHT protocol for asynchronous swap-out (the
+    reference overlaps swaps via a 32-thread pool + pinned buffers): the
+    scheduler thread marks a key in-flight when it launches the device->host
+    gather and a pager worker thread lands the blob later via put_inflight;
+    pop blocks briefly for an in-flight key so a lookup racing the copy
+    still hits."""
 
     def __init__(self, capacity_bytes: int, page_bytes: int):
+        import threading
         self.capacity = capacity_bytes
         self.page_bytes = max(page_bytes, 1)
         self.blobs: "OrderedDict[bytes, object]" = OrderedDict()
+        self._cond = threading.Condition()
+        self._inflight: set = set()
 
     @property
     def max_nodes(self) -> int:
         return self.capacity // self.page_bytes
 
-    def put(self, key: bytes, blob) -> None:
+    def _put_locked(self, key: bytes, blob) -> None:
         if self.max_nodes <= 0:
             return
         self.blobs[key] = blob
@@ -67,14 +77,44 @@ class HostTier:
         while len(self.blobs) > self.max_nodes:
             self.blobs.popitem(last=False)
 
-    def pop(self, key: bytes):
-        return self.blobs.pop(key, None)
+    def put(self, key: bytes, blob) -> None:
+        with self._cond:
+            self._put_locked(key, blob)
+
+    # -- async swap-out protocol ---------------------------------------------
+    def mark_inflight(self, key: bytes) -> None:
+        with self._cond:
+            self._inflight.add(key)
+
+    def put_inflight(self, key: bytes, blob) -> None:
+        with self._cond:
+            if key in self._inflight:
+                self._inflight.discard(key)
+                self._put_locked(key, blob)
+                self._cond.notify_all()
+
+    def cancel_inflight(self, key: bytes) -> None:
+        with self._cond:
+            self._inflight.discard(key)
+            self._cond.notify_all()
+
+    def pop(self, key: bytes, wait_s: float = 2.0):
+        deadline = time.monotonic() + wait_s
+        with self._cond:
+            while key in self._inflight:
+                left = deadline - time.monotonic()
+                if left <= 0 or not self._cond.wait(timeout=left):
+                    break
+            return self.blobs.pop(key, None)
 
     def __contains__(self, key: bytes) -> bool:
-        return key in self.blobs
+        with self._cond:
+            return key in self.blobs or key in self._inflight
 
     def __len__(self) -> int:
-        return len(self.blobs)
+        # in-flight swap-outs count: they are committed to land (pop waits)
+        with self._cond:
+            return len(self.blobs) + len(self._inflight)
 
 
 class PrefixCacheManager:
@@ -189,6 +229,26 @@ class PrefixCacheManager:
         return node
 
     def _swap_out(self, node) -> None:
+        """Asynchronous when the pager supports it (gather_page_async): the
+        device->host gather is DISPATCHED here (so it reads the pool rows
+        before any later step can overwrite the freed page — single-stream
+        dispatch order) but the host copy completes on the pager's worker
+        thread, so decode ticks never block on jax.device_get (reference
+        32-thread swap pool, prefix_cache_manager.h:201-210)."""
+        async_gather = getattr(self.pager, "gather_page_async", None)
+        if async_gather is not None:
+            import functools
+            self.host_tier.mark_inflight(node.key)
+            try:
+                async_gather(
+                    node.page,
+                    functools.partial(self.host_tier.put_inflight, node.key),
+                    functools.partial(self.host_tier.cancel_inflight,
+                                      node.key))
+            except Exception:
+                self.host_tier.cancel_inflight(node.key)
+                logger.exception("async swap-out failed; dropping node")
+            return
         try:
             blob = self.pager.gather_page(node.page)
         except Exception:

@@ -16,3 +16,13 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Opt-in persistent XLA compile cache for fast test iteration: the interpret
+# megakernel suites are dominated by XLA:CPU compile time (~20 s/case cold,
+# ~13 s warm). Off by default — the loader logs noisy (harmless)
+# prefer-no-scatter/gather machine-feature warnings on reload.
+if os.environ.get("DI_TEST_COMPILE_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["DI_TEST_COMPILE_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -58,9 +58,33 @@ def _tiny(B=4, L=2, KH=1, H=2, hid=256, inter=256, vocab=512, ps=16,
     return cfg, rt, params
 
 
+_fixture_cache = {}
+
+
+def _quantized_fixture(quant, qk_norm, alibi, ps, kh):
+    """Memoized (cfg, rt, params) per geometry+quant combo: quantize_params
+    costs seconds per call on the single-core CI box, and parametrized
+    cases share most combos. Params are immutable jax arrays — sharing
+    across cases is safe; callers must not mutate rt in place
+    (dataclasses.replace only)."""
+    key = (quant, qk_norm, alibi, ps, kh)
+    if key not in _fixture_cache:
+        from dashinfer_tpu.config import QuantConfig
+        cfg, rt, params = _tiny(qk_norm=qk_norm, alibi=alibi, ps=ps,
+                                KH=kh, H=2 * kh)
+        if quant != "none":
+            from dashinfer_tpu.loader.quantize import quantize_params
+            params = quantize_params(params, QuantConfig(mode=quant,
+                                                         group_size=128))
+        _fixture_cache[key] = (cfg, rt, params)
+    return _fixture_cache[key]
+
+
 def _prep_cache(cfg, rt, params, mode, lens, pt):
     """Prefill each slot's pages through the functional prefill path so both
     decode paths see identical cache contents."""
+    import functools
+    import jax
     import jax.numpy as jnp
     from dashinfer_tpu.models import transformer
     from dashinfer_tpu.runtime.kv_cache import create_kv_cache
@@ -75,16 +99,19 @@ def _prep_cache(cfg, rt, params, mode, lens, pt):
     S = max(32, -(-maxT // ps) * ps)
     n_pages = -(-S // ps)
     rng = np.random.RandomState(3)
+    # jit once (T is a traced scalar): per-slot eager dispatch dominated
+    # the fixture cost on the single-core CI box
+    pf = jax.jit(functools.partial(transformer.prefill_forward, cfg,
+                                   mode=mode, use_kernel=False))
     for b in range(B):
         T = int(lens[b])
         if T == 0:
             continue
         toks = np.zeros((S,), np.int32)
         toks[:T] = rng.randint(1, cfg.vocab_size, size=T)
-        _, cache = transformer.prefill_forward(
-            cfg, params, jnp.asarray(toks), cache,
-            jnp.asarray(pt[b, :n_pages]),
-            jnp.int32(0), jnp.int32(T), mode=mode, use_kernel=False)
+        _, cache = pf(params, jnp.asarray(toks), cache,
+                      jnp.asarray(pt[b, :n_pages]),
+                      jnp.int32(0), jnp.int32(T))
     return cache
 
 
@@ -104,6 +131,17 @@ def _prep_cache(cfg, rt, params, mode, lens, pt):
 ])
 def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi,
                                       page_chunk, ps):
+    run_megakernel_parity_case(quant, kv_mode_name, qk_norm, alibi,
+                               page_chunk, ps, interpret=True)
+
+
+def run_megakernel_parity_case(quant, kv_mode_name, qk_norm, alibi,
+                               page_chunk, ps, interpret=True):
+    """Megakernel decode step vs the XLA decode_forward reference on the
+    SAME cache/inputs: logits rel-tol + argmax (greedy) parity, plus KV/
+    qparam write-back checks. interpret=True = CPU CI; interpret=False on
+    a TPU = the hardware numerics gate (tools/tpu_parity_check.py quant
+    cases — Mosaic-lowered code, no interpret shortcut)."""
     import jax
     import jax.numpy as jnp
     from dashinfer_tpu.config import CacheConfig, CacheMode, QuantConfig, \
@@ -118,14 +156,9 @@ def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi,
     # KH*D/2 lane dim to fill a 128 tile (supports() gates KH=1 + u4 off
     # the fast path), so u4-KV cases run the realistic GQA geometry
     kh = 2 if kv_mode == CacheMode.UINT4 else 1
-    cfg, rt, params = _tiny(qk_norm=qk_norm, alibi=alibi, ps=ps, KH=kh,
-                            H=2 * kh)
+    cfg, rt, params = _quantized_fixture(quant, qk_norm, alibi, ps, kh)
     rt = dataclasses.replace(
         rt, cache=dataclasses.replace(rt.cache, mode=kv_mode))
-    if quant != "none":
-        from dashinfer_tpu.loader.quantize import quantize_params
-        params = quantize_params(params, QuantConfig(mode=quant,
-                                                     group_size=128))
     if quant == "a8w8":
         # reference decoder_weight_only_ (device_context.h:148-149): decode
         # runs the weight-only view of the symmetric per-channel int8 leaves;
@@ -142,7 +175,7 @@ def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi,
     if page_chunk != 1:
         plan = dataclasses.replace(plan, page_chunk=page_chunk)
     packed = mk.pack_params(cfg, plan, params)
-    fn = mk.build_decode_megakernel(plan, interpret=True)
+    fn = mk.build_decode_megakernel(plan, interpret=interpret)
 
     B, L, ps = rt.max_batch, cfg.num_layers, rt.cache.page_size
     maxP = rt.max_pages_per_seq

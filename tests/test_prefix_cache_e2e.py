@@ -162,3 +162,72 @@ def test_ttl_expiry_sweep(monkeypatch):
         assert eng._models["ttl"].allocator.num_free > free0
     finally:
         eng.release_model("ttl")
+
+
+def test_async_swap_overlaps_decode():
+    """Host-tier swap-out must not block decode: evictions fired while a
+    request is mid-decode land their blobs on the pager worker thread and
+    the generation still matches the no-swap run (reference overlaps swaps
+    via a thread pool, prefix_cache_manager.h:201-210)."""
+    import time
+
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.loader import build_from_torch_model
+    from dashinfer_tpu.runtime.request import GenerateRequestStatus
+
+    hf_cfg = hf_util.tiny_qwen2_config()
+    model = hf_util.make_torch_model(hf_cfg)
+    cfg, params = build_from_torch_model(model, hf_cfg.to_dict(), "float32")
+    rt = (RuntimeConfigBuilder("as").max_length(128).max_batch(2)
+          .kv_cache_page_size(16).kv_cache_num_pages(32)
+          .dtype("float32").prefix_cache(True)
+          .update({"min_prefill_bucket": 16,
+                   "prefix_cache_host_bytes": 64 * 1024 * 1024})
+          .build())
+    eng = Engine()
+    eng.install_model("as", rt, params=params, model_config=cfg)
+    eng.start_model("as")
+    try:
+        rng = np.random.RandomState(11)
+        seed_prompt = rng.randint(1, hf_cfg.vocab_size, size=33).tolist()
+        gen = lambda n: GenerationConfig(  # noqa: E731
+            max_length=n, do_sample=False, top_k=1, eos_token_id=-1)
+
+        # seed the cache with 2 full pages, then release
+        _, h0, q0 = eng.start_request("as", seed_prompt, gen(36))
+        eng.sync_request("as", h0, timeout_s=600)
+        eng.release_request("as", h0)
+        mrt = eng._models["as"]
+        pc = mrt.prefix_cache
+        assert pc.num_cached_pages >= 2
+
+        # golden long run (cache hit path), no swap traffic
+        p2 = rng.randint(1, hf_cfg.vocab_size, size=9).tolist()
+        golden = hf_util.hf_greedy_tokens(model, p2, 30)
+
+        # start the long decode, then fire evictions mid-flight from the
+        # scheduler loop (swap-outs dispatch + land on the pager thread)
+        _, h, q = eng.start_request("as", p2, gen(39))
+        loop = eng._loops["as"]
+        deadline = time.monotonic() + 300
+        while not q.GetAllGeneratedTokens() and time.monotonic() < deadline:
+            time.sleep(0.01)  # wait until decode is rolling
+        loop.submit(lambda: pc.evict(100))
+        eng.sync_request("as", h, timeout_s=600)
+        got = q.GetAllGeneratedTokens()
+        eng.release_request("as", h)
+        assert q.GenerateStatus() == GenerateRequestStatus.GenerateFinished
+        assert got == golden
+
+        # swap-outs landed asynchronously; blobs must be intact: a fresh
+        # request over the seed prompt must swap in and match the original
+        pc.pager.flush()
+        assert pc.num_host_nodes >= 1
+        first = q0.GetAllGeneratedTokens()
+        _, h2, q2 = eng.start_request("as", seed_prompt, gen(36))
+        eng.sync_request("as", h2, timeout_s=600)
+        assert q2.GetAllGeneratedTokens() == first
+        assert pc.host_hits >= 1
+        eng.release_request("as", h2)
+    finally:
+        eng.release_model("as")

@@ -137,3 +137,52 @@ def test_arbiter_dump_matches_hf(tmp_path):
     for k, v in report.items():
         if k.startswith("layer_") and k != f"layer_{cfg.num_layers-1:03d}":
             assert v[2], (k, v)
+
+
+def test_warmup_pool_planning(monkeypatch):
+    """Auto pool sizing (num_pages=0) measures real XLA step temps via AOT
+    memory_analysis (reference warmup pool sizing, as_engine.cpp:1035-1258)
+    instead of the w//4 headroom guess, and detects HBM from the runtime."""
+    from dashinfer_tpu import RuntimeConfigBuilder
+    from dashinfer_tpu.engine.model_runtime import ModelRuntime
+    from dashinfer_tpu.loader import build_from_torch_model
+    from dashinfer_tpu.runtime.kv_cache import logical_page_bytes
+    import tests.hf_util as hf_util
+
+    hf_cfg = hf_util.tiny_qwen2_config()
+    model = hf_util.make_torch_model(hf_cfg)
+    cfg, params = build_from_torch_model(model, hf_cfg.to_dict(), "float32")
+
+    def build_rt(hbm):
+        return (RuntimeConfigBuilder("wp").max_length(64).max_batch(2)
+                .kv_cache_page_size(16).dtype("float32")
+                .update({"min_prefill_bucket": 16,
+                         "hbm_bytes": hbm}).build())
+
+    rt = build_rt(256 * 1024**2)
+    runtime = ModelRuntime("wp", cfg, params, rt, use_kernel=False)
+    measured = runtime._measure_step_temp_bytes()
+    assert isinstance(measured, int) and measured > 0
+
+    # the planner actually consumed the measurement: pool pages shrink as
+    # claimed temps grow (monkeypatch the measure to a huge value)
+    n_measured = runtime.num_logical_pages
+    lpb = logical_page_bytes(cfg, rt.cache, runtime.dtype)
+    assert n_measured >= 2 * rt.max_batch
+
+    monkeypatch.setattr(ModelRuntime, "_measure_step_temp_bytes",
+                        lambda self: 10 * 1024**3)
+    squeezed = ModelRuntime("wp2", cfg, params, build_rt(256 * 1024**2),
+                            use_kernel=False)
+    # 10 GiB claimed temps blow the 256 MiB budget -> floor of 2*max_batch
+    assert squeezed.num_logical_pages == 2 * rt.max_batch
+    assert squeezed.num_logical_pages <= n_measured
+
+    # DI_WARMUP=0 falls back to the analytic heuristic without measuring
+    monkeypatch.setenv("DI_WARMUP", "0")
+    monkeypatch.setattr(
+        ModelRuntime, "_measure_step_temp_bytes",
+        lambda self: (_ for _ in ()).throw(AssertionError("measured")))
+    heuristic = ModelRuntime("wp3", cfg, params, build_rt(16 * 1024**3),
+                             use_kernel=False)
+    assert heuristic.num_logical_pages >= 2 * rt.max_batch

@@ -3,11 +3,19 @@ with the megakernel fast paths forced and compare tokens against the HF
 torch oracle. Catches silent Mosaic lowering divergences that interpret-mode
 tests cannot (they run the kernel as jax ops on CPU).
 
-Cases:
+Float cases (oracle = HF torch greedy):
   qwen2-decode    decode megakernel (prefill via tiny XLA bucket)
   qwen2-prefill   prefill megakernel (128 bucket) + decode megakernel
   qwen3-prefill   Qwen3 per-head QK RMSNorm through both kernels
   qwen2moe        MoE router/expert streams through both kernels
+
+Quantized cases (oracle = the XLA decode_forward reference on identical
+cache/inputs, step-level, Mosaic-lowered kernel — HF torch has no u4
+weights to compare against):
+  a16w4-int8-decode    u4 weights + int8 KV
+  a16w8-uint4-decode   i8 weights + u4 KV (GQA geometry)
+  a16w4-int8-ps64      the DEFAULT page_size=64 config (round-1 breaker)
+  a16w4-int8-ps256     128-lane RMW qparam windows past lane 128
 
 Usage: python tools/tpu_parity_check.py [case ...]   (needs the real TPU)
 """
@@ -55,6 +63,23 @@ def run_case(name, hf, min_bucket, want_prefill_mega):
     print(f"[{name}] TPU megakernel parity: OK", flush=True)
 
 
+def run_case_quant(name, quant, kv_mode_name, ps=16):
+    """Megakernel decode step vs the XLA decode_forward reference on
+    identical cache/inputs, executed ON the TPU through the real
+    Mosaic-lowered kernel (interpret=False): logits rel-tol + per-row
+    argmax (greedy) parity + KV/qparam write-back checks. Step-level on
+    purpose — a free-running engine-vs-engine token comparison amplifies
+    bf16-vs-f32 near-ties on random tiny quantized models into spurious
+    divergence, while a miscompile shows up in a single step's logits.
+    torch has no u4/i8 oracle; the XLA path is the cross-implementation
+    reference (itself covered by the float engine cases above)."""
+    from tests.test_megakernel import run_megakernel_parity_case
+    run_megakernel_parity_case(quant, kv_mode_name, qk_norm=False,
+                               alibi=False, page_chunk=1, ps=ps,
+                               interpret=False)
+    print(f"[{name}] TPU quantized step parity: OK", flush=True)
+
+
 def main():
     import jax
     assert jax.default_backend() == "tpu", "needs the real TPU"
@@ -80,6 +105,15 @@ def main():
             "qwen2moe", hf_util.tiny_qwen2_moe_config(
                 vocab=512, hidden=256, inter=512, layers=2, heads=2,
                 kv_heads=1), 128, True),
+        "a16w4-int8-decode": lambda: run_case_quant(
+            "a16w4-int8-decode", "a16w4", "int8"),
+        # u4 KV runs GQA geometry inside the case (KH*D/2 >= 128 gate)
+        "a16w8-uint4-decode": lambda: run_case_quant(
+            "a16w8-uint4-decode", "a16w8", "uint4"),
+        "a16w4-int8-ps64": lambda: run_case_quant(
+            "a16w4-int8-ps64", "a16w4", "int8", ps=64),
+        "a16w4-int8-ps256": lambda: run_case_quant(
+            "a16w4-int8-ps256", "a16w4", "int8", ps=256),
     }
     picked = sys.argv[1:] or list(cases)
     for name in picked:
