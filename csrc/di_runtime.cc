@@ -90,10 +90,14 @@ int32_t dipa_commit(void* h, int64_t ticket, int32_t count,
     a->free_list.pop_back();
   }
   a->reserved_total -= count;
-  if (held == count)
-    a->reserved.erase(it);
-  else
-    it->second = held - count;
+  // count == 0 with no reservation is legal (full prefix hit admits with
+  // zero new pages); `it` is end() there — erasing it is UB
+  if (it != a->reserved.end()) {
+    if (held == count)
+      a->reserved.erase(it);
+    else
+      it->second = held - count;
+  }
   return 0;
 }
 

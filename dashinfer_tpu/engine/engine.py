@@ -413,15 +413,27 @@ class Engine:
         threshold = 0
         length = start_len
         while length <= max_len:
+            gen = lambda: GenerationConfig(max_length=length + 2,  # noqa
+                                           do_sample=False, top_k=1,
+                                           eos_token_id=-1)
+            # compile pre-warm (reference probes a warmed engine,
+            # as_engine.cpp:796-868): a DIFFERENT random prompt of the same
+            # bucket pays the prefill/decode jit so the timed cold run
+            # measures prefill work, not compilation; its cache nodes are
+            # evicted so the timed cold run gets no prefix hit either.
+            warm_ids = rng.randint(1, runtime.cfg.vocab_size,
+                                   size=length).tolist()
+            _, hw, _ = self.start_request(name, warm_ids, gen())
+            self.sync_request(name, hw, timeout_s=600)
+            self.release_request(name, hw)
+            runtime.prefix_cache.evict(10 ** 9)
+
             ids = rng.randint(1, runtime.cfg.vocab_size,
                               size=length).tolist()
             times = []
             for _ in range(2):   # cold then warm
-                gen = GenerationConfig(max_length=length + 2,
-                                       do_sample=False, top_k=1,
-                                       eos_token_id=-1)
                 t0 = time.monotonic()
-                _, h, q = self.start_request(name, ids, gen)
+                _, h, q = self.start_request(name, ids, gen())
                 self.sync_request(name, h, timeout_s=600)
                 times.append(q.RequestStatInfo().get(
                     "time_to_first_token", time.monotonic() - t0))

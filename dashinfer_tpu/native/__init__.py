@@ -260,9 +260,12 @@ class NativePrefixCacheManager:
         return [p for p in pages if p not in owned_set]
 
     def evict(self, want_pages: int) -> int:
-        if want_pages <= 0:
-            return 0
         with self._lock:
+            # clamp: evict(huge) is a legal "drop everything" request and
+            # the out-buffer can never exceed the node count
+            want_pages = min(want_pages, self._lib.dipc_num_nodes(self._h))
+            if want_pages <= 0:
+                return 0
             buf = _i32buf(want_pages)
             m = self._lib.dipc_evict(self._h, want_pages, buf)
             freed = list(buf[:m])

@@ -154,3 +154,19 @@ def test_prefix_cache_ttl_expiry():
     import time
     time.sleep(0.01)
     assert py.expire_ttl() == nat.expire_ttl() == 2  # 16 toks / ps=8
+
+
+def test_commit_zero_without_reservation():
+    """commit(uuid, 0) with NO prior reservation is legal — a full
+    prefix-cache hit admits a request with zero new pages (regression:
+    the native allocator erased map.end(), a latent segfault)."""
+    native = _native_or_skip()
+    from dashinfer_tpu.runtime.page_allocator import PageAllocator
+
+    py = PageAllocator(8)
+    nat = native.NativePageAllocator(8)
+    assert py.commit("nobody", 0) == nat.commit("nobody", 0) == []
+    # allocator still fully functional afterwards
+    assert py.reserve("a", 3) and nat.reserve("a", 3)
+    assert len(py.commit("a", 3)) == len(nat.commit("a", 3)) == 3
+    assert py.num_free == nat.num_free == 5

