@@ -231,9 +231,13 @@ class Engine:
 
     # -- requests -------------------------------------------------------------
     def start_request(self, name: str, input_ids: List[int],
-                      gen_cfg: Optional[GenerationConfig] = None
+                      gen_cfg: Optional[GenerationConfig] = None,
+                      request_uuid: Optional[str] = None
                       ) -> Tuple[GenerateRequestStatus, RequestHandle,
                                  ResultQueue]:
+        """`request_uuid` pins the request id (multi-host replication needs
+        the SAME uuid on every controller, service/multihost.py); omit it
+        for normal use."""
         gen_cfg = gen_cfg or GenerationConfig()
         runtime = self._models[name]
         loop = self._loops.get(name)
@@ -248,7 +252,7 @@ class Engine:
             raise ValueError(
                 f"prompt length {len(input_ids)} >= max_length "
                 f"{gen_cfg.max_length}")
-        uuid = new_uuid()
+        uuid = request_uuid or new_uuid()
         req = Request(uuid=uuid, input_ids=list(map(int, input_ids)),
                       gen_cfg=gen_cfg)
         req.stat.arrival_time = time.monotonic()
