@@ -74,6 +74,7 @@ class Gpt2Converter:
         }
 
 
-@register_model("GPT2LMHeadModel", "gpt2")
+# reference registers GPT3 as the same decoder graph (gpt3.cpp:23)
+@register_model("GPT2LMHeadModel", "gpt2", "gpt3")
 def build_gpt2():
     return _model_config, Gpt2Converter()

@@ -32,9 +32,49 @@ def build_request_qwen_vl(image_embeds: Sequence[np.ndarray],
     return {"mm_info": mm}
 
 
+class RedisEmbeddingStore:
+    """Optional REMOTE embedding tier shared across serving processes
+    (reference RedisCache over aquila TensorStore,
+    multimodal utils/cache/redis_cache.py; the cache_manager falls back to
+    the local LRU when redis is unreachable — same posture here). Values
+    are raw float16 bytes + shape header; failures degrade to miss/no-op
+    so the local tier always remains authoritative."""
+
+    def __init__(self, host: str, port: int = 6379, password: str = "",
+                 ttl_s: int = 300):
+        import redis  # not in this image by default; ImportError -> caller
+        self._r = redis.Redis(host=host, port=port, password=password,
+                              socket_timeout=3.0)
+        self.ttl_s = ttl_s
+
+    def get(self, key: bytes) -> Optional[np.ndarray]:
+        try:
+            blob = self._r.get(b"di-vit:" + key)
+        except Exception:
+            logger.warning("redis tier get failed; treating as miss")
+            return None
+        if blob is None or len(blob) < 8:
+            return None
+        n, d = np.frombuffer(blob[:8], np.int32)
+        return np.frombuffer(blob[8:], np.float16).reshape(n, d) \
+            .astype(np.float32)
+
+    def put(self, key: bytes, value: np.ndarray) -> None:
+        v16 = np.ascontiguousarray(value, np.float16)
+        hdr = np.asarray(v16.shape, np.int32).tobytes()
+        try:
+            self._r.set(b"di-vit:" + key, hdr + v16.tobytes(), ex=self.ttl_s)
+        except Exception:
+            logger.warning("redis tier put failed; local tier only")
+
+
 class VisionRunner:
     def __init__(self, vcfg: VL.VisionConfig, vparams,
-                 cache_bytes: int = 256 * 1024 * 1024):
+                 cache_bytes: int = 256 * 1024 * 1024, remote_store=None):
+        """`remote_store`: optional second cache tier shared across
+        processes — any object with get(key)->array|None and
+        put(key, array) (e.g. RedisEmbeddingStore). Checked after the
+        local LRU misses; populated on compute."""
         import jax
         import jax.numpy as jnp
         self.vcfg = vcfg
@@ -42,7 +82,9 @@ class VisionRunner:
         self._cache: "OrderedDict[bytes, np.ndarray]" = OrderedDict()
         self._cache_bytes = 0
         self._capacity = cache_bytes
+        self.remote_store = remote_store
         self.hits = 0
+        self.remote_hits = 0
         self.misses = 0
 
     @staticmethod
@@ -62,15 +104,26 @@ class VisionRunner:
             self._cache.move_to_end(key)
             self.hits += 1
             return hit
+        if self.remote_store is not None:
+            remote = self.remote_store.get(key)
+            if remote is not None:
+                self.remote_hits += 1
+                self._cache_put(key, remote)
+                return remote
         self.misses += 1
         out = np.asarray(VL.vision_forward(
             self.vcfg, self.vparams, jnp.asarray(patches), [tuple(grid)]))
+        self._cache_put(key, out)
+        if self.remote_store is not None:
+            self.remote_store.put(key, out)
+        return out
+
+    def _cache_put(self, key: bytes, out: np.ndarray) -> None:
         self._cache[key] = out
         self._cache_bytes += out.nbytes
         while self._cache_bytes > self._capacity and self._cache:
             _, old = self._cache.popitem(last=False)
             self._cache_bytes -= old.nbytes
-        return out
 
     def build_request(self, input_ids: List[int],
                       images: Sequence[Tuple[np.ndarray, Tuple[int, int, int]]],

@@ -251,3 +251,40 @@ def test_vision_runner_cache(vl_model):
         [(patches, (1, 4, 8))], cfg.image_token_id, cfg.video_token_id)
     assert req["mm_info"][0][1].shape == (8, cfg.vision_config.hidden_size)
     assert req["mrope_positions"].shape[0] == 3
+
+
+def test_vision_runner_remote_tier(vl_model):
+    """Remote embedding tier (reference redis CacheUnion, multimodal
+    utils/cache/): checked after a local miss, populated on compute, and a
+    remote hit refills the local LRU. Uses a dict-backed fake store (redis
+    itself is optional and absent in CI)."""
+    from dashinfer_tpu.models import qwen2_vl as VL
+    from dashinfer_tpu.vlm.runner import VisionRunner
+
+    cfg, m = vl_model
+    vcfg = VL.vision_config_from_hf(cfg.vision_config.to_dict())
+    vparams = VL.convert_hf_visual(dict(m.state_dict()), vcfg)
+
+    class FakeStore:
+        def __init__(self):
+            self.d = {}
+        def get(self, key):
+            return self.d.get(key)
+        def put(self, key, value):
+            self.d[key] = np.array(value)
+
+    store = FakeStore()
+    r1 = VisionRunner(vcfg, vparams, remote_store=store)
+    rng = np.random.RandomState(5)
+    patches = rng.randn(32, vcfg.patch_input_dim).astype(np.float32)
+    e1 = r1.embed(patches, (1, 4, 8))
+    assert r1.misses == 1 and len(store.d) == 1
+
+    # a SECOND runner (fresh local LRU, shared store) hits remotely
+    r2 = VisionRunner(vcfg, vparams, remote_store=store)
+    e2 = r2.embed(patches, (1, 4, 8))
+    assert r2.remote_hits == 1 and r2.misses == 0
+    np.testing.assert_array_equal(e1, e2)
+    # and the remote hit refilled r2's local tier
+    r2.embed(patches, (1, 4, 8))
+    assert r2.hits == 1
