@@ -37,6 +37,26 @@ class _Rpc:
             raise RuntimeError(f"rpc {method}: {resp.get('error')}")
         return resp.get("result")
 
+    def stream(self, method: str, **params):
+        """Server-push generator: yields each result line until the server
+        marks done. Holds the connection lock for the stream's duration —
+        use a dedicated _Rpc connection per concurrent stream."""
+        with self._lock:
+            self._next_id += 1
+            mid = self._next_id
+            line = json.dumps({"id": mid, "method": method,
+                               "params": params}) + "\n"
+            self._f.write(line.encode())
+            self._f.flush()
+            while True:
+                resp = json.loads(self._f.readline())
+                if not resp.get("ok"):
+                    raise RuntimeError(f"rpc {method}: {resp.get('error')}")
+                result = resp.get("result")
+                yield result
+                if result.get("done"):
+                    return
+
     def close(self):
         try:
             self._sock.close()
@@ -69,12 +89,30 @@ class ClientResultQueue:
     def RequestStatInfo(self) -> Dict[str, Any]:
         return self._rpc.call("request_stats", uuid=self.uuid)
 
+    def Stream(self, host: Optional[str] = None, port: Optional[int] = None,
+               tick_s: float = 0.5):
+        """Server-push token stream: yields {"tokens", "status", "done"}
+        chunks as the daemon emits them (no per-chunk RPC round trip —
+        the reference's gRPC server-streaming analog). Opens a dedicated
+        connection (defaults to the daemon that issued this queue): the
+        stream occupies it until the request finishes."""
+        if host is None or port is None:
+            host, port = self._addr
+        rpc = _Rpc(host, port)
+        try:
+            for chunk in rpc.stream("stream_request", uuid=self.uuid,
+                                    tick_s=tick_s):
+                yield chunk
+        finally:
+            rpc.close()
+
 
 class ClientEngine:
     """Drop-in Engine facade over a remote daemon (reference AsClientEngine)."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 7031,
                  timeout_s: float = 600.0):
+        self._host, self._port = host, port
         self._rpc = _Rpc(host, port, timeout_s)
         assert self._rpc.call("ping") == "pong"
 
@@ -125,8 +163,9 @@ class ClientEngine:
                            input_ids=[int(t) for t in input_ids],
                            gen_cfg=cfg)
         handle = RequestHandle(r["uuid"], name)
-        return (GenerateRequestStatus[r["status"]], handle,
-                ClientResultQueue(self._rpc, r["uuid"]))
+        q = ClientResultQueue(self._rpc, r["uuid"])
+        q._addr = (self._host, self._port)  # for Stream()
+        return (GenerateRequestStatus[r["status"]], handle, q)
 
     def sync_request(self, name: str, handle: RequestHandle,
                      timeout_s: Optional[float] = None):

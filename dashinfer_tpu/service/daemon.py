@@ -33,6 +33,13 @@ class _Handler(socketserver.StreamRequestHandler):
                 continue
             try:
                 msg = json.loads(line)
+                if msg.get("method") == "stream_request":
+                    # server-push: MULTIPLE response lines with the same id,
+                    # final one marked done (the reference streams via gRPC
+                    # server streaming; the polling get/get_no_wait RPCs
+                    # remain for parity)
+                    self._stream(daemon, msg)
+                    continue
                 result = daemon.dispatch(msg["method"],
                                          msg.get("params") or {})
                 resp = {"id": msg.get("id"), "ok": True, "result": result}
@@ -41,6 +48,35 @@ class _Handler(socketserver.StreamRequestHandler):
                 resp = {"id": msg.get("id") if isinstance(msg, dict) else None,
                         "ok": False, "error": f"{type(e).__name__}: {e}"}
             self.wfile.write((json.dumps(resp) + "\n").encode())
+            self.wfile.flush()
+
+    def _stream(self, daemon: "EngineDaemon", msg):
+        mid = msg.get("id")
+        p = msg.get("params") or {}
+        try:
+            q = daemon._queue(p["uuid"])
+            tick = float(p.get("tick_s") or 0.5)
+            while True:
+                elems = q.Get(timeout_s=tick)
+                status = q.GenerateStatus()
+                done = status in (GenerateRequestStatus.GenerateFinished,
+                                  GenerateRequestStatus.GenerateInterrupted,
+                                  GenerateRequestStatus.InternalError)
+                toks = list(getattr(elems, "ids_from_generate", []) or []) \
+                    if elems is not None else []
+                if toks or done:
+                    self.wfile.write((json.dumps(
+                        {"id": mid, "ok": True,
+                         "result": {"tokens": toks, "status": status.name,
+                                    "done": done}}) + "\n").encode())
+                    self.wfile.flush()
+                if done:
+                    return
+        except Exception as e:
+            logger.exception("stream_request failed")
+            self.wfile.write((json.dumps(
+                {"id": mid, "ok": False,
+                 "error": f"{type(e).__name__}: {e}"}) + "\n").encode())
             self.wfile.flush()
 
 
