@@ -41,13 +41,19 @@ def main():
     rt = RuntimeConfig(
         model_name="bench", max_length=max(ctx_len + 48 + 4 + 64, 256),
         max_batch=B,
-        cache=CacheConfig(page_size=page_size, mode=CacheMode.INT8,
+        cache=CacheConfig(page_size=page_size,
+                          mode=CacheMode[os.environ.get("DI_BENCH_KV",
+                                                        "INT8").upper()],
                           num_pages=num_logical_pages),
         dtype="bfloat16")
 
     import pickle
     import hashlib
-    key_src = repr((cfg, rt.cache, B, os.environ.get("DI_MK_CHUNK_BYTES"),
+    # pack contents are KV-mode independent: key on the INT8 shape so bf16
+    # KV probes reuse the same multi-GB pack cache
+    import dataclasses as _dc
+    _key_cache = _dc.replace(rt.cache, mode=CacheMode.INT8)
+    key_src = repr((cfg, _key_cache, B, os.environ.get("DI_MK_CHUNK_BYTES"),
                     mk.PACK_VERSION))
     cache_key = hashlib.blake2b(key_src.encode(), digest_size=8).hexdigest()
     cache_file = os.path.join("/tmp", f"di_bench_pack_{cache_key}.pkl")
@@ -55,6 +61,15 @@ def main():
     if os.path.exists(cache_file):
         with open(cache_file, "rb") as f:
             plan, packed_np, embed_np = pickle.load(f)
+        # packed weights are KV-mode independent; rewrite the plan's KV
+        # fields for the probed mode (DI_BENCH_KV)
+        import dataclasses as _dc
+        from dashinfer_tpu.runtime.kv_cache import cache_dtype_and_dim
+        _kvdt, _kvdim, _ = cache_dtype_and_dim(
+            rt.cache.mode, cfg.head_dim, jnp.bfloat16)
+        _bits = {"int8": 8, "uint8": 4}.get(str(np.dtype(_kvdt)), 16)
+        plan = _dc.replace(plan, kv_mode=rt.cache.mode, kv_bits=_bits,
+                           kv_dtype_name=str(np.dtype(_kvdt)))
         print(f"pack cache hit in {time.time()-t0:.1f}s", file=sys.stderr)
     else:
         params_np = bench.build_qwen2_7b_params(cfg)
