@@ -181,6 +181,14 @@ class Engine:
         if runtime_config.quant.mode not in ("none", ""):
             from dashinfer_tpu.loader.quantize import quantize_params
             params = quantize_params(params, runtime_config.quant)
+        if model_config is not None and model_config.moe is not None:
+            # one-time TILE-128 repack of u4 expert stacks whose loader
+            # layout the grouped MoE kernel can't tile (no-op otherwise)
+            from dashinfer_tpu.ops.pallas.grouped_quant_matmul import \
+                prepare_grouped_experts
+            import jax as _jax
+            if _jax.default_backend() == "tpu":
+                params = prepare_grouped_experts(params, model_config)
         with self._lock:
             if name in self._models:
                 raise ValueError(f"model {name} already installed")

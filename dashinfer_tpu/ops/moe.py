@@ -9,10 +9,18 @@ TPU design: tokens are sorted by expert id and run through
 MXU-native grouped matmul — then scattered back and combined with router
 weights. Falls back to a dense one-hot einsum when ragged_dot is unavailable
 (CPU tests).
+
+With weight-only-quantized experts the ragged path re-expands the quantized
+weights per output tile (XLA fuses the dequant into every read), which
+dominates large prefill buckets; the Pallas grouped fused-dequant kernel
+(ops/pallas/grouped_quant_matmul.py) streams each expert's int payload once
+instead and is used whenever the layout supports it (DI_MOE_GROUPED=0
+disables).
 """
 
 import functools
-from typing import Dict
+import os
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +63,59 @@ def _expert_stack(leaf, dtype) -> jnp.ndarray:
     return w.reshape(E, K, N).astype(dtype)
 
 
+def _grouped_leaf(leaf) -> Optional[Dict]:
+    """Kernel-consumable view of an expert leaf [E, K, ...] (per layer):
+    the install-time repacked TILE-128 arrays when present, the raw leaf
+    when its layout already tiles, else None."""
+    from dashinfer_tpu.ops.pallas.grouped_quant_matmul import supports_grouped
+    if not isinstance(leaf, dict):
+        return None
+    if "w_qg" in leaf:
+        return {"w_q": leaf["w_qg"], "scale": leaf["scale_g"],
+                "zero": leaf["zero_g"]}
+    if "w_q" in leaf and supports_grouped(leaf):
+        return leaf
+    return None
+
+
+def _use_grouped(lp: Dict, T: int, k: int, E: int) -> bool:
+    env = os.environ.get("DI_MOE_GROUPED")
+    if env is not None and not int(env):
+        return False
+    ex = lp["experts"]
+    if not all(_grouped_leaf(ex[n]) is not None
+               for n in ("gate_proj", "up_proj", "down_proj")):
+        return False
+    if env is not None:      # forced on: also off-TPU (interpret tests)
+        return True
+    if jax.default_backend() != "tpu":
+        return False
+    return T * k >= E  # tiny batches: boundary padding dominates, ragged wins
+
+
+def _moe_grouped(cfg: ModelConfig, x: jnp.ndarray, lp: Dict,
+                 topk_p: jnp.ndarray, topk_i: jnp.ndarray) -> jnp.ndarray:
+    from dashinfer_tpu.ops.pallas.grouped_quant_matmul import (
+        build_group_layout, default_tm, grouped_quant_matmul)
+    moe = cfg.moe
+    T, H = x.shape
+    E = moe.num_experts
+    Im = moe.moe_intermediate_size
+    ex = lp["experts"]
+    TM = default_tm()
+    order, sorted_token, pos, tile_expert = build_group_layout(topk_i, E, TM)
+    Mcap = tile_expert.shape[0] * TM
+    sorted_w = topk_p.reshape(-1)[order]
+    xs = jnp.zeros((Mcap, H), x.dtype).at[pos].set(x[sorted_token])
+    g = grouped_quant_matmul(xs, tile_expert, _grouped_leaf(ex["gate_proj"]))
+    u = grouped_quant_matmul(xs, tile_expert, _grouped_leaf(ex["up_proj"]))
+    h = (_act(cfg, g[:, :Im].astype(jnp.float32))
+         * u[:, :Im].astype(jnp.float32)).astype(x.dtype)
+    dn = grouped_quant_matmul(h, tile_expert, _grouped_leaf(ex["down_proj"]))
+    out = dn[pos, :H] * sorted_w[:, None].astype(dn.dtype)
+    return jnp.zeros((T, H), out.dtype).at[sorted_token].add(out)
+
+
 def moe_block(cfg: ModelConfig, x: jnp.ndarray, lp: Dict) -> jnp.ndarray:
     """x: [T, hidden]; lp["router"]: {"w": [hidden, E]}; lp["experts"]:
     {"gate_proj"/"up_proj": [E, hidden, Im], "down_proj": [E, Im, hidden]}
@@ -70,6 +131,10 @@ def moe_block(cfg: ModelConfig, x: jnp.ndarray, lp: Dict) -> jnp.ndarray:
     topk_p, topk_i = jax.lax.top_k(probs, k)                # [T, k]
     if moe.norm_topk_prob:
         topk_p = topk_p / jnp.sum(topk_p, axis=-1, keepdims=True)
+
+    if _use_grouped(lp, T, E=E, k=k):
+        combined = _moe_grouped(cfg, x, lp, topk_p, topk_i)
+        return _with_shared(cfg, x, lp, combined).astype(x.dtype)
 
     # sort the (token, expert) pairs by expert for the grouped matmul
     flat_expert = topk_i.reshape(-1)                        # [T*k]
@@ -94,17 +159,20 @@ def moe_block(cfg: ModelConfig, x: jnp.ndarray, lp: Dict) -> jnp.ndarray:
 
     out = out * sorted_w[:, None].astype(out.dtype)
     combined = jnp.zeros((T, H), out.dtype).at[sorted_token].add(out)
+    return _with_shared(cfg, x, lp, combined).astype(x.dtype)
 
-    if "shared_expert" in lp:
-        from dashinfer_tpu.ops.linear import linear
-        se = lp["shared_expert"]
-        sg = _act(cfg, linear(x, se["gate_proj"])) * linear(x, se["up_proj"])
-        shared = linear(sg, se["down_proj"])
-        if "shared_expert_gate" in lp:
-            gate = jax.nn.sigmoid(
-                jnp.dot(x.astype(jnp.float32),
-                        lp["shared_expert_gate"]["w"].astype(jnp.float32)))
-            shared = shared * gate.astype(shared.dtype)
-        combined = combined + shared
 
-    return combined.astype(x.dtype)
+def _with_shared(cfg: ModelConfig, x: jnp.ndarray, lp: Dict,
+                 combined: jnp.ndarray) -> jnp.ndarray:
+    if "shared_expert" not in lp:
+        return combined
+    from dashinfer_tpu.ops.linear import linear
+    se = lp["shared_expert"]
+    sg = _act(cfg, linear(x, se["gate_proj"])) * linear(x, se["up_proj"])
+    shared = linear(sg, se["down_proj"])
+    if "shared_expert_gate" in lp:
+        gate = jax.nn.sigmoid(
+            jnp.dot(x.astype(jnp.float32),
+                    lp["shared_expert_gate"]["w"].astype(jnp.float32)))
+        shared = shared * gate.astype(shared.dtype)
+    return combined + shared

@@ -903,6 +903,7 @@ def _stream_dot(plan: MegaPlan, sp: StreamPlan, x_bf16, w_ref, s_ref, z_ref,
             x_bf16, w.reshape(rows, cols), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     if B >= _GDOT_LOOP_B:
+        cols = q.shape[1]
         s = s_ref[0, 0].astype(jnp.float32)                  # [G, cols]
         z = z_ref[0, 0].astype(jnp.float32)
         # zero-point term for ALL groups in one MXU dot ([B,G] group sums
@@ -910,21 +911,36 @@ def _stream_dot(plan: MegaPlan, sp: StreamPlan, x_bf16, w_ref, s_ref, z_ref,
         # per-group loop then only needs one [B, cols] FMA each.
         xs = jnp.sum(x_bf16.astype(jnp.float32).reshape(B, groups, gs),
                      axis=2)                                 # [B, G]
-        # HIGHEST precision: default MXU precision rounds f32 operands
-        # toward bf16, losing bits of the zero term vs the batched
-        # epilogue's full-f32 VPU math; [B,G]x[G,cols] is tiny, so exact
-        # passes cost nothing (ADVICE r1)
-        acc = jax.lax.dot_general(
-            xs, z, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)             # [B, cols]
-        for g in range(groups):
-            xg = x_bf16[:, g * gs:(g + 1) * gs]
-            part = jax.lax.dot_general(
-                xg, q[g * gs:(g + 1) * gs], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [B, cols]
-            acc = acc + part * s[g][None, :]
-        return acc
+        # Column tiling bounds the accumulator that must stay LIVE across
+        # the whole group loop: an untiled [B, cols] f32 acc is 64 vregs at
+        # B=64/cols=1024 and Mosaic spills it to VMEM on every group
+        # iteration (measured: per-chunk time tracks B*cols*G spill bytes —
+        # 38 us/chunk at bs=64 vs the 5.9 us DMA floor). Cap the live tile
+        # at ~32 vregs (128 KB) so bs<=32 keeps its measured-good untiled
+        # shape and bs=64 halves the live set.
+        cap = int(os.environ.get("DI_MK_GDOT_TILE_BYTES", str(128 << 10)))
+        ct = cols
+        while B * ct * 4 > cap and ct % 2 == 0 and ct > 128:
+            ct //= 2
+        tiles = []
+        for c0 in range(0, cols, ct):
+            # HIGHEST precision: default MXU precision rounds f32 operands
+            # toward bf16, losing bits of the zero term vs the batched
+            # epilogue's full-f32 VPU math; [B,G]x[G,ct] is tiny, so exact
+            # passes cost nothing (ADVICE r1)
+            acc = jax.lax.dot_general(
+                xs, z[:, c0:c0 + ct], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)         # [B, ct]
+            for g in range(groups):
+                xg = x_bf16[:, g * gs:(g + 1) * gs]
+                part = jax.lax.dot_general(
+                    xg, q[g * gs:(g + 1) * gs, c0:c0 + ct],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [B, ct]
+                acc = acc + part * s[g, c0:c0 + ct][None, :]
+            tiles.append(acc)
+        return tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, -1)
     xg = x_bf16.reshape(B, groups, gs).swapaxes(0, 1)        # [G, B, gs]
     qg = q.reshape(groups, gs, -1)                           # [G, gs, cols]
     part = jax.lax.dot_general(

@@ -93,6 +93,13 @@ def main():
               file=sys.stderr)
     else:
         t0 = time.time()
+        if use_moe:
+            from dashinfer_tpu.ops.pallas.grouped_quant_matmul import \
+                prepare_grouped_experts
+            host_params = prepare_grouped_experts(host_params, cfg)
+            print(f"grouped expert repack in {time.time()-t0:.1f}s",
+                  file=sys.stderr)
+            t0 = time.time()
         params = jax.tree.map(jnp.asarray, host_params)
         print(f"params on device in {time.time()-t0:.1f}s", file=sys.stderr)
     del host_params

@@ -250,6 +250,33 @@ def _cache_sds_tp(cfg, rt, kv_mode, plan):
 
 # (name, callable) matrix builders ------------------------------------------
 
+def gate_grouped_moe(bits, repack=False):
+    """Grouped fused-dequant MoE matmul (ops/pallas/grouped_quant_matmul)."""
+    import numpy as np
+    from dashinfer_tpu.loader.quantize import _quantize_stacked
+    from dashinfer_tpu.ops.pallas.grouped_quant_matmul import (
+        build_group_layout, grouped_quant_matmul, repack_expert_u4_tile128)
+    E, K, TM = 4, 256, 16
+    N = 192 if repack else (512 if bits == 4 else 384)
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((E, K, N), dtype=np.float32)
+    leaf = _quantize_stacked(w, bits, 128)
+    if repack:
+        st = {k: v[None] for k, v in leaf.items()}
+        g = repack_expert_u4_tile128(st, N)
+        leaf = {"w_q": g["w_qg"][0], "scale": g["scale_g"][0],
+                "zero": g["zero_g"][0]}
+    T, ktop = 16, 2
+    topk_i = jnp.asarray(rng.integers(0, E, size=(T, ktop)).astype("int32"))
+    _, _, _, te = build_group_layout(topk_i, E, TM)
+    Mcap = int(te.shape[0]) * TM
+    leaf = jax.tree.map(jnp.asarray, leaf)
+    fn = jax.jit(lambda xs, tee: grouped_quant_matmul(
+        xs, tee, leaf, interpret=False))
+    fn.lower(jax.ShapeDtypeStruct((Mcap, K), jnp.bfloat16),
+             jax.ShapeDtypeStruct(te.shape, jnp.int32)).compile()
+
+
 def build_cases(quick: bool):
     cases = []
 
@@ -294,6 +321,9 @@ def build_cases(quick: bool):
     add("tp-decode a16w4+int8 ps=16", gate_tp_segments, "a16w4", "int8", 16)
     add("tp-prefill a16w4+int8 ps=64", gate_tp_segments, "a16w4", "int8",
         64, prefill=True)
+    add("grouped-moe u4 tile128", gate_grouped_moe, 4)
+    add("grouped-moe int8", gate_grouped_moe, 8)
+    add("grouped-moe u4 repacked", gate_grouped_moe, 4, repack=True)
     return cases
 
 
