@@ -83,6 +83,10 @@ class RuntimeConfig:
 
     enable_prefix_cache: bool = False
     prefix_cache_ttl_s: float = 300.0   # reference default (allspark.h:201,255)
+    # "auto" = native C++ unless a host tier needs the device pager;
+    # "python" forced for lockstep multi-host (TTL decisions must accept
+    # the leader's replicated clock — docs/multihost.md)
+    prefix_cache_impl: str = "auto"
     # host-RAM prefix-cache tier capacity in bytes (0 = disabled)
     prefix_cache_host_bytes: int = 0
 

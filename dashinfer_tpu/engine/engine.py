@@ -44,6 +44,13 @@ class _ModelLoop:
         self.thread: Optional[threading.Thread] = None
         self.last_stat_log = time.monotonic()
         self.last_ttl_sweep = time.monotonic()
+        # lockstep multi-host (docs/multihost.md §Tick replication):
+        # decision_sink (leader) replicates every scheduler decision into
+        # the sequenced control stream BEFORE the local jit launch;
+        # lockstep_follower (follower) disables local admission/decode —
+        # ticks arrive as replicated control messages instead
+        self.decision_sink = None
+        self.lockstep_follower = False
 
     def start(self):
         self.thread = threading.Thread(target=self._run, daemon=True,
@@ -89,9 +96,12 @@ class _ModelLoop:
                     if not rt.active_requests():
                         self.stop_flag = True
                         continue
-            else:
+            elif not self.lockstep_follower:
                 try:
-                    if strategy == SchedulingStrategy.CONTEXT_PRIORITY:
+                    if self.decision_sink is not None:
+                        did_work |= self._lockstep_prefill(
+                            strategy == SchedulingStrategy.CONTEXT_PRIORITY)
+                    elif strategy == SchedulingStrategy.CONTEXT_PRIORITY:
                         while rt.try_prefill_one():
                             did_work = True
                     else:  # BALANCE: one prefill per turn
@@ -100,22 +110,33 @@ class _ModelLoop:
                     logger.exception("prefill scheduling failed")
                     self._fail_head()
 
-            # 3. decode tick
-            try:
-                did_work |= rt.decode_tick() > 0
-            except Exception:
-                logger.exception("decode tick failed; interrupting batch")
-                for r in rt.active_requests():
-                    rt.release_request(r.uuid)
+            # 3. decode tick (lockstep followers decode only on replicated
+            #    tick ops, which arrive as control messages)
+            if not self.lockstep_follower:
+                try:
+                    if self.decision_sink is not None:
+                        did_work |= self._lockstep_decode()
+                    else:
+                        did_work |= rt.decode_tick() > 0
+                except Exception:
+                    logger.exception("decode tick failed; interrupting batch")
+                    for r in rt.active_requests():
+                        rt.release_request(r.uuid)
 
             # 4. periodic stats + prefix-cache TTL sweep (reference TTLs
             #    unreferenced nodes at prefix_cache_ttl_s, default 300 s —
-            #    filter_timeout_hash, prefix_cache_manager.cpp:211)
+            #    filter_timeout_hash, prefix_cache_manager.cpp:211).
+            #    Lockstep: the sweep is a replicated op carrying the
+            #    leader's clock; followers never sweep on their own timer.
             now = time.monotonic()
-            if rt.prefix_cache is not None and \
+            if rt.prefix_cache is not None and not self.lockstep_follower and \
                     now - self.last_ttl_sweep > EnvConfig.ttl_sweep_interval_s():
                 try:
-                    n = rt.prefix_cache.expire_ttl()
+                    if self.decision_sink is not None:
+                        self.decision_sink("tick", {"kind": "ttl", "now": now})
+                        n = rt.prefix_cache.expire_ttl(now=now)
+                    else:
+                        n = rt.prefix_cache.expire_ttl()
                     if n:
                         logger.info("prefix cache TTL: expired %d pages", n)
                 except Exception:
@@ -130,6 +151,35 @@ class _ModelLoop:
             if not did_work:
                 self.wake.wait(timeout=0.005)
                 self.wake.clear()
+
+    def _lockstep_prefill(self, drain_queue: bool) -> bool:
+        """Leader-side admission under lockstep: decide, replicate the
+        decision (with the leader clock), then execute the launch."""
+        rt = self.rt
+        did = False
+        while True:
+            rt.logical_now = time.monotonic()
+            d = rt.prefill_decide()
+            if d is None:
+                return did
+            p = d.payload()
+            p["now"] = rt.logical_now
+            self.decision_sink("tick", p)
+            rt.prefill_execute(d)
+            did = True
+            if not drain_queue:
+                return did
+
+    def _lockstep_decode(self) -> bool:
+        rt = self.rt
+        rt.logical_now = time.monotonic()
+        d = rt.decode_decide()
+        if d is None:
+            return False
+        p = d.payload()
+        p["now"] = rt.logical_now
+        self.decision_sink("tick", p)
+        return rt.decode_execute(d) > 0
 
     def _fail_head(self):
         rt = self.rt
@@ -195,13 +245,18 @@ class Engine:
             runtime = ModelRuntime(name, model_config, params, runtime_config,
                                    tokenizer=tokenizer)
             if runtime_config.enable_prefix_cache:
-                if runtime_config.prefix_cache_host_bytes > 0:
-                    # host tier needs the device pager; python impl only
+                if runtime_config.prefix_cache_host_bytes > 0 or \
+                        runtime_config.prefix_cache_impl == "python":
+                    # host tier needs the device pager (python impl only);
+                    # lockstep multi-host forces python for the replicated
+                    # clock (docs/multihost.md)
                     from dashinfer_tpu.runtime.prefix_cache import \
                         PrefixCacheManager
                     runtime.prefix_cache = PrefixCacheManager(
                         runtime.cfg, runtime_config, runtime.allocator,
-                        pager=runtime.make_pager())
+                        pager=runtime.make_pager()
+                        if runtime_config.prefix_cache_host_bytes > 0
+                        else None)
                 else:
                     from dashinfer_tpu.native import make_prefix_cache
                     runtime.prefix_cache = make_prefix_cache(

@@ -209,13 +209,12 @@ class TokenTrie:
 def build_vocab_strings(tokenizer) -> List[str]:
     """Decoded text of each token id (byte-level BPEs need convert via
     decode of single ids)."""
-    V = getattr(tokenizer, "vocab_size", None) or len(tokenizer)
     n = len(tokenizer)
-    out = []
-    # batch-decode is much faster than per-token decode
-    for tid in range(n):
-        out.append(tokenizer.decode([tid]))
-    return out
+    try:
+        # one Rust-side call on fast tokenizers (~100x the Python loop)
+        return tokenizer.batch_decode([[tid] for tid in range(n)])
+    except Exception:
+        return [tokenizer.decode([tid]) for tid in range(n)]
 
 
 class JsonFormatEnforcer:

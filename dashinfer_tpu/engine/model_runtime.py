@@ -40,6 +40,51 @@ from dashinfer_tpu.utils.profiler import PhaseProfiler
 logger = get_logger("model_runtime")
 
 
+@dataclasses.dataclass
+class PrefillDecision:
+    """One admission decision (request, slot, pages) — serialized to
+    followers in lockstep multi-host mode before the jit launch
+    (docs/multihost.md §Tick replication)."""
+
+    req: Request
+    slot: int
+    pages: List[int]
+    prefix_len: int
+
+    def payload(self) -> Dict:
+        return {"kind": "prefill", "uuid": self.req.uuid,
+                "slot": int(self.slot),
+                "pages": [int(p) for p in self.pages],
+                "prefix_len": int(self.prefix_len)}
+
+
+@dataclasses.dataclass
+class DecodeDecision:
+    """One decode-tick decision: which slots step, which new pages they
+    get, single vs multi-step window."""
+
+    kind: str                               # "multi" | "single"
+    act: List[Request]
+    npi: Optional[np.ndarray] = None        # [N, B] multi-step page grid
+    new_page_ids: Optional[np.ndarray] = None   # [B] single-step pages
+    sync_mode: bool = False
+
+    def payload(self) -> Dict:
+        import zlib
+        crc = zlib.crc32(",".join(r.uuid for r in self.act).encode())
+        if self.kind == "multi":
+            pages = [[int(i), int(s), int(self.npi[i, s])]
+                     for i in range(self.npi.shape[0])
+                     for s in range(self.npi.shape[1])
+                     if self.npi[i, s] >= 0]
+        else:
+            pages = [[0, int(s), int(g)]
+                     for s, g in enumerate(self.new_page_ids) if g >= 0]
+        return {"kind": "decode", "mode": self.kind, "pages": pages,
+                "slots": sorted(int(r.slot) for r in self.act),
+                "crc": crc & 0xFFFFFFFF}
+
+
 class _DevicePager:
     """Moves one logical page's pool rows device<->host for the prefix
     cache's host tier.
@@ -285,20 +330,55 @@ class ModelRuntime:
         self._params_host = None   # set while weights are swapped out
         # slot-level host mirrors
         self._cached_len: Dict[str, int] = {}
+        # lockstep multi-host: when set, time-driven prefix-cache decisions
+        # (TTL validity/expiry) use the LEADER's clock, replicated per tick,
+        # instead of the local one — followers stay bit-deterministic
+        # (docs/multihost.md §Tick replication)
+        self.logical_now: Optional[float] = None
+
+    def _pc(self, fn, *args, **kw):
+        """Call a prefix-cache method, threading the logical clock when the
+        engine runs in lockstep mode (Python prefix cache only; the native
+        cache is rejected for lockstep at configuration time)."""
+        if self.logical_now is not None:
+            kw["now"] = self.logical_now
+        return fn(*args, **kw)
 
     # -- planning ------------------------------------------------------------
+    def _per_device_nbytes(self, tree) -> int:
+        """HBM bytes ONE device holds for a (possibly sharded) pytree —
+        shard_shape metadata only, no device access. Unsharded leaves count
+        in full (replicated)."""
+        total = 0
+        for leaf in jax.tree.leaves(tree):
+            shape = tuple(jnp.shape(leaf))
+            sh = getattr(leaf, "sharding", None)
+            if sh is not None and self.mesh is not None:
+                shape = sh.shard_shape(shape)
+            total += math.prod(shape) * np.dtype(jnp.result_type(leaf)).itemsize
+        return total
+
     def _plan_pool(self) -> int:
+        """Size the KV pool from per-DEVICE budgets: probed HBM minus the
+        per-device share of weights minus measured step temps. Under a TP
+        mesh every quantity is per-shard (weights via shard_shape, temps
+        via SPMD memory_analysis, page bytes via the cache sharding) —
+        the reference measures warmup high-water per rank the same way
+        (as_engine.cpp:1035-1258)."""
         rt, cfg = self.rt, self.cfg
         if rt.cache.num_pages:
             return rt.cache.num_pages
         lpb = logical_page_bytes(cfg, rt.cache, self.dtype)
+        lpb_dev = lpb
+        if self.mesh is not None:
+            lpb_dev = self._per_device_cache_page_bytes()
         kv_bytes = rt.kv_pool_bytes or EnvConfig.kv_pool_bytes()
         if not kv_bytes:
             hbm = rt.hbm_bytes or _detect_hbm_bytes()
-            w = _weight_bytes(self.params)
+            w = self._per_device_nbytes(self.params)
             if self.mega_params is not None:
                 # packed megakernel streams live in HBM alongside raw params
-                w += _weight_bytes(self.mega_params)
+                w += self._per_device_nbytes(self.mega_params)
             act = None
             if EnvConfig.warmup_enabled():
                 act = self._measure_step_temp_bytes()
@@ -308,20 +388,63 @@ class ModelRuntime:
                 # allocator high-water instead, as_engine.cpp:1035-1258;
                 # AOT memory_analysis gives the same number without
                 # executing)
-                logger.info("warmup-measured step temps: %.2f GiB",
+                logger.info("warmup-measured step temps: %.2f GiB/device",
                             act / 1024**3)
                 act += 256 * 1024**2
             else:
-                # heuristic fallback (non-warmup / TP mesh): scales with
-                # the largest prefill bucket
+                # heuristic fallback (warmup disabled or unmeasurable):
+                # scales with the per-device weight footprint
                 act = min(2 * 1024**3, max(512 * 1024**2, w // 4))
             kv_bytes = int(hbm * EnvConfig.hbm_mem_ratio()) - w - act
-        n = max(kv_bytes // lpb, 2 * rt.max_batch)
+            # kv_bytes is now a per-DEVICE budget; divide by per-device
+            # page bytes below
+            n = max(kv_bytes // lpb_dev, 2 * rt.max_batch)
+        else:
+            n = max(kv_bytes // lpb, 2 * rt.max_batch)
         # never exceed what max_batch sequences can use
         n = min(n, rt.max_batch * rt.max_pages_per_seq)
-        logger.info("KV pool: %d logical pages (%.2f GiB)", n,
+        logger.info("KV pool: %d logical pages (%.2f GiB global)", n,
                     n * lpb / 1024**3)
         return int(n)
+
+    def _per_device_cache_page_bytes(self) -> int:
+        """Per-device HBM bytes of ONE logical page under the mesh's cache
+        sharding (payload shards over kv heads; qparams likewise)."""
+        n0 = 8
+        return self._per_device_nbytes_sds(self._cache_sds(n0)) // n0
+
+    @staticmethod
+    def _per_device_nbytes_sds(tree) -> int:
+        total = 0
+        for leaf in jax.tree.leaves(tree):
+            shape = tuple(leaf.shape)
+            if getattr(leaf, "sharding", None) is not None:
+                shape = leaf.sharding.shard_shape(shape)
+            total += math.prod(shape) * np.dtype(leaf.dtype).itemsize
+        return total
+
+    def _cache_sds(self, n_logical: int):
+        """ShapeDtypeStructs of a KV pool with `n_logical` logical pages,
+        carrying the mesh cache shardings when a mesh is active (so AOT
+        lowering + memory_analysis see the SPMD layout)."""
+        cfg, rt = self.cfg, self.rt
+        cache_sds = jax.eval_shape(lambda: create_kv_cache(
+            cfg, rt.cache, n_logical * cfg.num_layers,
+            model_dtype=self.dtype))
+        if self.mesh is None:
+            return cache_sds
+        from dashinfer_tpu.parallel.sharding import cache_sharding
+        from dashinfer_tpu.runtime.kv_cache import KVCache
+        payload, qparams = cache_sharding(cfg, self.mesh)
+
+        def att(s, sh):
+            return None if s is None else jax.ShapeDtypeStruct(
+                s.shape, s.dtype, sharding=sh)
+
+        return KVCache(k=att(cache_sds.k, payload),
+                       v=att(cache_sds.v, payload),
+                       k_qparams=att(cache_sds.k_qparams, qparams),
+                       v_qparams=att(cache_sds.v_qparams, qparams))
 
     def _measure_step_temp_bytes(self) -> Optional[int]:
         """AOT-compile (lower+compile, NO execution) the decode step and the
@@ -331,26 +454,37 @@ class ModelRuntime:
         model.cpp:1527-1576) without running fake requests. The XLA prefill
         bounds the megakernel prefill (any request can fall back to it:
         prefix hits, chunked continuations, LoRA), and pool arguments are
-        donated so temps are the only unaccounted HBM. Returns None when
-        unmeasurable (TP mesh per-rank sizing, backend without
-        memory_analysis)."""
-        if self.mesh is not None:
-            return None
+        donated so temps are the only unaccounted HBM. Under a TP mesh the
+        args carry their NamedShardings, so the SPMD executable's
+        memory_analysis reports PER-DEVICE temps — the per-rank warmup
+        measurement of the reference (as_engine.cpp:1035-1258). Returns
+        None when unmeasurable (backend without memory_analysis)."""
         try:
             cfg, rt = self.cfg, self.rt
             B = rt.max_batch
             i32 = jnp.int32
+            mesh = self.mesh
 
             def sds(tree):
-                return jax.tree.map(
-                    lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
-                                                   jnp.result_type(x)), tree)
+                def one(x):
+                    sh = getattr(x, "sharding", None)
+                    if sh is not None and mesh is not None:
+                        return jax.ShapeDtypeStruct(
+                            jnp.shape(x), jnp.result_type(x), sharding=sh)
+                    return jax.ShapeDtypeStruct(jnp.shape(x),
+                                                jnp.result_type(x))
+                return jax.tree.map(one, tree)
 
             n0 = 2 * B  # provisional pool size; temps do not scale with it
-            cache_sds = jax.eval_shape(lambda: create_kv_cache(
-                cfg, rt.cache, n0 * cfg.num_layers, model_dtype=self.dtype))
+            cache_sds = self._cache_sds(n0)
             state_sds = jax.eval_shape(
                 lambda: make_decode_state(cfg, rt))
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                rep = NamedSharding(mesh, PartitionSpec())
+                state_sds = jax.tree.map(
+                    lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                                   sharding=rep), state_sds)
 
             def temp_of(lowered):
                 ma = lowered.compile().memory_analysis()
@@ -358,9 +492,11 @@ class ModelRuntime:
                     return None
                 return int(ma.temp_size_in_bytes)
 
+            tp = ((self.tp_mega_plan, mesh)
+                  if self.tp_mega_plan is not None else None)
             dec = steps_mod.build_decode_step(
                 cfg, rt, use_kernel=self.use_kernel,
-                megakernel_plan=self.mega_plan)
+                megakernel_plan=self.mega_plan, tp_megakernel=tp)
             t_dec = temp_of(dec.lower(
                 sds(self._decode_params(False)), cache_sds, state_sds,
                 jax.ShapeDtypeStruct((B,), i32)))
@@ -532,22 +668,36 @@ class ModelRuntime:
     def try_prefill_one(self) -> bool:
         """Admit + prefill the head of the pending queue. Returns True if a
         request was prefilled (reference RunTextGenerationContext,
-        as_engine_prefill.cpp:188)."""
-        if not self.pending or self.params is None:
+        as_engine_prefill.cpp:188). Split into decide (pure scheduler
+        bookkeeping: slot choice, prefix lookup, page commit) + execute
+        (jit launch) so lockstep multi-host replication can serialize the
+        decision before the launch (docs/multihost.md §Tick replication)."""
+        d = self.prefill_decide()
+        if d is None:
             return False
+        self.prefill_execute(d)
+        return True
+
+    def prefill_decide(self) -> Optional["PrefillDecision"]:
+        """Scheduler decision for one admission: which request, which slot,
+        which pages. Mutates only host-side bookkeeping (slot map, allocator,
+        pending queue) — no device work. Returns None when nothing can be
+        admitted (empty queue, no slot, no memory)."""
+        if not self.pending or self.params is None:
+            return None
         # admission mutates slot state and may need slots/pages freed by
         # finish processing of the in-flight decode step
         self._drain_inflight()
         slot = self.free_slot_index()
         if slot < 0:
-            return False
+            return None
         req: Request = self.pending[0]
 
         prefix_len = 0
         prefix_pages: List[int] = []
         if self.prefix_cache is not None:
-            prefix_len, prefix_pages, nodes = self.prefix_cache.lookup(
-                req.input_ids)
+            prefix_len, prefix_pages, nodes = self._pc(
+                self.prefix_cache.lookup, req.input_ids)
             req.prefix_nodes = nodes
             req.stat.prefix_cache_hit_len = prefix_len
 
@@ -570,7 +720,7 @@ class ModelRuntime:
                 if self.prefix_cache is not None:
                     self.prefix_cache.release_nodes(req.prefix_nodes)
                     req.prefix_nodes = []
-                return False  # no memory; stay pending (caller may evict/stop)
+                return None  # no memory; stay pending (caller may evict/stop)
 
         try:
             pages = (list(prefix_pages) +
@@ -584,6 +734,13 @@ class ModelRuntime:
         self.pending.popleft()
         self.stat.pendings -= 1
         self.stat.runnings += 1
+        return PrefillDecision(req=req, slot=slot, pages=pages,
+                               prefix_len=prefix_len)
+
+    def prefill_execute(self, d: "PrefillDecision") -> None:
+        req, slot, pages, prefix_len = d.req, d.slot, d.pages, d.prefix_len
+        total_len = req.prompt_len
+        new_tokens = req.input_ids[prefix_len:]
 
         # chunked prefill (improvement over the reference, which rejects
         # engine_max_prefill_length > 0, as_engine.cpp:439-443): run all but
@@ -678,7 +835,7 @@ class ModelRuntime:
             q = self.queues.get(req.uuid)
             if q is not None:
                 q.set_status(GenerateRequestStatus.InternalError)
-            return True
+            return
         t1 = time.monotonic()
 
         self._cached_len[req.uuid] = total_len
@@ -690,14 +847,13 @@ class ModelRuntime:
         req.stat.context_tps = total_len / max(t1 - t0, 1e-9)
 
         if self.prefix_cache is not None:
-            self.prefix_cache.insert(req.input_ids, pages, req)
+            self._pc(self.prefix_cache.insert, req.input_ids, pages, req)
 
         if req.format_enforcer is not None:
             req.format_enforcer.advance(tok)
         self._emit(req, [tok], lp, 0)
         self._maybe_finish(req, tok)
         self.stat.total_prefill_tokens += total_len
-        return True
 
     def _banned_ids(self, req: Request) -> Optional[List[int]]:
         """Next tokens banned THIS step: single/multi-token bad_words_ids +
@@ -770,11 +926,21 @@ class ModelRuntime:
         Requests whose next logits depend on the previous host-visible token
         (guided JSON, bad-words/ngram bans) force a synchronous tick, as does
         a request one token from its length limit (so the pipeline never
-        launches a step past a finished request)."""
+        launches a step past a finished request).
+
+        Split into decide (page allocations, evictions — pure host
+        bookkeeping) + execute (jit launch) for lockstep multi-host
+        replication (docs/multihost.md §Tick replication)."""
+        d = self.decode_decide()
+        if d is None:
+            return 0
+        return self.decode_execute(d)
+
+    def decode_decide(self) -> Optional["DecodeDecision"]:
         act = self.active_requests()
         if not act or self.params is None:
             self._drain_inflight()
-            return 0
+            return None
         sync_mode = any(
             r.format_enforcer is not None or r.gen_cfg.bad_words_ids or
             r.gen_cfg.no_repeat_ngram_size for r in act)
@@ -785,7 +951,7 @@ class ModelRuntime:
             self._drain_inflight()
             act = self.active_requests()
             if not act:
-                return 0
+                return None
         B, ps = self.rt.max_batch, self.rt.cache.page_size
 
         # -- multi-step fast path: N decode steps per launch (lax.scan) ------
@@ -818,21 +984,7 @@ class ModelRuntime:
                     for (req, i), g in zip(needs, pages):
                         req.logical_pages.append([g])
                         npi[i, req.slot] = g
-                    fn = self._multi_decode_fn()
-                    with self.profiler.phase(f"decode_x{N}"):
-                        tokens, self.cache, self.state = fn(
-                            self._decode_params(False), self.cache,
-                            self.state, jnp.asarray(npi))
-                    for req in act:
-                        self._cached_len[req.uuid] += N
-                    try:
-                        tokens.copy_to_host_async()
-                    except AttributeError:
-                        pass
-                    prev, self._inflight = self._inflight, (tokens, None, act)
-                    if prev is not None:
-                        self._drain_batch(prev)
-                    return len(act)
+                    return DecodeDecision(kind="multi", act=act, npi=npi)
 
         new_page_ids = np.full((B,), -1, np.int32)
 
@@ -866,8 +1018,32 @@ class ModelRuntime:
 
         act = self.active_requests()
         if not act:
-            return 0
+            return None
+        return DecodeDecision(kind="single", act=act,
+                              new_page_ids=new_page_ids, sync_mode=sync_mode)
 
+    def decode_execute(self, d: "DecodeDecision") -> int:
+        act = d.act
+        if d.kind == "multi":
+            N = self.rt.decode_steps_per_launch
+            fn = self._multi_decode_fn()
+            with self.profiler.phase(f"decode_x{N}"):
+                tokens, self.cache, self.state = fn(
+                    self._decode_params(False), self.cache,
+                    self.state, jnp.asarray(d.npi))
+            for req in act:
+                self._cached_len[req.uuid] += N
+            try:
+                tokens.copy_to_host_async()
+            except AttributeError:
+                pass
+            prev, self._inflight = self._inflight, (tokens, None, act)
+            if prev is not None:
+                self._drain_batch(prev)
+            return len(act)
+
+        B = self.rt.max_batch
+        sync_mode, new_page_ids = d.sync_mode, d.new_page_ids
         with_lp = any(r.gen_cfg.logprobs for r in act)
         guided = [r for r in act if r.format_enforcer is not None]
         with_lora = (self.lora_manager is not None and
@@ -1155,3 +1331,19 @@ class ModelRuntime:
         s.used_span = s.total_span - s.free_span
         if self.prefix_cache is not None:
             s.prefix_cache_hit_rate = self.prefix_cache.hit_rate()
+        s.state_digest = self.state_digest()
+
+    def state_digest(self) -> str:
+        """Deterministic hash of scheduler state (allocator free count,
+        active slot map, per-request progress, pending queue). Hosts
+        consuming the same lockstep stream must agree; a mismatch means a
+        diverged follower that must be restarted (docs/multihost.md)."""
+        import zlib
+        sig: List = [self.allocator.num_free]
+        for i, r in enumerate(self.slots):
+            if r is not None:
+                sig.append((i, r.uuid, self._cached_len.get(r.uuid, -1),
+                            len(r.generated_ids),
+                            [int(g) for grp in r.logical_pages for g in grp]))
+        sig.append([r.uuid for r in self.pending])
+        return "%08x" % (zlib.crc32(repr(sig).encode()) & 0xFFFFFFFF)

@@ -20,6 +20,12 @@ class EngineStat:
     prefix_cache_hit_rate: float = 0.0
     generate_token_persec: float = 0.0
     process_token_persec: float = 0.0
+    # scheduler-state digest for multi-host divergence detection
+    # (docs/multihost.md "Failure semantics"): hash over allocator free
+    # count + active slot map + per-request progress; identical across
+    # hosts consuming the same lockstep stream
+    state_digest: str = ""
+    lockstep_divergence: int = 0
     _last_ts: float = dataclasses.field(default_factory=time.monotonic)
     _last_gen: int = 0
     _last_prefill: int = 0

@@ -36,11 +36,12 @@ def _hash_prefix(token_bytes: bytes) -> bytes:
 class _Node:
     __slots__ = ("key", "page", "ref_count", "last_access", "ttl_deadline")
 
-    def __init__(self, key: bytes, page: int, ttl_s: float):
+    def __init__(self, key: bytes, page: int, ttl_s: float,
+                 now: Optional[float] = None):
         self.key = key
         self.page = page
         self.ref_count = 0
-        self.last_access = time.monotonic()
+        self.last_access = time.monotonic() if now is None else now
         self.ttl_deadline = self.last_access + ttl_s
 
 
@@ -142,14 +143,16 @@ class PrefixCacheManager:
         self._host_hits = 0
 
     # -- admission-time lookup (reference RefOnly + RefFill) -----------------
-    def lookup(self, input_ids: List[int]) -> Tuple[int, List[int], List[_Node]]:
-        """Returns (matched_prefix_len, shared logical pages, nodes)."""
+    def lookup(self, input_ids: List[int], now: Optional[float] = None
+               ) -> Tuple[int, List[int], List[_Node]]:
+        """Returns (matched_prefix_len, shared logical pages, nodes).
+        `now` overrides the clock for lockstep multi-host determinism."""
         if len(input_ids) < max(self.seqlen_threshold, self.ps):
             return 0, [], []
         pages, nodes = [], []
         n_full = len(input_ids) // self.ps
         buf = b""
-        now = time.monotonic()
+        now = time.monotonic() if now is None else now
         for j in range(n_full):
             span = input_ids[j * self.ps:(j + 1) * self.ps]
             buf += b"".join(int(t).to_bytes(4, "little", signed=True)
@@ -173,10 +176,11 @@ class PrefixCacheManager:
         return len(pages) * self.ps, pages, nodes
 
     # -- post-prefill publish (reference Insert) ------------------------------
-    def insert(self, input_ids: List[int], pages: List[int], req) -> None:
+    def insert(self, input_ids: List[int], pages: List[int], req,
+               now: Optional[float] = None) -> None:
         n_full = len(input_ids) // self.ps
         buf = b""
-        now = time.monotonic()
+        now = time.monotonic() if now is None else now
         new_nodes = []
         for j in range(n_full):
             span = input_ids[j * self.ps:(j + 1) * self.ps]
@@ -185,7 +189,7 @@ class PrefixCacheManager:
             key = _hash_prefix(buf)
             node = self.nodes.get(key)
             if node is None:
-                node = _Node(key, pages[j], self.ttl_s)
+                node = _Node(key, pages[j], self.ttl_s, now=now)
                 node.ref_count = 1
                 self.nodes[key] = node
                 new_nodes.append(node)
@@ -275,8 +279,8 @@ class PrefixCacheManager:
             self.allocator.free(freed)
         return len(freed)
 
-    def expire_ttl(self) -> int:
-        now = time.monotonic()
+    def expire_ttl(self, now: Optional[float] = None) -> int:
+        now = time.monotonic() if now is None else now
         freed = []
         for key in list(self.nodes.keys()):
             node = self.nodes[key]

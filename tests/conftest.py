@@ -17,12 +17,24 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Opt-in persistent XLA compile cache for fast test iteration: the interpret
+# Persistent XLA compile cache for fast test iteration: the interpret
 # megakernel suites are dominated by XLA:CPU compile time (~20 s/case cold,
-# ~13 s warm). Off by default — the loader logs noisy (harmless)
-# prefer-no-scatter/gather machine-feature warnings on reload.
-if os.environ.get("DI_TEST_COMPILE_CACHE"):
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["DI_TEST_COMPILE_CACHE"])
+# ~13 s warm). DEFAULT ON (VERDICT r2 hygiene); opt out with
+# DI_TEST_COMPILE_CACHE=0, or point it at a custom directory. The cache
+# loader logs harmless prefer-no-scatter/gather machine-feature warnings on
+# reload — filtered below.
+_cc = os.environ.get("DI_TEST_COMPILE_CACHE",
+                     os.path.expanduser("~/.cache/di_test_xla_cache"))
+if _cc not in ("0", ""):
+    import logging
+
+    class _DropCacheFeatureNoise(logging.Filter):
+        def filter(self, record):
+            return "machine feature" not in record.getMessage()
+
+    for _name in ("jax._src.compiler", "jax._src.cache_key",
+                  "jax._src.compilation_cache"):
+        logging.getLogger(_name).addFilter(_DropCacheFeatureNoise())
+    jax.config.update("jax_compilation_cache_dir", _cc)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

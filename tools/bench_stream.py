@@ -128,6 +128,181 @@ def timeit(f, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
+def timeit_d2h(f, iters=8):
+    """Time with a forced tail D2H sync (np.asarray).
+
+    On the tunneled 'axon' platform, jax.block_until_ready over repeated
+    IDENTICAL dispatches under-measures wildly (observed 19 TB/s); a tail
+    np.asarray is reliable but includes a fixed host<->device RTT.  Use
+    main_slope below (delta over S) to cancel the constant."""
+    np.asarray(f())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        o = f()
+    np.asarray(o)
+    return (time.perf_counter() - t0) / iters
+
+
+def main_slope():
+    """True payload GB/s by the slope method: time two S (chunk-count)
+    points per config and divide the payload delta by the time delta.
+    This cancels the tunnel RTT and any fixed dispatch cost, which the
+    old `rate` timing (block_until_ready) got badly wrong on axon."""
+    which = sys.argv[2] if len(sys.argv) > 2 else "all"
+    cfgs = [("copy", 0), ("u4", 128), ("i8", 128), ("bf16", 0)]
+    if which != "all":
+        cfgs = [c for c in cfgs if c[0] == which]
+    chunks = tuple(int(c) for c in os.environ.get(
+        "DI_SB_CHUNKS", "512,1024,2048,4096,8192").split(","))
+    print(f"x [{B}, {K}] bf16; slope GB/s = d(payload)/d(time)", flush=True)
+    for fmt, gs in cfgs:
+        for chunk_kb in chunks:
+            bytes_per_col = (K // 2 if fmt == "u4" else
+                             2 * K if fmt == "bf16" else K)
+            cols_bytes = chunk_kb * 1024 // bytes_per_col
+            step = 256 if fmt == "u4" else 128
+            cols = max(step, cols_bytes // step * step)
+            chunk_bytes = cols * bytes_per_col
+            S_lo = max(4, (96 << 20) // chunk_bytes)
+            S_hi = max(S_lo * 4, (768 << 20) // chunk_bytes)
+            try:
+                f_lo, p_lo = build(fmt, gs, cols, S_lo)
+                f_hi, p_hi = build(fmt, gs, cols, S_hi)
+                t_lo = timeit_d2h(f_lo)
+                t_hi = timeit_d2h(f_hi)
+                gbs = (p_hi - p_lo) / (t_hi - t_lo) / 1e9
+                per_chunk = (t_hi - t_lo) / (S_hi - S_lo)
+                print(f"{fmt:5s} gs={gs:3d} chunk={chunk_bytes>>10:5d}KB "
+                      f"cols={cols:5d}: {per_chunk*1e6:7.2f} us/chunk -> "
+                      f"{gbs:6.1f} GB/s  (t {t_lo*1e3:.2f}/{t_hi*1e3:.2f} ms"
+                      f" S {S_lo}/{S_hi})", flush=True)
+            except Exception as e:
+                print(f"{fmt} gs={gs} chunk={chunk_kb}KB FAILED: "
+                      f"{str(e)[:120]}", flush=True)
+
+
+def build_loop(fmt: str, gs: int, cols: int, S: int, R: int):
+    """Like build(), but the grid is R*S with chunk index t % S — the
+    whole S-chunk stream repeats R times INSIDE one kernel launch, so a
+    single dispatch covers R full streams and per-call dispatch overhead
+    (~3-4.5 ms on the tunneled runtime, which swamps per-call timing)
+    amortizes away. Rate = payload_delta / time_delta between two R."""
+    store_cols = cols // 2 if fmt == "u4" else cols
+    groups = K // gs if gs else 1
+
+    def kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        if fmt == "copy":
+            # consume every sublane: reduce the whole chunk so no row of
+            # the DMA'd block is dead (jnp.sum lowers to VPU adds)
+            acc[0:1, :] = acc[0:1, :] + jnp.sum(
+                w_ref[0].astype(jnp.float32), axis=0, keepdims=True)[:, :cols]
+            o_ref[:] = acc[:1]
+            return
+        if fmt == "bf16":
+            q = w_ref[0]
+        elif fmt == "i8":
+            q = w_ref[0].astype(jnp.bfloat16)
+        else:
+            p32 = w_ref[0].astype(jnp.int32)
+            lo = (p32 & 0xF).astype(jnp.bfloat16)
+            hi = (p32 >> 4).astype(jnp.bfloat16)
+            q = jnp.concatenate([lo, hi], axis=-1)
+        x = x_ref[:]
+        if fmt == "bf16" or groups == 1:
+            y = jax.lax.dot_general(x, q, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        else:
+            xg = x.reshape(B, groups, gs).swapaxes(0, 1)
+            qg = q.reshape(groups, gs, -1)
+            part = jax.lax.dot_general(
+                xg, qg, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            s = s_ref[0].astype(jnp.float32)
+            y = jnp.sum(part * s[:, None, :], axis=0)
+        acc[:] = acc[:] + y[:1]
+        o_ref[:] = acc[:]
+
+    wdt = {"bf16": jnp.bfloat16, "i8": jnp.int8, "u4": jnp.uint8,
+           "copy": jnp.int8}[fmt]
+    in_specs = [
+        pl.BlockSpec((B, K), lambda t: (0, 0)),
+        pl.BlockSpec((1, K, store_cols), lambda t: (t % S, 0, 0)),
+        pl.BlockSpec((1, max(groups, 1), cols), lambda t: (t % S, 0, 0)),
+        pl.BlockSpec((1, max(groups, 1), cols), lambda t: (t % S, 0, 0)),
+    ]
+    fn = pl.pallas_call(
+        kernel,
+        grid=(R * S,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, cols), lambda t: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, cols), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, cols), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    x = jnp.ones((B, K), jnp.bfloat16)
+    w = jnp.ones((S, K, store_cols), wdt)
+    s = jnp.ones((S, max(groups, 1), cols), jnp.bfloat16)
+    z = jnp.ones((S, max(groups, 1), cols), jnp.bfloat16)
+    jf = jax.jit(fn)
+    f = lambda: jf(x, w, s, z)
+    payload = R * S * K * store_cols * (2 if fmt == "bf16" else 1)
+    return f, payload
+
+
+def _median_time(f, reps=3):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(f())
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def main_loop():
+    """In-kernel repeated stream: ONE dispatch per timing, R rounds of the
+    stream inside it. The only trustworthy rate methodology on this
+    tunneled runtime (see main_slope docstring)."""
+    which = sys.argv[2] if len(sys.argv) > 2 else "all"
+    cfgs = [("copy", 0), ("u4", 128), ("i8", 128), ("bf16", 0)]
+    if which != "all":
+        cfgs = [c for c in cfgs if c[0] == which]
+    chunks = tuple(int(c) for c in os.environ.get(
+        "DI_SB_CHUNKS", "512,1024,2048,4096").split(","))
+    R_LO, R_HI = 1, 9
+    print(f"x [{B}, {K}] bf16; loop-slope GB/s over R={R_LO}->{R_HI} "
+          f"in-kernel rounds", flush=True)
+    for fmt, gs in cfgs:
+        for chunk_kb in chunks:
+            bytes_per_col = (K // 2 if fmt == "u4" else
+                             2 * K if fmt == "bf16" else K)
+            cols_bytes = chunk_kb * 1024 // bytes_per_col
+            step = 256 if fmt == "u4" else 128
+            cols = max(step, cols_bytes // step * step)
+            chunk_bytes = cols * bytes_per_col
+            S = max(8, (256 << 20) // chunk_bytes)
+            try:
+                f_lo, p_lo = build_loop(fmt, gs, cols, S, R_LO)
+                f_hi, p_hi = build_loop(fmt, gs, cols, S, R_HI)
+                t_lo = _median_time(f_lo)
+                t_hi = _median_time(f_hi)
+                gbs = (p_hi - p_lo) / (t_hi - t_lo) / 1e9
+                per_chunk = (t_hi - t_lo) / ((R_HI - R_LO) * S)
+                print(f"{fmt:5s} gs={gs:3d} chunk={chunk_bytes>>10:5d}KB "
+                      f"cols={cols:5d} S={S:4d}: {per_chunk*1e6:7.2f} "
+                      f"us/chunk -> {gbs:6.1f} GB/s  "
+                      f"(t {t_lo*1e3:.1f}/{t_hi*1e3:.1f} ms)", flush=True)
+            except Exception as e:
+                print(f"{fmt} gs={gs} chunk={chunk_kb}KB FAILED: "
+                      f"{str(e)[:120]}", flush=True)
+
+
 def main_rate():
     total_mb = 128  # payload per run
     print(f"x [{B}, {K}] bf16; rates = payload GB/s", flush=True)
@@ -312,4 +487,5 @@ def main_replica():
 
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "rate"
-    {"rate": main_rate, "replica": main_replica}[cmd]()
+    {"rate": main_rate, "replica": main_replica, "slope": main_slope,
+     "loop": main_loop}[cmd]()
