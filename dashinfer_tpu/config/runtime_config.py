@@ -110,6 +110,15 @@ class RuntimeConfig:
     max_stop_token_ids: int = 8
     # cap on per-step banned next-tokens (bad_words_ids / no_repeat_ngram)
     max_banned_tokens: int = 32
+    # on-device bad-words/ngram banning (reference process_id.cu keeps
+    # these on device too): requests whose bad_words fit [max_bad_words x
+    # max_bad_word_len] and whose no_repeat_ngram_size <= max_ngram are
+    # enforced in-graph from the device token history — no per-step host
+    # sync, multi-step decode windows stay enabled. Oversized requests
+    # fall back to the synchronous host-computed banned channel.
+    max_bad_words: int = 8
+    max_bad_word_len: int = 4
+    max_ngram: int = 8
 
     # LoRA serving limits (reference lora_max_num/lora_max_rank)
     enable_lora: bool = False

@@ -68,6 +68,7 @@ class DecodeDecision:
     npi: Optional[np.ndarray] = None        # [N, B] multi-step page grid
     new_page_ids: Optional[np.ndarray] = None   # [B] single-step pages
     sync_mode: bool = False
+    with_banned: bool = False               # on-device bad-words/ngram
 
     def payload(self) -> Dict:
         import zlib
@@ -512,7 +513,10 @@ class ModelRuntime:
                 min_gen_len=jnp.int32(0),
                 stop_token_ids=jnp.zeros((rt.max_stop_token_ids,),
                                          jnp.int32),
-                lora_idx=jnp.int32(-1), pos_offset=jnp.int32(0)))
+                lora_idx=jnp.int32(-1), pos_offset=jnp.int32(0),
+                bad_words=jnp.full(
+                    (rt.max_bad_words, rt.max_bad_word_len), -1, jnp.int32),
+                ngram_n=jnp.int32(0)))
             pf = steps_mod.build_prefill_step(
                 cfg, rt, bucket, use_kernel=self.use_kernel)
             t_pf = temp_of(pf.lower(
@@ -598,21 +602,22 @@ class ModelRuntime:
         return out
 
     def _decode_fn(self, with_logprobs: bool, with_guided: bool,
-                   with_lora: bool = False) -> Callable:
+                   with_lora: bool = False,
+                   with_banned: bool = False) -> Callable:
         plan = self.mega_plan if not with_lora else None
         tp = (self.tp_mega_plan, self.mesh) \
             if (self.tp_mega_plan is not None and not with_lora) else None
-        if (not (with_logprobs or with_guided or with_lora) and
-                plan is None and tp is None):
+        if (not (with_logprobs or with_guided or with_lora or with_banned)
+                and plan is None and tp is None):
             return self._decode_step
-        key = ("dec", with_logprobs, with_guided, with_lora,
+        key = ("dec", with_logprobs, with_guided, with_lora, with_banned,
                plan is not None, tp is not None)
         if key not in self._prefill_steps:
             self._prefill_steps[key] = steps_mod.build_decode_step(
                 self.cfg, self.rt, use_kernel=self.use_kernel,
                 with_logprobs=with_logprobs, with_guided=with_guided,
-                with_lora=with_lora, megakernel_plan=plan,
-                tp_megakernel=tp)
+                with_lora=with_lora, with_banned=with_banned,
+                megakernel_plan=plan, tp_megakernel=tp)
         return self._prefill_steps[key]
 
     def _decode_params(self, with_lora: bool):
@@ -620,16 +625,16 @@ class ModelRuntime:
             return self.mega_params
         return self.params
 
-    def _multi_decode_fn(self) -> Callable:
+    def _multi_decode_fn(self, with_banned: bool = False) -> Callable:
         tp = (self.tp_mega_plan, self.mesh) \
             if self.tp_mega_plan is not None else None
-        key = ("multidec", self.rt.decode_steps_per_launch,
+        key = ("multidec", self.rt.decode_steps_per_launch, with_banned,
                self.mega_plan is not None, tp is not None)
         if key not in self._prefill_steps:
             self._prefill_steps[key] = steps_mod.build_multi_decode_step(
                 self.cfg, self.rt, self.rt.decode_steps_per_launch,
-                use_kernel=self.use_kernel, megakernel_plan=self.mega_plan,
-                tp_megakernel=tp)
+                use_kernel=self.use_kernel, with_banned=with_banned,
+                megakernel_plan=self.mega_plan, tp_megakernel=tp)
         return self._prefill_steps[key]
 
     def _make_enforcer(self, req: Request):
@@ -806,6 +811,11 @@ class ModelRuntime:
         t0 = time.monotonic()
         try:
             kwargs = dict(mm_kwargs)
+            # full prompt ids for the on-device token history (ngram bans
+            # scan it in-graph during decode)
+            hr = np.full((self.rt.max_length,), -1, np.int32)
+            hr[:req.prompt_len] = req.input_ids
+            kwargs["hist"] = jnp.asarray(hr)
             if banned is not None:
                 kwargs["banned"] = jnp.asarray(banned, jnp.int32)
             if base_counts is not None:
@@ -880,6 +890,25 @@ class ModelRuntime:
         out = sorted(banned)[:cap]
         return (out + [-1] * cap)[:cap]
 
+    def _device_ban_fits(self, g: GenerationConfig) -> bool:
+        """True when this request's bad-words/ngram config fits the
+        on-device banning arrays (state.bad_words / max_ngram) — such
+        requests are enforced in-graph with no per-step host sync.
+        Oversized configs fall back to the synchronous host channel."""
+        rt = self.rt
+        if g.no_repeat_ngram_size > rt.max_ngram:
+            return False
+        if len(g.bad_words_ids) > rt.max_bad_words:
+            return False
+        return all(1 <= len(w) <= rt.max_bad_word_len
+                   for w in g.bad_words_ids)
+
+    def _needs_host_banned(self, req: Request) -> bool:
+        g = req.gen_cfg
+        if not g.bad_words_ids and not g.no_repeat_ngram_size:
+            return False
+        return not self._device_ban_fits(g)
+
     def _slot_init(self, req: Request, slot: int) -> steps_mod.SlotInit:
         g = req.gen_cfg
         max_stop = self.rt.max_stop_token_ids
@@ -894,6 +923,17 @@ class ModelRuntime:
         lora_idx = -1
         if self.lora_manager is not None and g.lora_name is not None:
             lora_idx = self.lora_manager.index_of(g.lora_name)
+        MW, WL = self.rt.max_bad_words, self.rt.max_bad_word_len
+        bw = np.full((MW, WL), -1, np.int32)
+        ng = 0
+        if (g.bad_words_ids or g.no_repeat_ngram_size) and \
+                self._device_ban_fits(g):
+            # right-aligned: last col = banned token, preceding cols = the
+            # required context tail (-1 = wildcard / shorter word)
+            for j, w in enumerate(g.bad_words_ids):
+                w = [int(t) for t in w]
+                bw[j, WL - len(w):] = w
+            ng = g.no_repeat_ngram_size
         return steps_mod.SlotInit(
             slot=jnp.int32(slot),
             temperature=jnp.float32(g.temperature),
@@ -907,6 +947,8 @@ class ModelRuntime:
             stop_token_ids=jnp.asarray(stop_ids, jnp.int32),
             lora_idx=jnp.int32(lora_idx),
             pos_offset=jnp.int32(getattr(req, "pos_offset", 0)),
+            bad_words=jnp.asarray(bw),
+            ngram_n=jnp.int32(ng),
         )
 
     # -- decode --------------------------------------------------------------
@@ -941,9 +983,14 @@ class ModelRuntime:
         if not act or self.params is None:
             self._drain_inflight()
             return None
+        # bad-words/ngram bans run ON DEVICE from the slot token history
+        # (steps.py with_banned; reference process_id.cu) so they no longer
+        # force synchronous ticks — only guided JSON (host char-FSM, like
+        # the reference's pinned-host format_enforcer.cpp masking) and
+        # oversized ban configs (host fallback channel) do.
         sync_mode = any(
-            r.format_enforcer is not None or r.gen_cfg.bad_words_ids or
-            r.gen_cfg.no_repeat_ngram_size for r in act)
+            r.format_enforcer is not None or self._needs_host_banned(r)
+            for r in act)
         near_limit = any(
             self._cached_len.get(r.uuid, 0) >=
             min(r.gen_cfg.max_length, self.rt.max_length) for r in act)
@@ -984,7 +1031,10 @@ class ModelRuntime:
                     for (req, i), g in zip(needs, pages):
                         req.logical_pages.append([g])
                         npi[i, req.slot] = g
-                    return DecodeDecision(kind="multi", act=act, npi=npi)
+                    wb = any(r.gen_cfg.bad_words_ids or
+                             r.gen_cfg.no_repeat_ngram_size for r in act)
+                    return DecodeDecision(kind="multi", act=act, npi=npi,
+                                          with_banned=wb)
 
         new_page_ids = np.full((B,), -1, np.int32)
 
@@ -1026,7 +1076,7 @@ class ModelRuntime:
         act = d.act
         if d.kind == "multi":
             N = self.rt.decode_steps_per_launch
-            fn = self._multi_decode_fn()
+            fn = self._multi_decode_fn(with_banned=d.with_banned)
             with self.profiler.phase(f"decode_x{N}"):
                 tokens, self.cache, self.state = fn(
                     self._decode_params(False), self.cache,
@@ -1048,11 +1098,19 @@ class ModelRuntime:
         guided = [r for r in act if r.format_enforcer is not None]
         with_lora = (self.lora_manager is not None and
                      any(r.gen_cfg.lora_name is not None for r in act))
-        banned_rows = {r.slot: self._banned_ids(r) for r in act}
-        with_banned = any(v is not None for v in banned_rows.values())
-        fn = self._decode_fn(with_lp, bool(guided), with_lora)
+        # on-device banning for requests whose config fits the state
+        # arrays; the host-computed channel only serves oversized configs
+        # (those forced sync_mode in decode_decide)
+        dev_banned = any(
+            (r.gen_cfg.bad_words_ids or r.gen_cfg.no_repeat_ngram_size) and
+            not self._needs_host_banned(r) for r in act)
+        banned_rows = {r.slot: self._banned_ids(r) for r in act
+                       if self._needs_host_banned(r)}
+        host_banned = any(v is not None for v in banned_rows.values())
+        fn = self._decode_fn(with_lp, bool(guided), with_lora,
+                             with_banned=dev_banned)
         kwargs = {}
-        if with_banned:
+        if host_banned:
             cap = self.rt.max_banned_tokens
             bmat = np.full((B, cap), -1, np.int32)
             for slot, v in banned_rows.items():

@@ -46,6 +46,10 @@ class SlotInit(NamedTuple):
     stop_token_ids: jnp.ndarray  # [MAX_STOP] i32
     lora_idx: jnp.ndarray        # i32; adapter pool slot, -1 = none
     pos_offset: jnp.ndarray      # i32; mRoPE rope delta (0 for text-only)
+    # on-device banning config (all -1 / 0 when unused; ALWAYS written so
+    # slot reuse cannot leak a previous occupant's bans)
+    bad_words: jnp.ndarray       # [MW, WL] i32 right-aligned, -1 pad
+    ngram_n: jnp.ndarray         # i32; no_repeat_ngram_size, 0 = off
 
 
 def _write_slot_sampling(sp: SamplingParams, init: SlotInit) -> SamplingParams:
@@ -173,7 +177,7 @@ def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
     def step(params, cache: KVCache, state: DecodeState, tokens, page_row,
              prefix_len, total_len, init: SlotInit, base_counts=None,
              allowed=None, lora_pool=None, banned=None, embeds=None,
-             positions3=None):
+             positions3=None, hist=None):
         if tp_mega is not None:
             logits, cache = _tp_prefill_mega_forward(
                 cfg, _tp_plan, _tp_pfn, params, cache, tokens, page_row,
@@ -220,6 +224,22 @@ def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
         row_padded = jax.lax.dynamic_update_slice(
             row_padded, page_row, (0,))
 
+        # token history row: full prompt ids when the caller passes `hist`
+        # (the engine always does); otherwise reconstruct the suffix this
+        # bucket carries — enough for callers that never use ngram bans.
+        maxT = state.history.shape[1]
+        if hist is None:
+            hrow = jnp.full((maxT,), -1, jnp.int32)
+            num_new = total_len - prefix_len
+            masked = jnp.where(jnp.arange(S, dtype=jnp.int32) < num_new,
+                               tokens, -1)
+            off = jnp.clip(prefix_len, 0, max(maxT - S, 0))
+            hrow = jax.lax.dynamic_update_slice(hrow, masked, (off,))
+        else:
+            hrow = hist
+        # first sampled token appended at position total_len
+        hrow = hrow.at[jnp.clip(total_len, 0, maxT - 1)].set(tok)
+
         state = DecodeState(
             token_ids=state.token_ids.at[s].set(tok),
             context_lens=state.context_lens.at[s].set(total_len),
@@ -230,6 +250,9 @@ def build_prefill_step(cfg: ModelConfig, rt: RuntimeConfig, bucket: int,
             token_counts=state.token_counts.at[s].set(counts),
             lora_idx=state.lora_idx.at[s].set(init.lora_idx),
             pos_offsets=state.pos_offsets.at[s].set(init.pos_offset),
+            history=state.history.at[s].set(hrow),
+            bad_words=state.bad_words.at[s].set(init.bad_words),
+            ngram_n=state.ngram_n.at[s].set(init.ngram_n),
             sampling=_write_slot_sampling(state.sampling, init),
         )
         lp = (out.token_logprobs, out.top_ids, out.top_logprobs) \
@@ -309,6 +332,7 @@ def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
                       *, use_kernel: bool, with_logprobs: bool = False,
                       with_guided: bool = False,
                       with_lora: bool = False,
+                      with_banned: bool = False,
                       megakernel_plan=None,
                       tp_megakernel=None) -> Callable:
     """Returns jitted fn(params, cache, state, new_page_ids [B]
@@ -367,17 +391,30 @@ def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
                 prompt_lens=state.prompt_lens)
         if with_guided:
             logits = jnp.where(allowed, logits, -1e30)
+        # on-device bad-words/ngram mask from the slot token history
+        # (reference process_id.cu keeps bans on device too) — no host sync
+        bmask = None
+        hlen = state.prompt_lens + state.gen_lens
+        if with_banned:
+            bmask = sampling_ops.device_banned_mask(
+                state.history, hlen, state.bad_words, state.ngram_n,
+                cfg.vocab_size, rt.max_ngram)
 
         out = sampling_ops.sample(
             logits, state.sampling, state.token_counts, state.gen_lens,
             lens, max_top_k=rt.sampler_max_top_k, top_logprobs=n_lp,
-            banned=banned, exact_topk=rt.sampler_exact_topk)
+            banned=banned, banned_mask=bmask,
+            exact_topk=rt.sampler_exact_topk)
 
         active = state.active
         tok = jnp.where(active, out.tokens, state.token_ids)
         inc = active.astype(jnp.int32)
         counts = state.token_counts.at[
             jnp.arange(B), jnp.clip(tok, 0, cfg.vocab_size - 1)].add(inc)
+        hcol = jnp.clip(hlen, 0, state.history.shape[1] - 1)
+        hold = state.history[jnp.arange(B), hcol]
+        history = state.history.at[jnp.arange(B), hcol].set(
+            jnp.where(active, tok, hold))
 
         state = DecodeState(
             token_ids=tok,
@@ -389,6 +426,9 @@ def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
             token_counts=counts,
             lora_idx=state.lora_idx,
             pos_offsets=state.pos_offsets,
+            history=history,
+            bad_words=state.bad_words,
+            ngram_n=state.ngram_n,
             sampling=state.sampling,
         )
         lp = (out.token_logprobs, out.top_ids, out.top_logprobs) \
@@ -400,6 +440,7 @@ def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
 
 def build_multi_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
                             n_steps: int, *, use_kernel: bool,
+                            with_banned: bool = False,
                             megakernel_plan=None,
                             tp_megakernel=None) -> Callable:
     """N decode steps in ONE jitted call (lax.scan over the single-step
@@ -448,21 +489,35 @@ def build_multi_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
                 state.active, mode=mode, use_kernel=use_kernel,
                 pos_offsets=state.pos_offsets,
                 prompt_lens=state.prompt_lens)
+        bmask = None
+        hlen = state.prompt_lens + state.gen_lens
+        if with_banned:
+            # in-graph banning makes bad-words/ngram requests eligible for
+            # the multi-step window: each scanned step recomputes the mask
+            # from the history the previous step appended
+            bmask = sampling_ops.device_banned_mask(
+                state.history, hlen, state.bad_words, state.ngram_n,
+                cfg.vocab_size, rt.max_ngram)
         out = sampling_ops.sample(
             logits, state.sampling, state.token_counts, state.gen_lens,
             lens, max_top_k=rt.sampler_max_top_k, top_logprobs=0,
-            exact_topk=rt.sampler_exact_topk)
+            banned_mask=bmask, exact_topk=rt.sampler_exact_topk)
         active = state.active
         tok = jnp.where(active, out.tokens, state.token_ids)
         inc = active.astype(jnp.int32)
         counts = state.token_counts.at[
             jnp.arange(B), jnp.clip(tok, 0, cfg.vocab_size - 1)].add(inc)
+        hcol = jnp.clip(hlen, 0, state.history.shape[1] - 1)
+        hold = state.history[jnp.arange(B), hcol]
+        history = state.history.at[jnp.arange(B), hcol].set(
+            jnp.where(active, tok, hold))
         state = DecodeState(
             token_ids=tok, context_lens=lens + inc,
             prompt_lens=state.prompt_lens, gen_lens=state.gen_lens + inc,
             page_tables=page_tables, active=active, token_counts=counts,
             lora_idx=state.lora_idx, pos_offsets=state.pos_offsets,
-            sampling=state.sampling)
+            history=history, bad_words=state.bad_words,
+            ngram_n=state.ngram_n, sampling=state.sampling)
         return (cache, state), tok
 
     def step(params, cache: KVCache, state: DecodeState, new_page_ids):

@@ -36,10 +36,73 @@ class SampleOutput(NamedTuple):
     top_logprobs: Optional[jnp.ndarray]     # [B, n] f32 or None
 
 
+def device_banned_mask(history: jnp.ndarray, lens: jnp.ndarray,
+                       bad_words: jnp.ndarray, ngram_n: jnp.ndarray,
+                       vocab: int, max_ngram: int) -> jnp.ndarray:
+    """On-device bad-words + no-repeat-ngram ban mask — TPU analog of the
+    reference's device-side process_id kernels (csrc/core/kernel/cuda/
+    process_id.cu; SURVEY.md §2.7): no per-step host sync, so banned
+    requests keep double-buffering and multi-step decode windows.
+
+    history: [B, T] i32 prompt+generated ids (-1 pad); lens: [B] tokens in
+    history; bad_words: [B, MW, WL] RIGHT-ALIGNED words (-1 pad; last col
+    is the banned token, the preceding cols are the required context tail);
+    ngram_n: [B] no_repeat_ngram_size (0 = off). Returns [B, vocab] bool
+    (True = ban). Semantics mirror the host oracle
+    (engine/model_runtime._banned_ids), which unit tests enforce."""
+    B, T = history.shape
+    b_col = jnp.arange(B)[:, None]
+    mask = jnp.zeros((B, vocab), jnp.int32)
+
+    # bad words: word w of length m is triggered when the last m-1 history
+    # tokens equal w[:-1] (right-aligned -1 cols are wildcards — shorter
+    # words need less context; single-token words are always banned)
+    MW, WL = bad_words.shape[1], bad_words.shape[2]
+    if MW > 0 and WL > 0:
+        m = WL - 1
+        if m > 0:
+            pos = lens[:, None] - m + jnp.arange(m)[None, :]        # [B, m]
+            tail = jnp.where(pos >= 0,
+                             history[b_col, jnp.clip(pos, 0, T - 1)], -2)
+            prefix = bad_words[:, :, :m]                            # [B,MW,m]
+            match = jnp.all((prefix == -1) | (prefix == tail[:, None, :]),
+                            axis=-1)                                # [B, MW]
+        else:
+            match = jnp.ones((B, MW), bool)
+        last = bad_words[:, :, -1]                                  # [B, MW]
+        match = match & (last >= 0)
+        mask = mask.at[b_col, jnp.clip(last, 0, vocab - 1)].max(
+            match.astype(jnp.int32))
+
+    # no-repeat-ngram: ban history[i+n-1] wherever history[i:i+n-1] equals
+    # the current (n-1)-token tail (host oracle: _banned_ids)
+    NG = max_ngram
+    if NG > 0:
+        m = jnp.clip(ngram_n - 1, 0, NG - 1)                        # [B]
+        i = jnp.arange(T)[None, :]                                  # [1, T]
+        eq = jnp.ones((B, T), bool)
+        for k in range(NG - 1):
+            tgt_pos = lens - m + k                                  # [B]
+            tgt = jnp.where(
+                (k < m) & (tgt_pos >= 0),
+                history[jnp.arange(B), jnp.clip(tgt_pos, 0, T - 1)], -2)
+            src = jnp.where(i + k < T,
+                            history[b_col, jnp.clip(i + k, 0, T - 1)], -3)
+            eq = eq & ((k >= m[:, None]) | (src == tgt[:, None]))
+        ban_pos = i + m[:, None]                                    # [B, T]
+        banned_tok = history[b_col, jnp.clip(ban_pos, 0, T - 1)]
+        valid = ((ngram_n[:, None] > 0) & eq &
+                 (ban_pos < lens[:, None]) & (banned_tok >= 0))
+        mask = mask.at[b_col, jnp.clip(banned_tok, 0, vocab - 1)].max(
+            valid.astype(jnp.int32))
+    return mask > 0
+
+
 def process_logits(logits: jnp.ndarray, sp: SamplingParams,
                    token_counts: jnp.ndarray,
                    gen_lens: jnp.ndarray,
-                   banned: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                   banned: Optional[jnp.ndarray] = None,
+                   banned_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Apply penalties + min-length stop suppression + bad-word bans
     (reference process_logits_launcher, generate_op.cpp:238-312; bad-words
     and ngram bans ride the same mask)."""
@@ -68,6 +131,10 @@ def process_logits(logits: jnp.ndarray, sp: SamplingParams,
         bsafe = jnp.maximum(banned, 0)
         bupd = jnp.where(bvalid, _NEG, jnp.inf)
         logits = logits.at[b_idx, bsafe].min(bupd)
+    # full [B, V] mask from the on-device banned computation
+    # (device_banned_mask) — True entries are suppressed
+    if banned_mask is not None:
+        logits = jnp.where(banned_mask, _NEG, logits)
     return logits
 
 
@@ -75,6 +142,7 @@ def sample(logits: jnp.ndarray, sp: SamplingParams, token_counts: jnp.ndarray,
            gen_lens: jnp.ndarray, steps: jnp.ndarray, *, max_top_k: int,
            top_logprobs: int = 0,
            banned: Optional[jnp.ndarray] = None,
+           banned_mask: Optional[jnp.ndarray] = None,
            exact_topk: bool = False) -> SampleOutput:
     """logits: [B, V] f32 raw model output; steps: [B] i32 sampling step
     (= sequence position) feeding the counter-based RNG.
@@ -87,7 +155,8 @@ def sample(logits: jnp.ndarray, sp: SamplingParams, token_counts: jnp.ndarray,
     `exact_topk` (RuntimeConfig.sampler_exact_topk) for the reference's
     radix-exact semantics."""
     B, V = logits.shape
-    logits = process_logits(logits, sp, token_counts, gen_lens, banned)
+    logits = process_logits(logits, sp, token_counts, gen_lens, banned,
+                            banned_mask)
 
     temp = jnp.maximum(sp.temperature, 1e-5)[:, None]
     scaled = logits / temp

@@ -51,6 +51,13 @@ class DecodeState:
     token_counts: jax.Array    # i32 [B, vocab] occurrence counts (penalties)
     lora_idx: jax.Array        # i32 [B]; adapter pool slot, -1 = none
     pos_offsets: jax.Array     # i32 [B]; rope position delta (mRoPE), 0 = none
+    # on-device token history + ban config (reference keeps max_dec_ids on
+    # device and bans in process_id.cu — SURVEY.md §2.7): history holds
+    # prompt+generated ids (-1 pad) so bad-words/ngram masks are computed
+    # in-graph with no per-step host sync
+    history: jax.Array         # i32 [B, max_length] (-1 pad)
+    bad_words: jax.Array       # i32 [B, MW, WL] right-aligned, -1 pad
+    ngram_n: jax.Array         # i32 [B]; no_repeat_ngram_size, 0 = off
     sampling: SamplingParams
 
     @property
@@ -85,6 +92,11 @@ def make_decode_state(model_cfg: ModelConfig, rt_cfg: RuntimeConfig) -> DecodeSt
         token_counts=jnp.zeros((B, model_cfg.vocab_size), jnp.int32),
         lora_idx=jnp.full((B,), -1, jnp.int32),
         pos_offsets=jnp.zeros((B,), jnp.int32),
+        history=jnp.full((B, rt_cfg.max_length), -1, jnp.int32),
+        bad_words=jnp.full(
+            (B, rt_cfg.max_bad_words, rt_cfg.max_bad_word_len), -1,
+            jnp.int32),
+        ngram_n=jnp.zeros((B,), jnp.int32),
         sampling=make_sampling_params(B, rt_cfg.max_stop_token_ids),
     )
 

@@ -183,3 +183,110 @@ def test_beam_search_rejected_like_reference():
     g = GenerationConfig(num_beams=2)
     with pytest.raises(ValueError, match="beam search"):
         g.validate(100, 2048)
+
+
+def test_device_banned_mask_matches_host_oracle():
+    """On-device bad-words/ngram mask (ops/sampling.device_banned_mask;
+    reference process_id.cu) agrees exactly with the host oracle
+    (_banned_ids) across random histories and ban configs."""
+    from dashinfer_tpu.ops.sampling import device_banned_mask
+
+    V, T, MW, WL, NG = 64, 48, 8, 4, 8
+    rng = np.random.RandomState(11)
+
+    def host_oracle(ctx, bad_words, n):
+        banned = set()
+        for w in bad_words:
+            w = [int(t) for t in w]
+            if len(w) == 1:
+                banned.add(w[0])
+            elif len(w) - 1 <= len(ctx) and ctx[-(len(w) - 1):] == w[:-1]:
+                banned.add(w[-1])
+        if n > 0 and len(ctx) >= n - 1:
+            tail = tuple(ctx[-(n - 1):]) if n > 1 else ()
+            for i in range(len(ctx) - n + 1):
+                if tuple(ctx[i:i + n - 1]) == tail:
+                    banned.add(ctx[i + n - 1])
+        return banned
+
+    for trial in range(30):
+        B = rng.randint(1, 4)
+        hist = np.full((B, T), -1, np.int32)
+        lens = rng.randint(1, T, size=B).astype(np.int32)
+        bw = np.full((B, MW, WL), -1, np.int32)
+        ng = np.zeros((B,), np.int32)
+        ctxs, words = [], []
+        for b in range(B):
+            # small alphabet so ngram repeats actually occur
+            ctx = rng.randint(0, 6, size=lens[b]).tolist()
+            hist[b, :lens[b]] = ctx
+            ctxs.append(ctx)
+            nw = rng.randint(0, MW + 1)
+            ws = []
+            for j in range(nw):
+                wl = rng.randint(1, WL + 1)
+                w = rng.randint(0, 6, size=wl).tolist()
+                ws.append(w)
+                bw[b, j, WL - wl:] = w
+            words.append(ws)
+            ng[b] = rng.choice([0, 1, 2, 3])
+        import jax.numpy as jnp
+        mask = np.asarray(device_banned_mask(
+            jnp.asarray(hist), jnp.asarray(lens), jnp.asarray(bw),
+            jnp.asarray(ng), V, NG))
+        for b in range(B):
+            want = host_oracle(ctxs[b], words[b], int(ng[b]))
+            got = set(np.nonzero(mask[b])[0].tolist())
+            assert got == want, (trial, b, got, want, ctxs[b], words[b],
+                                 int(ng[b]))
+
+
+def test_banned_requests_keep_multistep_pipeline():
+    """VERDICT r2 #8: bad-words/ngram requests no longer force synchronous
+    single-step ticks — the on-device mask keeps the multi-step decode
+    window (profiler shows decode_xN launches) and produces the same
+    tokens as the synchronous host-fallback path."""
+    import os
+    import tests.hf_util as hf_util
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.engine.model_runtime import ModelRuntime
+    from dashinfer_tpu.loader import build_from_torch_model
+
+    hf_cfg = hf_util.tiny_qwen2_config()
+    model = hf_util.make_torch_model(hf_cfg)
+    cfg, params = build_from_torch_model(model, hf_cfg.to_dict(), "float32")
+    prompt = np.random.RandomState(5).randint(
+        1, hf_cfg.vocab_size, size=9).tolist()
+    base = hf_util.hf_greedy_tokens(model, prompt, 4)
+    gen_kwargs = dict(max_length=len(prompt) + 16, do_sample=False, top_k=1,
+                      eos_token_id=-1, no_repeat_ngram_size=2,
+                      bad_words_ids=[[base[0]], [base[1], base[2]]])
+
+    def run(force_host):
+        os.environ["DI_PROFILE"] = "1"
+        rt = (RuntimeConfigBuilder("bp").max_length(96).max_batch(2)
+              .kv_cache_page_size(16).kv_cache_num_pages(32)
+              .dtype("float32")
+              .update({"min_prefill_bucket": 16,
+                       "decode_steps_per_launch": 4}).build())
+        eng = Engine().install_model("bp", rt, params=params,
+                                     model_config=cfg)
+        eng.start_model("bp")
+        if force_host:
+            eng._models["bp"]._device_ban_fits = lambda g: False
+        _, h, q = eng.start_request("bp", prompt,
+                                    GenerationConfig(**gen_kwargs))
+        eng.sync_request("bp", h, timeout_s=600)
+        toks = q.GetAllGeneratedTokens()
+        phases = eng._models["bp"].profiler.report()
+        eng.release_model("bp")
+        os.environ.pop("DI_PROFILE", None)
+        return toks, phases
+
+    dev_toks, dev_phases = run(force_host=False)
+    host_toks, host_phases = run(force_host=True)
+    assert dev_toks == host_toks, (dev_toks, host_toks)
+    # device path used multi-step windows; host fallback could not
+    assert any(p.startswith("decode_x") for p in dev_phases), dev_phases
+    assert not any(p.startswith("decode_x") for p in host_phases), \
+        host_phases

@@ -128,7 +128,10 @@ def main():
             frequency_penalty=jnp.float32(0.0), seed=jnp.uint32(0),
             min_gen_len=jnp.int32(0),
             stop_token_ids=jnp.full((rt.max_stop_token_ids,), -1, jnp.int32),
-            lora_idx=jnp.int32(-1), pos_offset=jnp.int32(0))
+            lora_idx=jnp.int32(-1), pos_offset=jnp.int32(0),
+            bad_words=jnp.full((rt.max_bad_words, rt.max_bad_word_len), -1,
+                               jnp.int32),
+            ngram_n=jnp.int32(0))
 
         p = mega_params if use_mega else params
         t0 = time.time()

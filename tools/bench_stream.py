@@ -275,7 +275,7 @@ def main_loop():
         cfgs = [c for c in cfgs if c[0] == which]
     chunks = tuple(int(c) for c in os.environ.get(
         "DI_SB_CHUNKS", "512,1024,2048,4096").split(","))
-    R_LO, R_HI = 1, 9
+    R_LO, R_HI = (1, 33) if os.environ.get("DI_SB_BIGR") else (1, 9)
     print(f"x [{B}, {K}] bf16; loop-slope GB/s over R={R_LO}->{R_HI} "
           f"in-kernel rounds", flush=True)
     for fmt, gs in cfgs:
