@@ -208,6 +208,30 @@ class _ModelLoop:
             self.thread.join(timeout=10)
 
 
+_cc_enabled = False
+
+
+def _enable_compile_cache() -> None:
+    """Wire the persistent XLA compilation cache into the serving path
+    (DI_COMPILE_CACHE; default ~/.cache/dashinfer_tpu/xla) so a second
+    process start skips the multi-minute megakernel/bucket compiles —
+    the production cold-start story (VERDICT r2 #5)."""
+    global _cc_enabled
+    if _cc_enabled:
+        return
+    _cc_enabled = True
+    d = EnvConfig.compile_cache_dir()
+    if not d:
+        return
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        logger.info("persistent compile cache: %s", d)
+    except Exception:
+        logger.exception("could not enable the persistent compile cache")
+
+
 class Engine:
     """Public API (mirrors the canonical user flow, SURVEY.md §8.17)."""
 
@@ -224,6 +248,7 @@ class Engine:
         as_engine.cpp:385). `tokenizer` enables guided (JSON) decoding
         (the reference's JSON-mode vocab plumbing, engine.py:218-243)."""
         name = runtime_config.model_name
+        _enable_compile_cache()
         if params is None:
             from dashinfer_tpu.loader import build_from_hf
             model_config, params = build_from_hf(str(model),

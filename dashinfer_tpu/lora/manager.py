@@ -168,15 +168,33 @@ class LoraManager:
 
 def apply_lora_batch(x: jnp.ndarray, A_l: jnp.ndarray, B_l: jnp.ndarray,
                      scale: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
-    """Batched multi-adapter delta for decode (SGMV equivalent).
+    """Batched multi-adapter delta for decode (SGMV equivalent,
+    sgmv_lora_op_gpu.cpp).
 
     x: [B, in]; A_l: [N, in, R]; B_l: [N, R, out]; scale: [N];
     onehot: [B, N] (all-zero row = no adapter). Returns [B, out].
-    """
-    h = jnp.einsum("bi,nir->bnr", x.astype(jnp.float32),
-                   A_l.astype(jnp.float32))
-    h = h * (onehot * scale[None, :])[..., None]
-    y = jnp.einsum("bnr,nro->bo", h, B_l.astype(jnp.float32))
+
+    Two regimes (decode is bandwidth-bound, so pick by bytes moved):
+    - N <= B: the dense one-hot contraction reads the whole pool ONCE
+      (N * (in*R + R*out) bytes) and lets the MXU do the N-way reduction.
+    - N > B (large pools, reference lora_max_num scale): per-slot GATHER
+      of each row's adapter — O(B) adapter reads instead of O(N) pool
+      reads, and O(B*(in*R + R*out)) FLOPs instead of O(B*N*...)."""
+    B = x.shape[0]
+    N = A_l.shape[0]
+    if N <= B:
+        h = jnp.einsum("bi,nir->bnr", x.astype(jnp.float32),
+                       A_l.astype(jnp.float32))
+        h = h * (onehot * scale[None, :])[..., None]
+        y = jnp.einsum("bnr,nro->bo", h, B_l.astype(jnp.float32))
+        return y.astype(x.dtype)
+    idx = jnp.argmax(onehot, axis=1)                      # [B]
+    has = jnp.any(onehot > 0, axis=1)                     # [B]
+    A = A_l[idx].astype(jnp.float32)                      # [B, in, R]
+    Bm = B_l[idx].astype(jnp.float32)                     # [B, R, out]
+    s = jnp.where(has, scale[idx], 0.0)                   # [B]
+    h = jnp.einsum("bi,bir->br", x.astype(jnp.float32), A) * s[:, None]
+    y = jnp.einsum("br,bro->bo", h, Bm)
     return y.astype(x.dtype)
 
 

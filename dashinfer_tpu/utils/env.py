@@ -95,3 +95,15 @@ class EnvConfig:
         # (the TTL itself is RuntimeConfig.prefix_cache_ttl_s, reference
         # default 300 s — allspark.h:201)
         return _get("DI_TTL_SWEEP_INTERVAL", 10.0)
+
+    @staticmethod
+    def compile_cache_dir() -> str:
+        # persistent XLA compilation cache for the SERVING path (production
+        # cold-start story): default ON under ~/.cache; DI_COMPILE_CACHE=0
+        # disables, any other value overrides the directory. The reference's
+        # analog is its pre-converted model artifact (model_loader.py:176)
+        # — load instead of rebuild.
+        import os as _os
+        v = _get("DI_COMPILE_CACHE",
+                 _os.path.expanduser("~/.cache/dashinfer_tpu/xla"))
+        return "" if v in ("0", 0, False) else str(v)

@@ -27,22 +27,38 @@ PRESETS = {
 
 
 def build_random_model(preset: str, dtype: str, quant: str, group_size: int):
+    """Random shape-faithful params. Host-cached (np pickle) so repeated
+    flagship runs skip the multi-minute build+quantize."""
+    import hashlib
+    import os
+    import pickle
+
     import jax
     import jax.numpy as jnp
+    import numpy as _np
     from dashinfer_tpu.config import ModelConfig
 
     hid, inter, L, H, KH, V = PRESETS[preset]
-    cfg = ModelConfig(arch="qwen2", vocab_size=V, hidden_size=hid,
+    key_src = repr((preset, PRESETS[preset], dtype, quant, group_size, 2))
+    ck = hashlib.blake2b(key_src.encode(), digest_size=8).hexdigest()
+    cache_file = f"/tmp/di_serve_params_{ck}.pkl"
+    cfg0 = ModelConfig(arch="qwen2", vocab_size=V, hidden_size=hid,
                       intermediate_size=inter, num_layers=L, num_heads=H,
                       num_kv_heads=KH, head_dim=hid // H, qkv_bias=True,
                       rope_theta=1000000.0)
+    if os.path.exists(cache_file):
+        with open(cache_file, "rb") as f:
+            params_np = pickle.load(f)
+        print(f"params cache hit ({cache_file})", file=sys.stderr)
+        return cfg0, params_np
+    cfg = cfg0
     jdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.dtype(dtype)
-    key = jax.random.PRNGKey(0)
+    nprng = _np.random.RandomState(0)
 
     def rnd(*shape):
-        nonlocal key
-        key, k = jax.random.split(key)
-        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(jdt)
+        # host-side build: a 7B bf16 tree materialized on-device pre-quant
+        # would not fit next to the serving pool
+        return (nprng.randn(*shape).astype(_np.float32) * 0.02).astype(jdt)
 
     D = cfg.head_dim
     params = {
@@ -70,7 +86,13 @@ def build_random_model(preset: str, dtype: str, quant: str, group_size: int):
                             if x.dtype != np.float32 else x, host)
         params = quantize_params(host, QuantConfig(mode=quant,
                                                    group_size=group_size))
-    return cfg, params
+    params_np = jax.tree.map(lambda x: _np.asarray(x), jax.device_get(params))
+    try:
+        with open(cache_file, "wb") as f:
+            pickle.dump(params_np, f)
+    except Exception:
+        pass
+    return cfg, params_np
 
 
 def main():
@@ -90,6 +112,13 @@ def main():
                     help="fraction of prompt shared across requests "
                          "(prefix-cache hit sweep)")
     ap.add_argument("--qps", type=float, default=0.0, help="0 = all at once")
+    ap.add_argument("--decode-steps", type=int, default=1,
+                    help="decode steps per jitted launch (flagship uses 8)")
+    ap.add_argument("--page-size", type=int, default=0, help="0 = default")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run one untimed pass first (pays jit compiles)")
+    ap.add_argument("--json", default="",
+                    help="write a BENCH-style JSON artifact here")
     args = ap.parse_args()
 
     from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
@@ -97,15 +126,21 @@ def main():
 
     cfg, params = build_random_model(args.preset, args.dtype, args.quant,
                                      args.group_size)
-    rt = (RuntimeConfigBuilder("bench")
-          .max_length(args.in_len + args.out_len + 64)
-          .max_batch(args.batch)
-          .kv_cache_mode(CacheMode(args.kv_cache_mode))
-          .prefix_cache(args.prefix_cache)
-          .dtype(args.dtype).build())
+    t_install0 = time.time()
+    rtb = (RuntimeConfigBuilder("bench")
+           .max_length(args.in_len + args.out_len + 64)
+           .max_batch(args.batch)
+           .kv_cache_mode(CacheMode(args.kv_cache_mode))
+           .prefix_cache(args.prefix_cache)
+           .dtype(args.dtype)
+           .update({"decode_steps_per_launch": args.decode_steps}))
+    if args.page_size:
+        rtb = rtb.kv_cache_page_size(args.page_size)
+    rt = rtb.build()
     eng = Engine()
     eng.install_model("bench", rt, params=params, model_config=cfg)
     eng.start_model("bench")
+    install_s = time.time() - t_install0
 
     rng = np.random.RandomState(0)
     shared = rng.randint(1, cfg.vocab_size,
@@ -117,37 +152,86 @@ def main():
     gen = lambda p: GenerationConfig(max_length=len(p) + args.out_len,
                                      do_sample=False, top_k=1,
                                      eos_token_id=-1)
-    t_start = time.time()
-    handles = []
-    for p in prompts:
-        if args.qps > 0:
-            time.sleep(1.0 / args.qps)
-        handles.append((time.time(), eng.start_request("bench", p, gen(p))))
 
-    ttfts, gen_times, toks = [], [], 0
-    for t0, (_, h, q) in handles:
-        eng.sync_request("bench", h, timeout_s=36000)
-        stat = q.RequestStatInfo()
-        n = len(q.GetAllGeneratedTokens())
-        toks += n
-        ttfts.append(stat["time_to_first_token"])
-        if stat["generate_tps"] > 0:
-            gen_times.append((n - 1) / stat["generate_tps"])
-        eng.release_request("bench", h)
-    wall = time.time() - t_start
+    def drive(prompt_list, timed):
+        t_start = time.time()
+        handles = []
+        for p in prompt_list:
+            if args.qps > 0:
+                time.sleep(1.0 / args.qps)
+            handles.append((time.time(),
+                            eng.start_request("bench", p, gen(p))))
+        ttfts, gen_times, toks = [], [], 0
+        first_tok_at = None
+        for t0, (_, h, q) in handles:
+            eng.sync_request("bench", h, timeout_s=36000)
+            stat = q.RequestStatInfo()
+            n = len(q.GetAllGeneratedTokens())
+            toks += n
+            ttfts.append(stat["time_to_first_token"])
+            ft = stat.get("first_token_time")
+            if ft and (first_tok_at is None or ft < first_tok_at):
+                first_tok_at = ft
+            if stat["generate_tps"] > 0:
+                gen_times.append((n - 1) / stat["generate_tps"])
+            eng.release_request("bench", h)
+        wall = time.time() - t_start
+        # steady decode rate: generated tokens (past the first) over the
+        # window from the earliest first-token to drain — excludes the
+        # prefill ramp, comparable to bench.py's raw-step number
+        import time as _time
+        decode_window = (_time.monotonic() - first_tok_at) \
+            if first_tok_at else wall
+        decode_toks = toks - len(handles)
+        return dict(wall=wall, ttfts=ttfts, gen_times=gen_times, toks=toks,
+                    decode_tok_s=decode_toks / max(decode_window, 1e-9),
+                    qps=len(prompt_list) / wall)
+
+    warmup_s = 0.0
+    if args.warmup:
+        t0 = time.time()
+        # same buckets/shapes as the timed pass, fewer tokens
+        wp = [rng.randint(1, cfg.vocab_size, size=args.in_len).tolist()
+              for _ in range(min(args.batch, len(prompts)))]
+        drive(wp, timed=False)
+        warmup_s = time.time() - t0
+        print(f"warmup pass: {warmup_s:.1f} s", file=sys.stderr)
+
+    r = drive(prompts, timed=True)
 
     stats = eng.get_engine_stat("bench")
     print(f"preset={args.preset} quant={args.quant} kv={args.kv_cache_mode} "
-          f"bs={args.batch} in={args.in_len} out={args.out_len}")
-    print(f"Avg_context_time(TTFT): {np.mean(ttfts):.3f} s   "
-          f"p50 {np.percentile(ttfts, 50):.3f} s")
-    if gen_times:
-        print(f"Avg_generate_time:      {np.mean(gen_times):.3f} s")
-        print(f"Avg_Req_Tput:           {args.out_len / np.mean(gen_times):.2f} tok/s")
-    print(f"Total_Tput:             {toks / wall:.2f} tok/s")
-    print(f"QPS:                    {len(prompts) / wall:.3f}")
+          f"bs={args.batch} in={args.in_len} out={args.out_len} "
+          f"decode_steps={args.decode_steps}")
+    print(f"Avg_context_time(TTFT): {np.mean(r['ttfts']):.3f} s   "
+          f"p50 {np.percentile(r['ttfts'], 50):.3f} s")
+    if r["gen_times"]:
+        print(f"Avg_generate_time:      {np.mean(r['gen_times']):.3f} s")
+        print(f"Avg_Req_Tput:           "
+              f"{args.out_len / np.mean(r['gen_times']):.2f} tok/s")
+    print(f"Total_Tput:             {r['toks'] / r['wall']:.2f} tok/s")
+    print(f"Steady_Decode_Tput:     {r['decode_tok_s']:.2f} tok/s")
+    print(f"QPS:                    {r['qps']:.3f}")
     if args.prefix_cache:
         print(f"prefix_cache_hit_rate:  {stats['prefix_cache_hit_rate']:.3f}")
+    if args.json:
+        import json
+        art = {
+            "metric": "engine-loop serving throughput "
+                      f"({args.preset} {args.quant} kv={args.kv_cache_mode} "
+                      f"bs={args.batch} in={args.in_len} out={args.out_len})",
+            "total_tok_s": round(r["toks"] / r["wall"], 2),
+            "steady_decode_tok_s": round(r["decode_tok_s"], 2),
+            "p50_ttft_s": round(float(np.percentile(r["ttfts"], 50)), 4),
+            "mean_ttft_s": round(float(np.mean(r["ttfts"])), 4),
+            "qps": round(r["qps"], 3),
+            "num_requests": args.num_requests,
+            "install_s": round(install_s, 1),
+            "warmup_s": round(warmup_s, 1),
+        }
+        with open(args.json, "w") as f:
+            json.dump(art, f, indent=1)
+        print(json.dumps(art))
     eng.release_model("bench")
 
 
