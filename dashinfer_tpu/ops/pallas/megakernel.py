@@ -877,8 +877,14 @@ def _stream_dot(plan: MegaPlan, sp: StreamPlan, x_bf16, w_ref, s_ref, z_ref,
     - weight-side (wdeq): dequantize the weight tile [rows, cols] once,
       then ONE plain dot — measured 9% worse (the full-tile VPU dequant
       does not overlap)."""
-    q = _dequant_chunk(w_ref, sp.bits)                       # [rows, cols]
     B = x_bf16.shape[0]
+    if (sp.bits == 4 and B >= _GDOT_LOOP_B and not wdeq and
+            _u4deq_variant() == "split"):
+        p8 = w_ref[0, 0]
+        gs4 = sp.gs if sp.gs else p8.shape[0]
+        if p8.shape[0] // gs4 > 1:
+            return _stream_dot_split(sp, x_bf16, p8, s_ref, z_ref)
+    q = _dequant_chunk(w_ref, sp.bits)                       # [rows, cols]
     if sp.bits == 16:
         return jax.lax.dot_general(
             x_bf16, q, (((1,), (0,)), ((), ())),
@@ -951,6 +957,48 @@ def _stream_dot(plan: MegaPlan, sp: StreamPlan, x_bf16, w_ref, s_ref, z_ref,
     xsum = jnp.sum(xg.astype(jnp.float32), axis=2)           # [G, B]
     return (jnp.sum(part * s[:, None, :], axis=0)
             + jnp.sum(xsum[:, :, None] * z[:, None, :], axis=0))
+
+
+def _stream_dot_split(sp: StreamPlan, x_bf16, p8, s_ref, z_ref):
+    """u4 'split' dequant-dot (DI_MK_U4DEQ=split, looped group-dot path):
+    the packed byte holds output col c's lo nibble and output col half+c's
+    hi nibble, so run TWO column-half dot passes instead of materializing
+    the [rows, 2*half] concat — no cross-lane concat of a full weight
+    tile, no vector shift. lo = p & 0xF; hi contribution uses p & 0xF0
+    (= 16*hi) with the /16 folded into that half's group SCALES (the
+    zero-point term is per output column and unaffected). Both ANDs run
+    at native 8-bit lane density; the remaining per-element cost is the
+    unavoidable u8->i32->bf16 widen of each half."""
+    B = x_bf16.shape[0]
+    rows, half = p8.shape
+    gs = sp.gs if sp.gs else rows
+    G = rows // gs
+    s = s_ref[0, 0].astype(jnp.float32)                      # [G, 2*half]
+    z = z_ref[0, 0].astype(jnp.float32)
+    xs = jnp.sum(x_bf16.astype(jnp.float32).reshape(B, G, gs),
+                 axis=2)                                     # [B, G]
+    cap = int(os.environ.get("DI_MK_GDOT_TILE_BYTES", str(128 << 10)))
+    ct = half
+    while B * ct * 4 > cap and ct % 2 == 0 and ct > 128:
+        ct //= 2
+    tiles = []
+    for nib_mask, s_mul, c_base in ((0xF, 1.0, 0), (0xF0, 0.0625, half)):
+        qh = (p8 & nib_mask).astype(jnp.int32).astype(jnp.bfloat16)
+        for c0 in range(0, half, ct):
+            csl = slice(c_base + c0, c_base + c0 + ct)
+            acc = jax.lax.dot_general(
+                xs, z[:, csl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)         # [B, ct]
+            for g in range(G):
+                xg = x_bf16[:, g * gs:(g + 1) * gs]
+                part = jax.lax.dot_general(
+                    xg, qh[g * gs:(g + 1) * gs, c0:c0 + ct],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = acc + part * (s[g, csl] * s_mul)[None, :]
+            tiles.append(acc)
+    return jnp.concatenate(tiles, -1)
 
 
 def _rms(x_f32, w_bf16, eps):
