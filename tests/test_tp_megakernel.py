@@ -10,9 +10,9 @@ import pytest
 from tests.test_megakernel import _prep_cache, _tiny
 
 
-def _tp_tiny(**kw):
+def _tp_tiny(KH=2, **kw):
     """TP-shaped tiny model: heads/kv-heads/inter/vocab divisible by 2."""
-    cfg, rt, params = _tiny(B=4, L=2, KH=2, H=4, hid=256, inter=256,
+    cfg, rt, params = _tiny(B=4, L=2, KH=KH, H=4, hid=256, inter=256,
                             vocab=512, **kw)
     return cfg, rt, params
 
@@ -21,6 +21,9 @@ def _tp_tiny(**kw):
     ("none", "default", False),
     ("none", "int8", False),
     ("a16w8", "int8", False),
+    # uint4 KV needs per-RANK kv lanes >= 128 (KH/n * D/2): KH=4 keeps the
+    # local shard at 2 heads x 64 lanes — the KH=2 shape is correctly
+    # rejected by mk.supports (sub-128-lane u4 RMW relayout, megakernel.py)
     ("a16w4", "uint4", False),
     ("a16w4", "int8", True),    # ALiBi: per-rank global slope slices
 ])
@@ -37,7 +40,8 @@ def test_tp_megakernel_matches_reference(quant, kv_mode_name, alibi):
 
     N = 2
     kv_mode = CacheMode(kv_mode_name)
-    cfg, rt, params = _tp_tiny(alibi=alibi)
+    cfg, rt, params = _tp_tiny(alibi=alibi,
+                               KH=4 if kv_mode_name == "uint4" else 2)
     rt = dataclasses.replace(
         rt, cache=dataclasses.replace(rt.cache, mode=kv_mode))
     if quant != "none":
