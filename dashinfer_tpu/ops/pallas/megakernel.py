@@ -879,11 +879,12 @@ def _stream_dot(plan: MegaPlan, sp: StreamPlan, x_bf16, w_ref, s_ref, z_ref,
       does not overlap)."""
     B = x_bf16.shape[0]
     if (sp.bits == 4 and B >= _GDOT_LOOP_B and not wdeq and
-            _u4deq_variant() == "split"):
+            _u4deq_variant() in ("split", "magic")):
         p8 = w_ref[0, 0]
         gs4 = sp.gs if sp.gs else p8.shape[0]
         if p8.shape[0] // gs4 > 1:
-            return _stream_dot_split(sp, x_bf16, p8, s_ref, z_ref)
+            return _stream_dot_split(sp, x_bf16, p8, s_ref, z_ref,
+                                     magic=_u4deq_variant() == "magic")
     q = _dequant_chunk(w_ref, sp.bits)                       # [rows, cols]
     if sp.bits == 16:
         return jax.lax.dot_general(
@@ -959,16 +960,24 @@ def _stream_dot(plan: MegaPlan, sp: StreamPlan, x_bf16, w_ref, s_ref, z_ref,
             + jnp.sum(xsum[:, :, None] * z[:, None, :], axis=0))
 
 
-def _stream_dot_split(sp: StreamPlan, x_bf16, p8, s_ref, z_ref):
-    """u4 'split' dequant-dot (DI_MK_U4DEQ=split, looped group-dot path):
+def _stream_dot_split(sp: StreamPlan, x_bf16, p8, s_ref, z_ref,
+                      magic: bool = False):
+    """u4 'split'/'magic' dequant-dot (DI_MK_U4DEQ, looped group-dot path):
     the packed byte holds output col c's lo nibble and output col half+c's
     hi nibble, so run TWO column-half dot passes instead of materializing
     the [rows, 2*half] concat — no cross-lane concat of a full weight
-    tile, no vector shift. lo = p & 0xF; hi contribution uses p & 0xF0
-    (= 16*hi) with the /16 folded into that half's group SCALES (the
-    zero-point term is per output column and unaffected). Both ANDs run
-    at native 8-bit lane density; the remaining per-element cost is the
-    unavoidable u8->i32->bf16 widen of each half."""
+    tile.
+
+    split: lo = p & 0xF (8-bit-density AND), hi uses p & 0xF0 (= 16*hi)
+    with the /16 folded into that half's group SCALES; the remaining
+    per-element cost is the u8->i32->bf16 widen of each half.
+
+    magic: NO int->float convert at all — the bf16 bit pattern
+    0x4300 | n equals 128 + n exactly (granularity 1 at exponent 2^7,
+    n <= 15), so each half is (widen to i16, AND/SHR, OR 0x4300, BITCAST
+    to bf16); the +128 offset per element contributes 128 * sum(x_g) per
+    group, folded into an effective zero point z_eff = z - 128*s computed
+    on the tiny [G, ct] tile (tools/probe_magic_dequant.py)."""
     B = x_bf16.shape[0]
     rows, half = p8.shape
     gs = sp.gs if sp.gs else rows
@@ -981,13 +990,28 @@ def _stream_dot_split(sp: StreamPlan, x_bf16, p8, s_ref, z_ref):
     ct = half
     while B * ct * 4 > cap and ct % 2 == 0 and ct > 128:
         ct //= 2
+
+    def nibble_bf16(which: str):
+        if magic:
+            p16 = p8.astype(jnp.int16)
+            v = (p16 & 0xF) if which == "lo" else (p16 >> 4)
+            return jax.lax.bitcast_convert_type(
+                (v | jnp.int16(0x4300)).astype(jnp.int16), jnp.bfloat16)
+        mask = 0xF if which == "lo" else 0xF0
+        return (p8 & mask).astype(jnp.int32).astype(jnp.bfloat16)
+
     tiles = []
-    for nib_mask, s_mul, c_base in ((0xF, 1.0, 0), (0xF0, 0.0625, half)):
-        qh = (p8 & nib_mask).astype(jnp.int32).astype(jnp.bfloat16)
+    for which, c_base in (("lo", 0), ("hi", half)):
+        s_mul = 1.0 if magic or which == "lo" else 0.0625
+        qh = nibble_bf16(which)
         for c0 in range(0, half, ct):
             csl = slice(c_base + c0, c_base + c0 + ct)
+            s_t = s[:, csl] * s_mul                          # [G, ct]
+            # magic: each weight element carries +128, i.e. +128*xsum_g
+            # per group — fold into the zero term on the tiny tile
+            z_t = z[:, csl] - 128.0 * s_t if magic else z[:, csl]
             acc = jax.lax.dot_general(
-                xs, z[:, csl], (((1,), (0,)), ((), ())),
+                xs, z_t, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)         # [B, ct]
             for g in range(G):
@@ -996,7 +1020,7 @@ def _stream_dot_split(sp: StreamPlan, x_bf16, p8, s_ref, z_ref):
                     xg, qh[g * gs:(g + 1) * gs, c0:c0 + ct],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                acc = acc + part * (s[g, csl] * s_mul)[None, :]
+                acc = acc + part * s_t[g][None, :]
             tiles.append(acc)
     return jnp.concatenate(tiles, -1)
 

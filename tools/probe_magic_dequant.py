@@ -1,0 +1,181 @@
+"""Probe Mosaic (v5e) lowering + cost of u4->bf16 dequant chains.
+
+The decode megakernel is VPU-dequant-bound (profile_megakernel: ctx=1 ==
+ctx=full at 25.8 ms/step, ~153 GB/s effective vs >=600 GB/s DMA). Each
+chain variant below turns a packed u4 byte payload into bf16 operands:
+
+  i32    — current default: widen u8->i32, AND, SHR, 2x convert_i32->bf16,
+           concat (lane-doubling relayout).
+  magic16— widen u8->i16, (AND 0xF | 0x4300) / (SHR 4 | 0x4300), BITCAST
+           i16->bf16: the bf16 bit pattern 0x4300|n IS 128+n exactly for
+           n<=127 (granularity 1 at exp 2^7), so there is NO int->float convert at all; the dot's
+           extra 128*sum(x) per group folds into the zero term
+           (z_eff = z - 128*s, computable on the tiny [G, ct] tile).
+  magicf32 — widen u8->i32, (AND|0x4B000000) bitcast i32->f32 (= 2^23+n),
+           then one f32->bf16 convert; same fold with 2^23.
+
+Each variant: correctness vs numpy reference, then a timed in-kernel loop
+(R rounds over S chunks, single dispatch) for us/chunk.
+
+Usage: python tools/probe_magic_dequant.py [i32|magic16|magicf32|all]
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS, HALF = 512, 256     # payload [ROWS, HALF] u8 -> bf16 [ROWS, 2*HALF]
+B = 32
+
+
+def dequant(variant: str, p8):
+    """p8 [rows, half] u8 -> (lo_bf16, hi_bf16, offset) where the dequanted
+    value is (nibble + offset) per element."""
+    if variant == "i32":
+        p32 = p8.astype(jnp.int32)
+        lo = (p32 & 0xF).astype(jnp.bfloat16)
+        hi = (p32 >> 4).astype(jnp.bfloat16)
+        return lo, hi, 0.0
+    if variant == "magic16":
+        p16 = p8.astype(jnp.int16)
+        lo = jax.lax.bitcast_convert_type(
+            ((p16 & 0xF) | jnp.int16(0x4300)).astype(jnp.int16), jnp.bfloat16)
+        hi = jax.lax.bitcast_convert_type(
+            (((p16 >> 4) & 0xF) | jnp.int16(0x4300)).astype(jnp.int16),
+            jnp.bfloat16)
+        return lo, hi, 128.0
+    if variant == "magicf32":
+        # (2^23+n is not bf16-representable, so subtract in f32 BEFORE the
+        # bf16 convert — same op count as i32 if int->float converts are
+        # single-op, cheaper if they are not)
+        magic = jnp.float32(1 << 23)
+        p32 = p8.astype(jnp.int32)
+        lo = (jax.lax.bitcast_convert_type(
+            (p32 & 0xF) | jnp.int32(0x4B000000), jnp.float32) - magic) \
+            .astype(jnp.bfloat16)
+        hi = (jax.lax.bitcast_convert_type(
+            ((p32 >> 4) & 0xF) | jnp.int32(0x4B000000), jnp.float32)
+            - magic).astype(jnp.bfloat16)
+        return lo, hi, 0.0
+    raise ValueError(variant)
+
+
+def build_check(variant: str):
+    def kernel(p_ref, lo_ref, hi_ref):
+        lo, hi, _ = dequant(variant, p_ref[:])
+        lo_ref[:] = lo
+        hi_ref[:] = hi
+
+    interp = jax.default_backend() != "tpu"
+    f = pl.pallas_call(
+        kernel,
+        interpret=interp,
+        out_shape=(jax.ShapeDtypeStruct((ROWS, HALF), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((ROWS, HALF), jnp.bfloat16)))
+    return jax.jit(f)
+
+
+def build_timed(variant: str, S: int, R: int):
+    """Stream S chunks R times; per chunk: dequant + one dot per half."""
+    def kernel(x_ref, p_ref, o_ref, acc):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        lo, hi, off = dequant(variant, p_ref[0])
+        x = x_ref[:]
+        ylo = jax.lax.dot_general(x, lo, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        yhi = jax.lax.dot_general(x, hi, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if off:
+            xs = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+            ylo = ylo - off * xs
+            yhi = yhi - off * xs
+        acc[:] = acc[:] + ylo + yhi
+        o_ref[:] = acc[:]
+
+    f = pl.pallas_call(
+        kernel,
+        grid=(R * S,),
+        in_specs=[pl.BlockSpec((B, ROWS), lambda t: (0, 0)),
+                  pl.BlockSpec((1, ROWS, HALF), lambda t: (t % S, 0, 0))],
+        out_specs=pl.BlockSpec((B, HALF), lambda t: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, HALF), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, HALF), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )
+    x = jnp.ones((B, ROWS), jnp.bfloat16)
+    p = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, size=(S, ROWS, HALF)).astype(np.uint8))
+    jf = jax.jit(f)
+    return lambda: jf(x, p)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    variants = ["i32", "magic16", "magicf32"] if which == "all" else [which]
+    rng = np.random.RandomState(7)
+    pay = rng.randint(0, 256, size=(ROWS, HALF)).astype(np.uint8)
+    want_lo = (pay & 0xF).astype(np.float32)
+    want_hi = (pay >> 4).astype(np.float32)
+
+    for v in variants:
+        try:
+            t0 = time.time()
+            lo, hi = build_check(v)(jnp.asarray(pay))
+            lo = np.asarray(lo, np.float32)
+            hi = np.asarray(hi, np.float32)
+            off = {"i32": 0.0, "magic16": 128.0, "magicf32": 0.0}[v]
+            ok_lo = np.array_equal(lo - off, want_lo)
+            ok_hi = np.array_equal(hi - off, want_hi)
+            print(f"{v:9s} correctness: lo={ok_lo} hi={ok_hi} "
+                  f"(compile+run {time.time()-t0:.1f}s)", flush=True)
+            if not (ok_lo and ok_hi):
+                mx = np.max(np.abs(lo - off - want_lo))
+                print(f"   max lo err {mx}; sample got {lo[0, :4]} want "
+                      f"{want_lo[0, :4] + off}", flush=True)
+                continue
+        except Exception as e:
+            print(f"{v:9s} LOWERING FAILED: {str(e)[:200]}", flush=True)
+            continue
+        if jax.default_backend() != "tpu":
+            continue  # interpret-mode timing is meaningless
+        # timed: S chunks of ROWSxHALF bytes, R=1 vs R=17 slope
+        S = max(8, (64 << 20) // (ROWS * HALF))
+        try:
+            f1 = build_timed(v, S, 1)
+            f2 = build_timed(v, S, 17)
+
+            def t_of(f):
+                ts = []
+                for _ in range(3):
+                    t0 = time.time()
+                    np.asarray(f())
+                    ts.append(time.time() - t0)
+                return sorted(ts)[1]
+            t1, t2 = t_of(f1), t_of(f2)
+            per_chunk = (t2 - t1) / (16 * S)
+            rate = ROWS * HALF / per_chunk / 1e9
+            print(f"{v:9s} timed: {per_chunk*1e6:6.2f} us/chunk "
+                  f"({ROWS}x{HALF}B) -> payload {rate:6.1f} GB/s "
+                  f"(t {t1*1e3:.1f}/{t2*1e3:.1f} ms, S={S})", flush=True)
+        except Exception as e:
+            print(f"{v:9s} TIMED FAILED: {str(e)[:160]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,10 @@ def main():
         embed_np = np.asarray(params_np["embed_tokens"]["w"])
         with open(cache_file, "wb") as f:
             pickle.dump((plan, packed_np, embed_np), f)
+    if os.environ.get("DI_PROF_PACK_ONLY"):
+        # pre-build the pack cache from a CPU process while the TPU is busy
+        print(f"pack ready: {cache_file}")
+        return
     packed = jax.tree.map(jnp.asarray, packed_np)
     params = {"packed": packed, "embed": jnp.asarray(embed_np)}
 
@@ -107,33 +111,43 @@ def main():
             page_tables=jnp.asarray(pt),
             active=jnp.ones((B,), bool))
 
-    decode = steps_mod.build_decode_step(cfg, rt, use_kernel=True,
-                                         megakernel_plan=plan)
     no_new = jnp.full((B,), -1, jnp.int32)
 
-    for name, lens in [("ctx=1 (weights only)", 1),
-                       ("ctx=256 (1 page/seq)", 256),
-                       (f"ctx={ctx_len} (full)", ctx_len)]:
-        st = mkstate(lens)
-        c2 = jax.tree.map(jnp.copy, cache)
-        t0 = time.time()
-        for _ in range(4):
-            toks, _, c2, st = decode(params, c2, st, no_new)
-        np.asarray(toks)
-        print(f"{name}: warmup {time.time()-t0:.1f}s", file=sys.stderr)
-        st = mkstate(lens)
-        t0 = time.time()
-        iters = 24
-        prev = None
-        for _ in range(iters):
-            toks, _, c2, st = decode(params, c2, st, no_new)
-            if prev is not None:
-                np.asarray(prev)
-            prev = toks
-        np.asarray(prev)
-        dt = (time.time() - t0) / iters
-        print(f"{name}: {dt*1e3:.2f} ms/step -> {B/dt:.1f} tok/s "
-              "(pipelined)")
+    # DI_PROF_U4DEQ=i32,u8,split sweeps dequant variants in ONE process
+    # (shared backend init + pack load; each variant recompiles its kernel).
+    # DI_PROF_CTXS overrides the context list (default "1,256,full").
+    variants = os.environ.get("DI_PROF_U4DEQ",
+                              os.environ.get("DI_MK_U4DEQ", "i32")).split(",")
+    ctx_spec = os.environ.get("DI_PROF_CTXS", "1,256,full").split(",")
+    ctxs = [(f"ctx={c}", ctx_len if c == "full" else int(c))
+            for c in ctx_spec]
+
+    for var in variants:
+        os.environ["DI_MK_U4DEQ"] = var
+        decode = steps_mod.build_decode_step(cfg, rt, use_kernel=True,
+                                             megakernel_plan=plan)
+        for name, lens in ctxs:
+            st = mkstate(lens)
+            c2 = jax.tree.map(jnp.copy, cache)
+            t0 = time.time()
+            for _ in range(4):
+                toks, _, c2, st = decode(params, c2, st, no_new)
+            np.asarray(toks)
+            print(f"[{var}] {name}: warmup {time.time()-t0:.1f}s",
+                  file=sys.stderr)
+            st = mkstate(lens)
+            t0 = time.time()
+            iters = 24
+            prev = None
+            for _ in range(iters):
+                toks, _, c2, st = decode(params, c2, st, no_new)
+                if prev is not None:
+                    np.asarray(prev)
+                prev = toks
+            np.asarray(prev)
+            dt = (time.time() - t0) / iters
+            print(f"[{var}] {name}: {dt*1e3:.2f} ms/step -> "
+                  f"{B/dt:.1f} tok/s (pipelined)", flush=True)
 
 
 if __name__ == "__main__":
