@@ -326,7 +326,9 @@ def test_tp_prefill_megakernel_matches_reference(quant, kv_mode_name,
     N = 2
     bucket, ps, n_tokens = 128, 16, 45
     kv_mode = CacheMode(kv_mode_name)
-    cfg, rt, params = _tp_tiny(ps=ps, alibi=alibi)
+    # uint4 KV: per-rank kv lanes must be >= 128 (see decode test note)
+    cfg, rt, params = _tp_tiny(ps=ps, alibi=alibi,
+                               KH=4 if kv_mode_name == "uint4" else 2)
     rt = dataclasses.replace(
         rt, max_length=bucket + ps,
         cache=dataclasses.replace(rt.cache, mode=kv_mode))
