@@ -216,9 +216,12 @@ class ModelRuntime:
         self.mega_plan = None
         self.mega_params = None
         self.tp_mega_plan = None
+        # LoRA no longer disables the megakernels at install: batches
+        # without an active LoRA request decode through the fast path, and
+        # only steps that actually carry an adapter fall back to the XLA
+        # path (_decode_fn drops the plan when with_lora).
         if (self.use_kernel and rt.enable_megakernel and
-                self.mesh is not None and EnvConfig.megakernel_enabled() and
-                not rt.enable_lora):
+                self.mesh is not None and EnvConfig.megakernel_enabled()):
             from dashinfer_tpu.ops.pallas import tp_megakernel as tpk
             from dashinfer_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -239,7 +242,7 @@ class ModelRuntime:
                 logger.info("TP megakernel packed in %.1fs (%d shards)",
                             time.monotonic() - t0, n)
         if (self.use_kernel and rt.enable_megakernel and self.mesh is None and
-                EnvConfig.megakernel_enabled() and not rt.enable_lora):
+                EnvConfig.megakernel_enabled()):
             from dashinfer_tpu.ops.pallas import megakernel as mk
             # reference decoder_weight_only_ (device_context.h:148-149):
             # a8w8 models decode through the weight-only megakernel while

@@ -121,3 +121,56 @@ def test_lora_pool_management(lora_setup):
     eng.unload_lora("lora", "adapterC")
     with pytest.raises(ValueError):
         eng.load_lora("lora", "adapterD", big, alpha=8.0, rank=32)
+
+
+def test_lora_enabled_keeps_megakernel_for_plain_batches():
+    """VERDICT r2 #7 (partial): enable_lora no longer disables the decode
+    megakernel at install — only steps that actually carry a LoRA request
+    take the XLA path. A plain request on a LoRA-enabled engine decodes
+    through the megakernel plan and matches the no-LoRA engine's tokens."""
+    import numpy as np
+    import tests.hf_util as hf_util
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.config import CacheMode
+    from dashinfer_tpu.loader import build_from_torch_model
+
+    # head_dim must be 128 for mk.supports: hidden=256, heads=2
+    hf = hf_util.tiny_qwen2_config(hidden=256, inter=256, heads=2,
+                                   kv_heads=1)
+    cfg, params = build_from_torch_model(hf_util.make_torch_model(hf),
+                                         hf.to_dict(), "float32")
+    # 128-dim heads so mk.supports passes; quantize to the mega u4 format
+    from dashinfer_tpu.config import QuantConfig
+    from dashinfer_tpu.loader.quantize import quantize_params
+    params = quantize_params(params, QuantConfig(mode="a16w4",
+                                                 group_size=128))
+
+    prompt = np.random.RandomState(9).randint(
+        1, hf.vocab_size, size=7).tolist()
+
+    def run(enable_lora):
+        rtb = (RuntimeConfigBuilder("lm").max_length(64).max_batch(2)
+               .kv_cache_page_size(16).kv_cache_num_pages(24)
+               .dtype("float32").update({"min_prefill_bucket": 16}))
+        if enable_lora:
+            rtb = rtb.lora(max_num=2, max_rank=4)
+        rt = rtb.build()
+        from dashinfer_tpu.engine.model_runtime import ModelRuntime
+        runtime = ModelRuntime("lm", cfg, params, rt, use_kernel=True)
+        eng = Engine()
+        with eng._lock:
+            eng._models["lm"] = runtime
+        eng.start_model("lm")
+        _, h, q = eng.start_request("lm", prompt, GenerationConfig(
+            max_length=20, do_sample=False, top_k=1, eos_token_id=-1))
+        eng.sync_request("lm", h, timeout_s=900)
+        toks = q.GetAllGeneratedTokens()
+        plan = runtime.mega_plan
+        eng.release_model("lm")
+        return toks, plan
+
+    toks_lora, plan_lora = run(enable_lora=True)
+    assert plan_lora is not None, \
+        "enable_lora must not disable the megakernel pack"
+    toks_plain, _ = run(enable_lora=False)
+    assert toks_lora == toks_plain
