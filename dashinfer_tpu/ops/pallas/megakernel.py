@@ -992,24 +992,29 @@ def _stream_dot_split(sp: StreamPlan, x_bf16, p8, s_ref, z_ref,
         ct //= 2
 
     def nibble_bf16(which: str):
-        if magic:
+        if magic and which == "lo":
+            # v5e Mosaic cannot legalize 16-bit vector SHIFTS (arith.shrsi
+            # on vector<i16>, probed on hardware), so only the LO nibble
+            # takes the bitcast path; HI uses the AND-0xF0 + scale-fold
+            # like the split variant.
             p16 = p8.astype(jnp.int16)
-            v = (p16 & 0xF) if which == "lo" else (p16 >> 4)
             return jax.lax.bitcast_convert_type(
-                (v | jnp.int16(0x4300)).astype(jnp.int16), jnp.bfloat16)
+                ((p16 & 0xF) | jnp.int16(0x4300)).astype(jnp.int16),
+                jnp.bfloat16)
         mask = 0xF if which == "lo" else 0xF0
         return (p8 & mask).astype(jnp.int32).astype(jnp.bfloat16)
 
     tiles = []
     for which, c_base in (("lo", 0), ("hi", half)):
-        s_mul = 1.0 if magic or which == "lo" else 0.0625
+        s_mul = 1.0 if which == "lo" else 0.0625
         qh = nibble_bf16(which)
         for c0 in range(0, half, ct):
             csl = slice(c_base + c0, c_base + c0 + ct)
             s_t = s[:, csl] * s_mul                          # [G, ct]
-            # magic: each weight element carries +128, i.e. +128*xsum_g
+            # magic lo: each weight element carries +128, i.e. +128*xsum_g
             # per group — fold into the zero term on the tiny tile
-            z_t = z[:, csl] - 128.0 * s_t if magic else z[:, csl]
+            z_t = z[:, csl] - 128.0 * s_t if (magic and which == "lo") \
+                else z[:, csl]
             acc = jax.lax.dot_general(
                 xs, z_t, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
