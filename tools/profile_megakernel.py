@@ -118,12 +118,20 @@ def main():
     # DI_PROF_CTXS overrides the context list (default "1,256,full").
     variants = os.environ.get("DI_PROF_U4DEQ",
                               os.environ.get("DI_MK_U4DEQ", "i32")).split(",")
+    # DI_PROF_GDOT_TILES sweeps the looped-epilogue live-tile cap (bytes);
+    # crossed with the dequant variants
+    tiles = os.environ.get("DI_PROF_GDOT_TILES", "").split(",") \
+        if os.environ.get("DI_PROF_GDOT_TILES") else [None]
     ctx_spec = os.environ.get("DI_PROF_CTXS", "1,256,full").split(",")
     ctxs = [(f"ctx={c}", ctx_len if c == "full" else int(c))
             for c in ctx_spec]
 
-    for var in variants:
-        os.environ["DI_MK_U4DEQ"] = var
+    for var0 in variants:
+      for tile in tiles:
+        var = var0 if tile is None else f"{var0}/t{tile}"
+        os.environ["DI_MK_U4DEQ"] = var0
+        if tile is not None:
+            os.environ["DI_MK_GDOT_TILE_BYTES"] = tile
         decode = steps_mod.build_decode_step(cfg, rt, use_kernel=True,
                                              megakernel_plan=plan)
         for name, lens in ctxs:
