@@ -1004,10 +1004,23 @@ def _stream_dot_split(sp: StreamPlan, x_bf16, p8, s_ref, z_ref,
         mask = 0xF if which == "lo" else 0xF0
         return (p8 & mask).astype(jnp.int32).astype(jnp.bfloat16)
 
+    # Epilogue structure (DI_MK_GDOT):
+    #   loop (default) — G sequential [B, gs] @ [gs, ct] dots, each followed
+    #     by an [B, ct] FMA with a per-group broadcast of s.
+    #   bdot — ONE G-batched 3D dot per ct-tile ([G, B, gs] x [G, gs, ct])
+    #     + one fused sum_g(part * s) reduction: removes the G serial
+    #     broadcasts/FMAs; the [G, B, ct] f32 temp is bounded by a small ct
+    #     (the unbounded [G, B, cols] form is what used to spill at bs>=32).
+    bdot = os.environ.get("DI_MK_GDOT", "loop") == "bdot"
+    if bdot:
+        ct = min(ct, int(os.environ.get("DI_MK_BDOT_CT", "256")))
+        xg3 = x_bf16.reshape(B, G, gs).swapaxes(0, 1)        # [G, B, gs]
     tiles = []
     for which, c_base in (("lo", 0), ("hi", half)):
         s_mul = 1.0 if which == "lo" else 0.0625
         qh = nibble_bf16(which)
+        if bdot:
+            q3 = qh.reshape(G, gs, half)
         for c0 in range(0, half, ct):
             csl = slice(c_base + c0, c_base + c0 + ct)
             s_t = s[:, csl] * s_mul                          # [G, ct]
@@ -1019,13 +1032,20 @@ def _stream_dot_split(sp: StreamPlan, x_bf16, p8, s_ref, z_ref,
                 xs, z_t, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)         # [B, ct]
-            for g in range(G):
-                xg = x_bf16[:, g * gs:(g + 1) * gs]
+            if bdot:
                 part = jax.lax.dot_general(
-                    xg, qh[g * gs:(g + 1) * gs, c0:c0 + ct],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                acc = acc + part * s_t[g][None, :]
+                    xg3, q3[:, :, c0:c0 + ct],
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)      # [G, B, ct]
+                acc = acc + jnp.sum(part * s_t[:, None, :], axis=0)
+            else:
+                for g in range(G):
+                    xg = x_bf16[:, g * gs:(g + 1) * gs]
+                    part = jax.lax.dot_general(
+                        xg, qh[g * gs:(g + 1) * gs, c0:c0 + ct],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc = acc + part * s_t[g][None, :]
             tiles.append(acc)
     return jnp.concatenate(tiles, -1)
 

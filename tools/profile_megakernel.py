@@ -129,7 +129,10 @@ def main():
     for var0 in variants:
       for tile in tiles:
         var = var0 if tile is None else f"{var0}/t{tile}"
-        os.environ["DI_MK_U4DEQ"] = var0
+        # "split+bdot" = split dequant with the batched-3D epilogue
+        parts = var0.split("+")
+        os.environ["DI_MK_U4DEQ"] = parts[0]
+        os.environ["DI_MK_GDOT"] = "bdot" if "bdot" in parts[1:] else "loop"
         if tile is not None:
             os.environ["DI_MK_GDOT_TILE_BYTES"] = tile
         decode = steps_mod.build_decode_step(cfg, rt, use_kernel=True,
