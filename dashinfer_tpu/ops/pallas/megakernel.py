@@ -826,18 +826,21 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
 _GDOT_LOOP_B = int(os.environ.get("DI_MK_GDOT_LOOP_B", "32")) or 10 ** 9
 
 
-# u4 unpack variant. "i32" (default) widens each byte to i32 once, then
-# masks/shifts at i32 lane density — every op in the chain Mosaic-lowers on
-# v5e. "u8" keeps the nibble masks on native 8-bit vregs (4x lane density)
-# before widening; v5e Mosaic canNOT lower 8-bit vector SHIFTS
-# (`arith.shrui` on vector<i8> fails to legalize) or direct uint8->bf16
-# casts, so the u8 variant extracts the hi nibble with a second AND
-# (p & 0xF0) and folds the /16 into an exact bf16 multiply after the
-# widen — measured-on-hardware lowerable (probe: & on i8 OK, >> on i8
-# FAIL). Read at trace time so DI_MK_U4DEQ set after import still applies
+# u4 unpack variant (DI_MK_U4DEQ), all measured on v5e (round 3,
+# tools/probe_magic_dequant.py + profile_megakernel sweeps at bs=32):
+#   split (default for the looped-epilogue path) — dual column-half dots,
+#     AND-only nibble extract with the hi x16 folded into scales; no lane
+#     concat, no vector shift. 24.2 ms/step vs i32's 25.8.
+#   i32 — widen u8->i32, AND/SHR, convert, concat; used by the batched
+#     (small-B) and weight-side paths, and the fallback when split's
+#     preconditions fail.
+#   u8 — 8-bit-density ANDs: 58 ms/step (sub-byte relayouts; dead end).
+#   magic — bitcast-built bf16 for the lo nibble: 27.7 ms/step (no win;
+#     i16 vector shifts don't legalize so hi can't take it).
+# Read at trace time so DI_MK_U4DEQ set after import still applies
 # (kernels re-trace per plan; the env read costs nothing at runtime).
 def _u4deq_variant() -> str:
-    return os.environ.get("DI_MK_U4DEQ", "i32")
+    return os.environ.get("DI_MK_U4DEQ", "split")
 
 
 def _dequant_chunk(w_ref, bits: int):
