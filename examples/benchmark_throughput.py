@@ -11,9 +11,12 @@ Run (random weights, shape-faithful):
 """
 
 import argparse
+import os
 import sys
 import threading
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
