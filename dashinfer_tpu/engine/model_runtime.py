@@ -287,6 +287,25 @@ class ModelRuntime:
             qual = [b for b in self.buckets
                     if b <= 1024 and b % 128 == 0 and
                     pmk.supports_prefill(cfg, rt, params, b)]
+            if qual and jax.default_backend() == "tpu":
+                # the prefill pack is a SECOND full packed weight copy; on
+                # a 16 GB chip a 7B model cannot hold raw params + decode
+                # pack + prefill pack + KV pool — skip it (XLA prefill
+                # fallback) rather than OOM at install
+                hbm = rt.hbm_bytes or _detect_hbm_bytes()
+                used = (self._per_device_nbytes(self.params) +
+                        self._per_device_nbytes(self.mega_params))
+                est = self._per_device_nbytes(
+                    {"p": self.mega_params["packed"]})
+                min_kv = 4 * rt.max_batch * logical_page_bytes(
+                    cfg, rt.cache, self.dtype)
+                if used + est + min_kv > hbm * EnvConfig.hbm_mem_ratio():
+                    logger.warning(
+                        "skipping prefill megakernel pack: raw+decode-pack "
+                        "%.1f GiB + prefill-pack est %.1f GiB + KV floor "
+                        "would exceed HBM; prefill uses the XLA path",
+                        used / 1024**3, est / 1024**3)
+                    qual = []
             if qual:
                 t0 = time.monotonic()
                 for b in qual:
