@@ -224,10 +224,11 @@ def main():
             intermediate_size=18944, num_layers=28, num_heads=28,
             num_kv_heads=4, head_dim=128, qkv_bias=True,
             rope_theta=1000000.0)
-        # best measured config: bs=32 x 8-step windows with full-size
-        # chunks + the looped group-dot epilogue = 1427 tok/s (bs=16 =
-        # 1009.7; bs=64 = 568 — the per-B RMW qparam scratch shrinks the
-        # chunk budget)
+        # best measured config (round 3): bs=32 x 8-step windows, split
+        # dequant, 2 MB chunks = ~1442 tok/s. bs=64 does NOT help on v5e
+        # (67 ms/step, ~950 tok/s aggregate): the B-scaled RMW scratch
+        # (~29 MB) de-pipelines the kernel — see STATUS.md floor analysis
+        # and docs/megakernel.md for the designed unlocks.
         B = int(os.environ.get("DI_BENCH_BATCH", "32"))
         ctx_len = int(os.environ.get("DI_BENCH_CTX", "1024"))
         steps, warm = 48, 4
