@@ -13,6 +13,7 @@ all layers, mirroring the reference's per-layer span batch
 import dataclasses
 import functools
 import math
+import os
 import time
 from collections import deque
 from typing import Callable, Dict, List, Optional, Tuple
@@ -251,7 +252,10 @@ class ModelRuntime:
             if mk_params is not None and mk.supports(cfg, rt, mk_params):
                 t0 = time.monotonic()
                 self.mega_plan = mk.make_plan(cfg, rt, mk_params)
-                packed = mk.pack_params(cfg, self.mega_plan, mk_params)
+                packed = self._cached_pack(
+                    "decode", lambda: mk.pack_params(cfg, self.mega_plan,
+                                                     mk_params),
+                    self.mega_plan, mk_params)
                 self.mega_params = {
                     "packed": packed,
                     "embed": jnp.asarray(params["embed_tokens"]["w"])}
@@ -311,8 +315,11 @@ class ModelRuntime:
                 for b in qual:
                     self._pmk_plans[b] = pmk.make_prefill_plan(
                         cfg, rt, params, b)
-                self.mega_params["prefill_packed"] = pmk.pack_prefill_params(
-                    cfg, self._pmk_plans[qual[0]], params)
+                self.mega_params["prefill_packed"] = self._cached_pack(
+                    "prefill",
+                    lambda: pmk.pack_prefill_params(
+                        cfg, self._pmk_plans[qual[0]], params),
+                    self._pmk_plans[qual[0]], params)
                 logger.info(
                     "prefill megakernel packed in %.1fs (buckets %s)",
                     time.monotonic() - t0, qual)
@@ -358,6 +365,52 @@ class ModelRuntime:
         # instead of the local one — followers stay bit-deterministic
         # (docs/multihost.md §Tick replication)
         self.logical_now: Optional[float] = None
+
+    def _cached_pack(self, tag: str, build, plan, src_params):
+        """Host-side pack cache (production cold start): the megakernel
+        pack is a deterministic rearrangement of the weights, minutes of
+        numpy work per process start at 7B. Key = plan geometry + a cheap
+        content fingerprint of the source leaves (shape/dtype + first
+        4 KB + nbytes per leaf). DI_PACK_CACHE overrides the directory;
+        =0 disables."""
+        import hashlib
+        import pickle
+        d = os.environ.get(
+            "DI_PACK_CACHE",
+            os.path.expanduser("~/.cache/dashinfer_tpu/packs"))
+        if d in ("0", ""):
+            return build()
+        h = hashlib.blake2b(digest_size=16)
+        h.update(repr((tag, plan)).encode())
+        for path, leaf in sorted(
+                jax.tree_util.tree_flatten_with_path(src_params)[0],
+                key=lambda kv: str(kv[0])):
+            arr = np.asarray(leaf)
+            h.update(str(path).encode())
+            h.update(repr((arr.shape, str(arr.dtype), arr.nbytes)).encode())
+            flat = arr.reshape(-1)
+            h.update(flat[:1024].tobytes())
+            h.update(flat[-1024:].tobytes())
+            h.update(flat[:: max(flat.size // 64, 1)].tobytes())
+        fn = os.path.join(d, f"pack_{tag}_{h.hexdigest()}.pkl")
+        try:
+            if os.path.exists(fn):
+                with open(fn, "rb") as f:
+                    host = pickle.load(f)
+                logger.info("pack cache hit: %s", fn)
+                return jax.tree.map(jnp.asarray, host)
+        except Exception:
+            logger.exception("pack cache read failed; rebuilding")
+        packed = build()
+        try:
+            os.makedirs(d, exist_ok=True)
+            tmp = fn + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(jax.tree.map(np.asarray, packed), f)
+            os.replace(tmp, fn)
+        except Exception:
+            logger.exception("pack cache write failed")
+        return packed
 
     def _pc(self, fn, *args, **kw):
         """Call a prefix-cache method, threading the logical clock when the

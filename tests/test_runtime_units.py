@@ -224,3 +224,45 @@ def test_warmup_pool_planning_under_tp_mesh():
     glob = sum(x.nbytes for x in __import__("jax").tree.leaves(params))
     per_dev = runtime._per_device_nbytes(runtime.params)
     assert per_dev < glob
+
+
+def test_megakernel_pack_cache_roundtrip(tmp_path, monkeypatch):
+    """Host-side pack cache (production cold start): a second install of
+    the same weights loads the pack from disk and the arrays are
+    identical."""
+    import numpy as np
+    import jax
+    import tests.hf_util as hf_util
+    from dashinfer_tpu import RuntimeConfigBuilder
+    from dashinfer_tpu.config import QuantConfig
+    from dashinfer_tpu.engine.model_runtime import ModelRuntime
+    from dashinfer_tpu.loader import build_from_torch_model
+    from dashinfer_tpu.loader.quantize import quantize_params
+
+    monkeypatch.setenv("DI_PACK_CACHE", str(tmp_path))
+    hf = hf_util.tiny_qwen2_config(hidden=256, inter=256, heads=2,
+                                   kv_heads=1)
+    cfg, params = build_from_torch_model(hf_util.make_torch_model(hf),
+                                         hf.to_dict(), "float32")
+    params = quantize_params(params, QuantConfig(mode="a16w4",
+                                                 group_size=128))
+    rt = (RuntimeConfigBuilder("pc").max_length(64).max_batch(2)
+          .kv_cache_page_size(16).kv_cache_num_pages(24).dtype("float32")
+          .update({"min_prefill_bucket": 16}).build())
+    r1 = ModelRuntime("pc", cfg, params, rt, use_kernel=True)
+    assert r1.mega_plan is not None
+    files = list(tmp_path.glob("pack_*.pkl"))
+    assert files, "pack cache file must be written"
+    r2 = ModelRuntime("pc2", cfg, params, rt, use_kernel=True)
+    for a, b in zip(jax.tree.leaves(r1.mega_params["packed"]),
+                    jax.tree.leaves(r2.mega_params["packed"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # different weights -> different key (no false hit)
+    params2 = quantize_params(
+        build_from_torch_model(hf_util.make_torch_model(
+            hf_util.tiny_qwen2_config(hidden=256, inter=256, heads=2,
+                                      kv_heads=1)), hf.to_dict(),
+            "float32")[1],
+        QuantConfig(mode="a16w4", group_size=128))
+    ModelRuntime("pc3", cfg, params2, rt, use_kernel=True)
+    assert len(list(tmp_path.glob("pack_*.pkl"))) >= len(files)
