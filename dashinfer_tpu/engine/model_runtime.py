@@ -849,8 +849,15 @@ class ModelRuntime:
             base_counts = jnp.asarray(
                 np.clip(base_counts, 0, 2**31 - 1).astype(np.int32))
 
-        bucket = self.bucket_for(len(new_tokens) + prefix_len)
-        maxPb = (bucket + self.rt.cache.page_size - 1) // self.rt.cache.page_size
+        # bucket by the NEW suffix only: a prefix-cache hit must not pay
+        # query FLOPs for cached positions (reference RefFill crops the
+        # input the same way — 0.254 s -> 0.030 s TTFT at 96% hit,
+        # prefix_caching.rst). The page row independently covers the FULL
+        # context; the query-offset attention path is the same machinery
+        # chunked prefill uses.
+        ps_ = self.rt.cache.page_size
+        bucket = self.bucket_for(len(new_tokens))
+        maxPb = (prefix_len + len(new_tokens) + ps_ - 1) // ps_
 
         page_row = np.zeros((maxPb,), np.int32)
         npg = min(len(pages), maxPb)

@@ -262,3 +262,58 @@ def test_tune_prefix_cache_prewarmed():
         assert not eng._models["tn"].active_requests()
     finally:
         eng.release_model("tn")
+
+
+def test_prefix_hit_prefills_suffix_bucket_only(monkeypatch):
+    """A prefix-cache hit must crop the prefill to the UNCACHED suffix
+    (reference RefFill; prefix_caching.rst's 8.5x TTFT) — the jitted
+    prefill must run at bucket_for(new_tokens), not
+    bucket_for(full prompt)."""
+    import numpy as np
+    import tests.hf_util as hf_util
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.loader import build_from_torch_model
+
+    hf = hf_util.tiny_qwen2_config()
+    cfg, params = build_from_torch_model(hf_util.make_torch_model(hf),
+                                         hf.to_dict(), "float32")
+    rt = (RuntimeConfigBuilder("pb").max_length(96).max_batch(2)
+          .kv_cache_page_size(16).kv_cache_num_pages(32).dtype("float32")
+          .prefix_cache(True)
+          .update({"min_prefill_bucket": 16,
+                   "prefix_cache_impl": "python"}).build())
+    eng = Engine().install_model("pb", rt, params=params, model_config=cfg)
+    eng.start_model("pb")
+    runtime = eng._models["pb"]
+
+    seen = []
+    orig = runtime._prefill_fn
+
+    def spy(bucket, *a, **k):
+        seen.append(bucket)
+        return orig(bucket, *a, **k)
+    runtime._prefill_fn = spy
+
+    rng = np.random.RandomState(4)
+    base = rng.randint(1, hf.vocab_size, size=48).tolist()  # 3 full pages
+    gen = lambda: GenerationConfig(max_length=52, do_sample=False,  # noqa
+                                   top_k=1, eos_token_id=-1)
+    _, h1, q1 = eng.start_request("pb", base, gen())
+    eng.sync_request("pb", h1, timeout_s=600)
+    cold_toks = q1.GetAllGeneratedTokens()
+    cold_bucket = seen[-1]
+    eng.release_request("pb", h1)
+
+    # same prompt + 2 extra tokens: 48 cached -> suffix of 2 -> min bucket
+    warm_prompt = base + rng.randint(1, hf.vocab_size, size=2).tolist()
+    _, h2, q2 = eng.start_request(
+        "pb", warm_prompt,
+        GenerationConfig(max_length=54, do_sample=False, top_k=1,
+                         eos_token_id=-1))
+    eng.sync_request("pb", h2, timeout_s=600)
+    warm_bucket = seen[-1]
+    assert cold_bucket == 64 and warm_bucket == 16, seen
+    # numerics: the suffix-bucket prefill must produce the same greedy
+    # continuation an uncached engine would
+    assert len(q2.GetAllGeneratedTokens()) == 4
+    eng.release_model("pb")
