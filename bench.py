@@ -22,6 +22,18 @@ import numpy as np
 BASELINE_TOKS = 16.37
 
 
+def _stream_kind(model_kind: str, B: int) -> str:
+    """Resolved decode weight-stream format (mirrors the engine's
+    batch-aware default, engine/model_runtime.py)."""
+    from dashinfer_tpu.utils import EnvConfig
+    stream = os.environ.get("DI_MK_STREAM", "auto")
+    if model_kind == "moe" or stream == "u4":
+        return "u4"
+    if stream == "i8" or B >= EnvConfig.mk_i8_batch():
+        return "i8"
+    return "u4"
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -261,7 +273,7 @@ def main():
         import hashlib
         probe_params = None
         key_src = repr((cfg, rt.cache, B, os.environ.get("DI_MK_CHUNK_BYTES"),
-                        mk.PACK_VERSION))
+                        mk.PACK_VERSION, _stream_kind(model_kind, B)))
         cache_key = hashlib.blake2b(key_src.encode(), digest_size=8).hexdigest()
         cache_file = os.path.join("/tmp", f"di_bench_pack_{cache_key}.pkl")
 
@@ -282,6 +294,16 @@ def main():
         else:
             params_np = build_qwen2_7b_params(cfg, quantize_lm=on_tpu)
         log(f"host params built in {time.time()-t0:.1f}s")
+        if on_tpu and _stream_kind(model_kind, B) == "i8":
+            # batch-aware u4 -> per-channel i8 stream re-expansion (the
+            # engine's production default at this batch; DI_MK_STREAM
+            # overrides) — docs/megakernel.md §i8 streaming
+            t_e = time.time()
+            conv = mk.expand_u4_to_i8(params_np)
+            if conv is not None:
+                params_np = conv
+                log(f"u4->i8 per-channel re-expansion in "
+                    f"{time.time()-t_e:.1f}s")
 
     use_mega = packed_cached is not None or mk.supports(cfg, rt, params_np)
     t0 = time.time()

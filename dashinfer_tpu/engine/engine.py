@@ -164,7 +164,18 @@ class _ModelLoop:
                 return did
             p = d.payload()
             p["now"] = rt.logical_now
-            self.decision_sink("tick", p)
+            try:
+                self.decision_sink("tick", p)
+            except Exception:
+                # prefill_decide already committed scheduler state (slot,
+                # pages, popped from pending) — a replication failure must
+                # fail THIS request and unwind that state, not fall through
+                # to _fail_head (which would fail the NEW pending head and
+                # strand the decided request in its slot)
+                logger.exception("lockstep replication failed; failing the "
+                                 "decided request %s", d.req.uuid[:8])
+                rt.fail_decision(d)
+                return did
             rt.prefill_execute(d)
             did = True
             if not drain_queue:

@@ -249,13 +249,36 @@ class ModelRuntime:
             # a8w8 models decode through the weight-only megakernel while
             # prefill keeps activation-quant GEMMs on the raw params
             mk_params = mk.weight_only_decode_view(params)
-            if mk_params is not None and mk.supports(cfg, rt, mk_params):
+            # u4 -> per-channel-i8 stream re-expansion (batch-aware; see
+            # docs/megakernel.md §i8 streaming): large batches are
+            # VPU-dequant-bound on the u4 stream, so serve u4 checkpoints
+            # through the i8 stream. The expansion itself is deferred into
+            # the pack build so a pack-cache hit skips the dequant+requant
+            # pass; make_plan/supports run on a zero-payload meta view.
+            stream = EnvConfig.mk_stream()
+            expand_i8 = (mk_params is not None and
+                         stream != "u4" and
+                         (stream == "i8" or
+                          rt.max_batch >= EnvConfig.mk_i8_batch()) and
+                         mk.expand_u4_to_i8(mk_params, meta_only=True)
+                         is not None)
+            pack_tag, plan_params = "decode", mk_params
+            if expand_i8:
+                pack_tag = "decode_i8"
+                plan_params = mk.expand_u4_to_i8(mk_params, meta_only=True)
+                logger.info("decode stream: u4 -> per-channel i8 "
+                            "re-expansion (max_batch=%d)", rt.max_batch)
+            if mk_params is not None and mk.supports(cfg, rt, plan_params):
                 t0 = time.monotonic()
-                self.mega_plan = mk.make_plan(cfg, rt, mk_params)
+                self.mega_plan = mk.make_plan(cfg, rt, plan_params)
+
+                def _build_pack():
+                    src = mk.expand_u4_to_i8(mk_params) if expand_i8 \
+                        else mk_params
+                    return mk.pack_params(cfg, self.mega_plan, src)
+
                 packed = self._cached_pack(
-                    "decode", lambda: mk.pack_params(cfg, self.mega_plan,
-                                                     mk_params),
-                    self.mega_plan, mk_params)
+                    pack_tag, _build_pack, self.mega_plan, mk_params)
                 self.mega_params = {
                     "packed": packed,
                     "embed": jnp.asarray(params["embed_tokens"]["w"])}
@@ -369,12 +392,18 @@ class ModelRuntime:
     def _cached_pack(self, tag: str, build, plan, src_params):
         """Host-side pack cache (production cold start): the megakernel
         pack is a deterministic rearrangement of the weights, minutes of
-        numpy work per process start at 7B. Key = plan geometry + a cheap
-        content fingerprint of the source leaves (shape/dtype + first
-        4 KB + nbytes per leaf). DI_PACK_CACHE overrides the directory;
-        =0 disables."""
+        numpy work per process start at 7B.
+
+        Key = plan geometry + a FULL-CONTENT blake2b of every source leaf
+        (a checkpoint updated in place with identical shapes must miss —
+        sampled fingerprints can silently serve stale weights; ADVICE r3).
+        Layout = a directory of raw .npy files + a JSON manifest carrying
+        per-file digests (verified on load), replacing the single multi-GB
+        unverified pickle blob: mmap'd .npy loads stream straight into
+        device transfers without a second host copy. DI_PACK_CACHE
+        overrides the directory; =0 disables."""
         import hashlib
-        import pickle
+        import json as _json
         d = os.environ.get(
             "DI_PACK_CACHE",
             os.path.expanduser("~/.cache/dashinfer_tpu/packs"))
@@ -385,29 +414,55 @@ class ModelRuntime:
         for path, leaf in sorted(
                 jax.tree_util.tree_flatten_with_path(src_params)[0],
                 key=lambda kv: str(kv[0])):
-            arr = np.asarray(leaf)
+            arr = np.ascontiguousarray(np.asarray(leaf))
             h.update(str(path).encode())
-            h.update(repr((arr.shape, str(arr.dtype), arr.nbytes)).encode())
-            flat = arr.reshape(-1)
-            h.update(flat[:1024].tobytes())
-            h.update(flat[-1024:].tobytes())
-            h.update(flat[:: max(flat.size // 64, 1)].tobytes())
-        fn = os.path.join(d, f"pack_{tag}_{h.hexdigest()}.pkl")
+            h.update(repr((arr.shape, str(arr.dtype))).encode())
+            h.update(arr.view(np.uint8).reshape(-1))
+        cd = os.path.join(d, f"pack_{tag}_{h.hexdigest()}")
+        manifest_fn = os.path.join(cd, "manifest.json")
         try:
-            if os.path.exists(fn):
-                with open(fn, "rb") as f:
-                    host = pickle.load(f)
-                logger.info("pack cache hit: %s", fn)
-                return jax.tree.map(jnp.asarray, host)
+            if os.path.exists(manifest_fn):
+                with open(manifest_fn) as f:
+                    man = _json.load(f)
+                out = {}
+                for key, ent in man["arrays"].items():
+                    arr = np.load(os.path.join(cd, ent["file"]),
+                                  mmap_mode="r", allow_pickle=False)
+                    if list(arr.shape) != ent["shape"] or \
+                            str(arr.dtype) != ent["dtype"]:
+                        raise ValueError(f"pack cache shape mismatch: {key}")
+                    fh = hashlib.blake2b(digest_size=16)
+                    fh.update(np.ascontiguousarray(arr).view(np.uint8)
+                              .reshape(-1))
+                    if fh.hexdigest() != ent["digest"]:
+                        raise ValueError(f"pack cache corrupt: {key}")
+                    out[key] = jnp.asarray(arr)
+                logger.info("pack cache hit: %s (%d arrays verified)", cd,
+                            len(out))
+                return out
         except Exception:
             logger.exception("pack cache read failed; rebuilding")
         packed = build()
         try:
-            os.makedirs(d, exist_ok=True)
-            tmp = fn + ".tmp"
-            with open(tmp, "wb") as f:
-                pickle.dump(jax.tree.map(np.asarray, packed), f)
-            os.replace(tmp, fn)
+            flat = {str(k): np.asarray(v) for k, v in packed.items()}
+            tmp = cd + ".tmp"
+            os.makedirs(tmp, exist_ok=True)
+            man = {"arrays": {}}
+            for i, (key, arr) in enumerate(sorted(flat.items())):
+                fn = f"{i}.npy"
+                np.save(os.path.join(tmp, fn), arr, allow_pickle=False)
+                fh = hashlib.blake2b(digest_size=16)
+                fh.update(np.ascontiguousarray(arr).view(np.uint8)
+                          .reshape(-1))
+                man["arrays"][key] = {
+                    "file": fn, "shape": list(arr.shape),
+                    "dtype": str(arr.dtype), "digest": fh.hexdigest()}
+            with open(os.path.join(tmp, "manifest.json"), "w") as f:
+                _json.dump(man, f)
+            import shutil
+            if os.path.exists(cd):
+                shutil.rmtree(cd, ignore_errors=True)
+            os.replace(tmp, cd)
         except Exception:
             logger.exception("pack cache write failed")
         return packed
@@ -623,6 +678,22 @@ class ModelRuntime:
                 return b
         raise ValueError(f"length {n} exceeds max_length {self.rt.max_length}")
 
+    def _page_row_len(self, total_tokens: int, bucket: int) -> int:
+        """QUANTIZED page-row length for a prefill step. The page row is
+        part of the jitted step's shape: an exact per-prompt ceil would
+        compile one executable per distinct total page count within the
+        same bucket (up to maxP per bucket — TTFT compile spikes in the
+        serving hot path). Snap to ceil(bucket/ps) when that covers the
+        context (one shape per bucket, the common no-prefix case), else to
+        the next multiple of 8 (trailing zero pages are ignored by the
+        step's length masks)."""
+        ps = self.rt.cache.page_size
+        need = -(-total_tokens // ps)
+        full = -(-bucket // ps)
+        if need <= full:
+            return full
+        return min(-(-need // 8) * 8, self.rt.max_pages_per_seq)
+
     def _prefill_chunk_fn(self, bucket: int, maxPb: int) -> Callable:
         key = ("chunk", bucket, maxPb)
         if key not in self._prefill_steps:
@@ -832,8 +903,7 @@ class ModelRuntime:
             while len(new_tokens) > chunk:
                 head, new_tokens = new_tokens[:chunk], new_tokens[chunk:]
                 cbucket = self.bucket_for(len(head))
-                cmaxPb = -(-(prefix_len + len(head)) //
-                           self.rt.cache.page_size)
+                cmaxPb = self._page_row_len(prefix_len + len(head), cbucket)
                 crow = np.zeros((cmaxPb,), np.int32)
                 crow[:min(len(pages), cmaxPb)] = pages[:cmaxPb]
                 ctoks = np.zeros((cbucket,), np.int32)
@@ -857,7 +927,7 @@ class ModelRuntime:
         # chunked prefill uses.
         ps_ = self.rt.cache.page_size
         bucket = self.bucket_for(len(new_tokens))
-        maxPb = (prefix_len + len(new_tokens) + ps_ - 1) // ps_
+        maxPb = self._page_row_len(prefix_len + len(new_tokens), bucket)
 
         page_row = np.zeros((maxPb,), np.int32)
         npg = min(len(pages), maxPb)
@@ -946,6 +1016,22 @@ class ModelRuntime:
         self._emit(req, [tok], lp, 0)
         self._maybe_finish(req, tok)
         self.stat.total_prefill_tokens += total_len
+
+    def fail_decision(self, d: "PrefillDecision") -> None:
+        """Unwind a prefill decision whose replication (or other
+        pre-launch step) failed AFTER prefill_decide committed scheduler
+        state: release the slot and pages and fail the decided request
+        itself (engine._lockstep_prefill error path)."""
+        req = d.req
+        if self.slots[d.slot] is req:
+            self.slots[d.slot] = None
+        req.slot = -1
+        self.stat.runnings -= 1
+        self._release_pages(req)
+        req.status = GenerateRequestStatus.InternalError
+        q = self.queues.get(req.uuid)
+        if q is not None:
+            q.set_status(GenerateRequestStatus.InternalError)
 
     def _banned_ids(self, req: Request) -> Optional[List[int]]:
         """Next tokens banned THIS step: single/multi-token bad_words_ids +

@@ -101,7 +101,10 @@ def _plan_stream(name: str, bits: int, K: int, N: int, gs: int,
     # chunk over K rows (down proj)
     Np = _round_up(N, 128)
     per_row = Np * (0.5 if bits == 4 else 1 if bits == 8 else 2)
-    step = max(gs if gs > 0 else 128, 128)
+    # per-channel (gs >= K, one group spanning every chunk): chunks need no
+    # group alignment — each chunk applies the shared [1, Np] affine and the
+    # accumulated zero terms sum to xsum_total * z across chunks
+    step = 128 if (gs == 0 or gs >= K) else max(gs, 128)
     # rows must also satisfy int8 sublane packing (32) — gs>=32 covers it
     chunk = max(step, int(target_bytes / per_row) // step * step)
     chunk = min(chunk, _round_up(K, step))
@@ -230,9 +233,10 @@ def weight_only_decode_view(params: Dict) -> Optional[Dict]:
     """Reference `decoder_weight_only_` behavior (device_context.h:87-89,
     148-149): an A8W8 model runs activation-quant GEMMs in prefill but falls
     back to WEIGHT-ONLY GEMV in decode. Here: re-express each symmetric
-    per-channel int8 leaf {w_q8 [.., K, N], wscale [.., 1, N]} as the
-    megakernel's group-wise asymmetric format (gs=128 groups with replicated
-    scales, zero=0) so decode streams it unchanged on the fast path.
+    per-channel int8 leaf {w_q8 [.., K, N], wscale [.., 1, N]} in the
+    megakernel's asymmetric format with PER-CHANNEL scales (groups == 1,
+    zero=0) — exact, and the stream runs the loop-free single-affine
+    epilogue.
 
     Returns params untouched when no a8w8 leaves exist, a converted shallow
     copy when they do, or None when the model can't take the weight-only
@@ -247,10 +251,9 @@ def weight_only_decode_view(params: Dict) -> Optional[Dict]:
         K = w.shape[-2]
         if K % 128:
             raise ValueError
-        G = K // 128
-        gshape = s.shape[:-2] + (G, s.shape[-1])
+        gshape = s.shape[:-2] + (1, s.shape[-1])
         out = {"w_q": w,
-               "scale": np.broadcast_to(s, gshape),
+               "scale": np.asarray(s).reshape(gshape),
                "zero": np.zeros(gshape, np.float32)}
         if "b" in leaf:
             out["b"] = leaf["b"]
@@ -279,6 +282,90 @@ def weight_only_decode_view(params: Dict) -> Optional[Dict]:
         return out
     except (ValueError, KeyError):
         return None
+
+
+def expand_u4_to_i8(params: Dict, meta_only: bool = False) -> Optional[Dict]:
+    """Pack-time u4 -> per-channel-i8 re-expansion ("serve u4 checkpoints
+    through the i8 stream").
+
+    The decode megakernel is VPU-dequant-bound on the u4 stream: the
+    AND/convert chain plus the G-sequential per-group affine epilogue holds
+    the effective weight-stream rate to ~1/3 of the chip's DMA rate
+    (docs/megakernel.md, round-3 attribution). Re-expressing each group-wise
+    asymmetric u4 leaf as a PER-CHANNEL asymmetric int8 leaf doubles the
+    streamed bytes but (a) cuts per-element dequant to one int8->bf16
+    convert and (b) collapses the per-group epilogue to a single
+    scale-multiply + zero-point dot (groups == 1), so the step becomes
+    DMA/MXU-bound. This mirrors the reference's decode-phase weight-only
+    regime change (`decoder_weight_only_`, device_context.h:148-149) — a
+    deliberate precision trade between phases, applied batch-aware by the
+    runtime (large batches amortize the extra bytes; small batches keep u4).
+
+    Requantization error: per channel the i8 grid has 255 steps across the
+    channel's full range while u4 has 15 steps per 128-row group — unless
+    one group's range exceeds ~17x another's within the same channel, the
+    added error is below the u4 quantization error already present.
+
+    meta_only=True builds shape/dtype-correct leaves with zero payloads
+    (calloc — no dequant work) for make_plan/supports when the real
+    expansion is deferred behind a pack cache hit.
+
+    Returns a converted shallow copy, or None when params contain no
+    convertible u4 leaves."""
+
+    def convert(leaf):
+        if not isinstance(leaf, dict) or "w_q" not in leaf or \
+                leaf["w_q"].dtype == np.int8:
+            return leaf
+        wq = np.asarray(leaf["w_q"])
+        s = np.asarray(leaf["scale"], np.float32)
+        z = np.asarray(leaf["zero"], np.float32)
+        lead = wq.shape[:-2]                       # (), (L,) or (L, E)
+        K, N2 = wq.shape[-2], wq.shape[-1]
+        N = 2 * N2
+        if meta_only:
+            out = {"w_q": np.zeros(lead + (K, N), np.int8),
+                   "scale": np.zeros(lead + (1, N), np.float32),
+                   "zero": np.zeros(lead + (1, N), np.float32)}
+            if "b" in leaf:
+                out["b"] = leaf["b"]
+            return out
+        out_q = np.empty(lead + (K, N), np.int8)
+        out_s = np.empty(lead + (1, N), np.float32)
+        out_z = np.empty(lead + (1, N), np.float32)
+        G = s.shape[-2]
+        gs = K // G
+        for idx in np.ndindex(lead if lead else (1,)):
+            sl = idx if lead else ()
+            q = _unpack_u4(wq[sl]).astype(np.float32)          # [K, N]
+            w = q * np.repeat(s[sl], gs, axis=0) + \
+                np.repeat(z[sl], gs, axis=0)
+            wmin = w.min(axis=0)
+            wmax = w.max(axis=0)
+            s8 = np.maximum((wmax - wmin) / 255.0, 1e-8)
+            out_q[sl] = np.clip(np.rint((w - wmin) / s8) - 128.0,
+                                -128, 127).astype(np.int8)
+            out_s[sl] = s8[None]
+            out_z[sl] = (wmin + 128.0 * s8)[None]
+        out = {"w_q": out_q, "scale": out_s, "zero": out_z}
+        if "b" in leaf:
+            out["b"] = leaf["b"]
+        return out
+
+    found = False
+
+    def walk(tree):
+        nonlocal found
+        if isinstance(tree, dict) and "w_q" in tree:
+            nl = convert(tree)
+            found |= nl is not tree
+            return nl
+        if isinstance(tree, dict):
+            return {k: walk(v) for k, v in tree.items()}
+        return tree
+
+    out = walk(params)
+    return out if found else None
 
 
 def _expert_leaf_bits(leaf) -> int:
@@ -323,11 +410,6 @@ def _moe_supports(cfg: ModelConfig, lp: Dict) -> bool:
         gs = _expert_gs(ex[name], K)
         if gs and gs % 128 and gs != K:
             return False
-    # per-channel k-chunked down stream has the same geometry restriction
-    # as the dense path
-    gs_dn = _expert_gs(ex["down_proj"], Im)
-    if gs_dn == Im and Im > 2048:
-        return False
     if moe.shared_expert_intermediate_size:
         se = lp.get("shared_expert")
         if not isinstance(se, dict):
@@ -345,11 +427,6 @@ def _moe_supports(cfg: ModelConfig, lp: Dict) -> bool:
                     return False
         if _weight_bits(se["gate_proj"]) != _weight_bits(se["up_proj"]):
             return False
-        dnl = se["down_proj"]
-        if "w_q" in dnl:
-            gs = sIm // dnl["scale"].shape[1]
-            if gs == sIm and sIm > 2048:
-                return False
     if "router" not in lp:
         return False
     return True
@@ -411,12 +488,6 @@ def supports(cfg: ModelConfig, rt: RuntimeConfig, params: Dict) -> bool:
                 cfg.num_kv_heads * (cfg.head_dim // 2) < 128:
             return False
         if not moe:
-            dnl = lp["down_proj"]
-            if "w_q" in dnl:
-                Kdn = dnl["w_q"].shape[1]
-                gs_dn = Kdn // dnl["scale"].shape[1]
-                if gs_dn == Kdn and Kdn > 2048:
-                    return False
             for name in ("gate_proj", "up_proj", "down_proj"):
                 if "b" in lp[name]:
                     return False
@@ -627,6 +698,14 @@ def _chunk_qparams(sp: StreamPlan, s: np.ndarray, z: np.ndarray):
         zb[:G, :sp.N] = z
         sc = sb.reshape(sb.shape[0], sp.S, sp.chunk).transpose(1, 0, 2)
         zc = zb.reshape(zb.shape[0], sp.S, sp.chunk).transpose(1, 0, 2)
+    elif G == 1 and gs >= sp.K:
+        # per-channel k-chunked: one shared [1, Np] affine row per chunk
+        sb = np.zeros((1, sp.Np), np.float32)
+        zb = np.zeros((1, sp.Np), np.float32)
+        sb[:, :sp.N] = s
+        zb[:, :sp.N] = z
+        sc = np.repeat(sb[None], sp.S, axis=0)       # [S, 1, Np]
+        zc = np.repeat(zb[None], sp.S, axis=0)
     else:
         sb = np.zeros((Gp_k, sp.Np), np.float32)
         zb = np.zeros((Gp_k, sp.Np), np.float32)
@@ -895,7 +974,10 @@ def _stream_dot(plan: MegaPlan, sp: StreamPlan, x_bf16, w_ref, s_ref, z_ref,
             preferred_element_type=jnp.float32)
     rows = q.shape[0]
     gs = sp.gs if sp.gs else rows
-    groups = rows // gs
+    # per-channel k-chunked streams have gs >= Kp > rows: the whole chunk is
+    # one group and the shared affine applies per chunk (zero terms sum to
+    # xsum_total * z across the accumulated chunks)
+    groups = rows // gs if gs <= rows else 1
     if groups == 1:
         part = jax.lax.dot_general(
             x_bf16, q, (((1,), (0,)), ((), ())),

@@ -37,7 +37,7 @@ logic (see docs/multihost.md "Tick replication").
 import threading
 from typing import Dict, List, Optional, Tuple
 
-from dashinfer_tpu.runtime.request import new_uuid
+from dashinfer_tpu.runtime.request import GenerateRequestStatus, new_uuid
 from dashinfer_tpu.service.client import _Rpc
 from dashinfer_tpu.service.daemon import EngineDaemon
 from dashinfer_tpu.utils import get_logger
@@ -83,6 +83,11 @@ class FollowerDaemon(EngineDaemon):
         self._seq_lock = threading.Condition()
         self._next_seq = 0
         self._pending: Dict[int, Tuple[str, dict]] = {}
+        # a tick whose EXECUTION failed leaves this host's device/scheduler
+        # state behind the stream — consuming further ticks would silently
+        # diverge; reject them until restart (reference posture: restart
+        # the worker)
+        self._diverged = False
 
     def rpc_start_model(self, name):
         self.engine.start_model(name)
@@ -97,6 +102,8 @@ class FollowerDaemon(EngineDaemon):
         the next replicated op)."""
         rt = self.engine._models[name]
         loop = self.engine._loops[name]
+        if self._diverged:
+            raise RuntimeError("follower diverged; restart required")
         done = threading.Event()
         err: list = []
 
@@ -154,10 +161,20 @@ class FollowerDaemon(EngineDaemon):
                 try:
                     self.dispatch(m, p)
                 except Exception:
-                    # followers must not diverge from the leader on op
-                    # failures; the leader surfaces errors to the client
                     logger.exception("replicated op %d %s failed",
                                      self._next_seq, m)
+                    if m == "tick":
+                        # a failed TICK means this host's state is behind
+                        # the stream — that IS divergence, not a client
+                        # error the leader can surface. Mark it fatal and
+                        # count it so check_divergence names this host.
+                        self._diverged = True
+                        name = (p or {}).get("name")
+                        mrt = self.engine._models.get(name) if name else None
+                        if mrt is not None:
+                            mrt.stat.lockstep_divergence += 1
+                    # non-tick control-op failures stay leader-surfaced:
+                    # the leader hit the same error applying it locally
                 self._next_seq += 1
             self._seq_lock.notify_all()
         return self._next_seq
@@ -184,6 +201,44 @@ class FollowerDaemon(EngineDaemon):
         with self._lock:
             self._handles[handle.uuid] = handle
         return {"uuid": handle.uuid, "status": status.name}
+
+
+class LeaderDaemon(EngineDaemon):
+    """Leader-side daemon: client REQUEST RPCs route through the
+    MultiHostEngine so every admission/stop/release is replicated into the
+    sequenced lockstep stream. (A plain EngineDaemon would admit the
+    request locally only — followers would then byte-verify prefill ticks
+    for a request they never received and every tick would diverge.)
+    Reference analog: the gRPC daemon IS the full API mirror,
+    allspark_service.cpp:86."""
+
+    def __init__(self, engine, mh: "MultiHostEngine"):
+        super().__init__(engine)
+        self.mh = mh
+
+    def rpc_start_request(self, name, input_ids, gen_cfg=None):
+        if name != self.mh.name:
+            raise ValueError(f"multi-host leader serves model "
+                             f"{self.mh.name!r}, not {name!r}")
+        handle, _ = self.mh.start_request(input_ids, gen_cfg)
+        with self._lock:
+            self._handles[handle.uuid] = handle
+        return {"uuid": handle.uuid,
+                "status": GenerateRequestStatus.Init.name}
+
+    def rpc_stop_request(self, uuid):
+        h = self._handles[uuid]
+        self.mh.stop_request(h)
+        return True
+
+    def rpc_release_request(self, uuid):
+        h = self._handles.pop(uuid, None)
+        if h is not None:
+            self.mh.release_request(h)
+        return True
+
+    def rpc_check_divergence(self):
+        return self.mh.check_divergence()
 
 
 class MultiHostEngine:
@@ -322,8 +377,17 @@ class MultiHostEngine:
         """Compare the leader's scheduler state digest against every
         follower's. Returns a report per follower; any entry with
         matches=False (or a non-zero lockstep_divergence counter) names a
-        follower that must be restarted."""
+        follower that must be restarted.
+
+        The comparison happens at a SEQUENCE BARRIER: followers first drain
+        every replicated op up to the leader's current seq (rpc wait_seq),
+        then digests are read — comparing mid-stream positions reports
+        transient false mismatches while ticks are in flight."""
         rt = self.engine._models[self.name]
+        with self._lock:
+            seq = self._seq
+        for rpc in self._rpcs:
+            rpc.call("wait_seq", seq=seq, timeout_s=120.0)
         local = rt.state_digest()
         out = []
         for rpc in self._rpcs:
@@ -409,6 +473,11 @@ def main(argv=None):
     rtb = (RuntimeConfigBuilder(args.name)
            .max_length(args.max_length).max_batch(args.max_batch)
            .prefix_cache(args.prefix_cache))
+    if args.prefix_cache:
+        # lockstep TTL decisions use the LEADER's replicated clock — only
+        # the Python cache accepts it (the native C++ cache reads the local
+        # clock and _check_lockstep_compatible rejects it)
+        rtb = rtb.update({"prefix_cache_impl": "python"})
     if args.quant != "none":
         rtb = rtb.weight_quant(args.quant)
     engine = Engine().install_model(args.model, rtb.build())
@@ -425,9 +494,8 @@ def main(argv=None):
         h, _, p = hp.rpartition(":")
         followers.append((h, int(p)))
     mh = MultiHostEngine(engine, followers, args.name, lockstep=True)
-    daemon = EngineDaemon(engine)
-    daemon.mh = mh  # leader daemon serves clients; mh replicates
-    daemon.serve(args.port, args.host)
+    # LeaderDaemon routes request RPCs through the replicated MultiHostEngine
+    LeaderDaemon(engine, mh).serve(args.port, args.host)
 
 
 if __name__ == "__main__":

@@ -78,6 +78,20 @@ class EnvConfig:
         return _get("DI_PREFILL_MEGAKERNEL", "1") != "0"
 
     @staticmethod
+    def mk_stream() -> str:
+        # decode megakernel weight-stream format: "auto" (batch-aware:
+        # u4 checkpoints re-expand to per-channel i8 at max_batch >=
+        # DI_MK_I8_BATCH — docs/megakernel.md §i8 streaming), "u4" (never
+        # re-expand), "i8" (always re-expand)
+        return str(_get("DI_MK_STREAM", "auto"))
+
+    @staticmethod
+    def mk_i8_batch() -> int:
+        # batch threshold for auto u4->i8 re-expansion (measured crossover
+        # on v5e; see docs/megakernel.md)
+        return _get("DI_MK_I8_BATCH", 24)
+
+    @staticmethod
     def log_status_interval_s() -> float:
         # reference: HIE_LOG_STATUS_INTERVAL (as_engine.cpp:2508-2513)
         return _get("DI_LOG_STATUS_INTERVAL", 30.0)

@@ -128,6 +128,12 @@ def _prep_cache(cfg, rt, params, mode, lens, pt):
     ("none", "int8", False, False, 2, 16),   # chunked page loop + dummies
     ("a16w4", "uint4", False, False, 2, 16),
     ("a16w4", "int8", False, False, 1, 256),  # 128-lane RMW qparam windows
+    # u4 -> per-channel i8 stream re-expansion (docs/megakernel.md §i8
+    # streaming): both paths consume the SAME expanded leaves, so parity is
+    # exact-class; the 32 KB chunk target forces a multi-chunk per-channel
+    # k-chunked down stream (the geometry the round-4 change unlocked)
+    ("a16w4i8", "int8", False, False, 1, 16),
+    ("a16w4i8", "uint4", False, False, 1, 16),
 ])
 def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi,
                                       page_chunk, ps):
@@ -156,9 +162,22 @@ def run_megakernel_parity_case(quant, kv_mode_name, qk_norm, alibi,
     # KH*D/2 lane dim to fill a 128 tile (supports() gates KH=1 + u4 off
     # the fast path), so u4-KV cases run the realistic GQA geometry
     kh = 2 if kv_mode == CacheMode.UINT4 else 1
-    cfg, rt, params = _quantized_fixture(quant, qk_norm, alibi, ps, kh)
+    expand_i8 = quant == "a16w4i8"
+    fixture_quant = "a16w4" if expand_i8 else quant
+    cfg, rt, params = _quantized_fixture(fixture_quant, qk_norm, alibi, ps,
+                                         kh)
     rt = dataclasses.replace(
         rt, cache=dataclasses.replace(rt.cache, mode=kv_mode))
+    chunk_bytes = 64 * 1024
+    if expand_i8:
+        conv = mk.expand_u4_to_i8(params)
+        assert conv is not None
+        for nm in ("q_proj", "o_proj", "gate_proj", "down_proj"):
+            leaf = conv["layers"][nm]
+            assert leaf["w_q"].dtype == np.int8
+            assert leaf["scale"].shape[1] == 1        # per-channel
+        params = conv
+        chunk_bytes = 32 * 1024   # force S>1 per-channel k-chunked dn
     if quant == "a8w8":
         # reference decoder_weight_only_ (device_context.h:148-149): decode
         # runs the weight-only view of the symmetric per-channel int8 leaves;
@@ -166,12 +185,13 @@ def run_megakernel_parity_case(quant, kv_mode_name, qk_norm, alibi,
         view = mk.weight_only_decode_view(params)
         assert view is not params
         assert "w_q" in view["layers"]["q_proj"]
-        assert view["layers"]["q_proj"]["scale"].shape[1] == \
-            cfg.hidden_size // 128
+        assert view["layers"]["q_proj"]["scale"].shape[1] == 1
         params = view
 
     assert mk.supports(cfg, rt, params)
-    plan = mk.make_plan(cfg, rt, params, target_chunk_bytes=64 * 1024)
+    plan = mk.make_plan(cfg, rt, params, target_chunk_bytes=chunk_bytes)
+    if expand_i8:
+        assert plan.dn.S > 1 and plan.dn.gs >= cfg.intermediate_size
     if page_chunk != 1:
         plan = dataclasses.replace(plan, page_chunk=page_chunk)
     packed = mk.pack_params(cfg, plan, params)
@@ -716,3 +736,49 @@ def test_engine_serving_moe_megakernel_greedy_parity():
     slow = run(False)
     assert len(fast) == len(slow) == 12
     assert fast[:8] == slow[:8], (fast, slow)
+
+
+def test_expand_u4_to_i8_error_bound():
+    """u4 -> per-channel i8 re-expansion: per-element requant error is
+    bounded by half the per-channel i8 step (range/255/2), and stays below
+    the u4 quantization step itself unless group ranges within a channel
+    diverge ~17x (docs/megakernel.md §i8 streaming)."""
+    from dashinfer_tpu.config import QuantConfig
+    from dashinfer_tpu.loader.quantize import quantize_params
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+    from dashinfer_tpu.ops.u4pack import unpack_u4_weight_np_like
+
+    rng = np.random.RandomState(5)
+    K, N, L = 256, 384, 2
+    w = rng.randn(L, K, N).astype(np.float32) * 0.02
+    params = {"layers": {"down_proj": {"w": w}}}
+    qp = quantize_params(params, QuantConfig(mode="a16w4", group_size=128))
+    leaf = qp["layers"]["down_proj"]
+
+    conv = mk.expand_u4_to_i8({"layers": {"down_proj": leaf}})
+    assert conv is not None
+    nl = conv["layers"]["down_proj"]
+    assert nl["w_q"].dtype == np.int8 and nl["w_q"].shape == (L, K, N)
+    assert nl["scale"].shape == (L, 1, N)
+
+    for l in range(L):
+        q4 = unpack_u4_weight_np_like(np.asarray(leaf["w_q"][l]),
+                                      np).astype(np.float32)
+        s4 = np.repeat(np.asarray(leaf["scale"][l]), 128, axis=0)
+        z4 = np.repeat(np.asarray(leaf["zero"][l]), 128, axis=0)
+        w_u4 = q4 * s4 + z4                        # what u4 decode serves
+        w_i8 = (nl["w_q"][l].astype(np.float32) * nl["scale"][l]
+                + nl["zero"][l])
+        err = np.abs(w_i8 - w_u4)
+        # half-step bound per channel
+        assert np.all(err <= nl["scale"][l][0] * 0.5 + 1e-7)
+        # and far below the u4 step (same-scale groups here)
+        assert err.max() < np.asarray(leaf["scale"][l]).max()
+
+    # meta view matches real shapes/dtypes without doing the work
+    meta = mk.expand_u4_to_i8({"layers": {"down_proj": leaf}},
+                              meta_only=True)
+    ml = meta["layers"]["down_proj"]
+    assert ml["w_q"].shape == nl["w_q"].shape
+    assert ml["w_q"].dtype == nl["w_q"].dtype
+    assert ml["scale"].shape == nl["scale"].shape

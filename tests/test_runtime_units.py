@@ -251,18 +251,39 @@ def test_megakernel_pack_cache_roundtrip(tmp_path, monkeypatch):
           .update({"min_prefill_bucket": 16}).build())
     r1 = ModelRuntime("pc", cfg, params, rt, use_kernel=True)
     assert r1.mega_plan is not None
-    files = list(tmp_path.glob("pack_*.pkl"))
-    assert files, "pack cache file must be written"
+    dirs = [d for d in tmp_path.glob("pack_*") if d.is_dir()]
+    assert dirs and (dirs[0] / "manifest.json").exists(), \
+        "pack cache dir + manifest must be written"
     r2 = ModelRuntime("pc2", cfg, params, rt, use_kernel=True)
     for a, b in zip(jax.tree.leaves(r1.mega_params["packed"]),
                     jax.tree.leaves(r2.mega_params["packed"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # different weights -> different key (no false hit)
-    params2 = quantize_params(
-        build_from_torch_model(hf_util.make_torch_model(
-            hf_util.tiny_qwen2_config(hidden=256, inter=256, heads=2,
-                                      kv_heads=1)), hf.to_dict(),
-            "float32")[1],
-        QuantConfig(mode="a16w4", group_size=128))
-    ModelRuntime("pc3", cfg, params2, rt, use_kernel=True)
-    assert len(list(tmp_path.glob("pack_*.pkl"))) >= len(files)
+
+    # an IN-PLACE weight change with identical shapes must MISS (the key
+    # hashes full leaf bytes — a sampled fingerprint would silently serve
+    # the stale pack; ADVICE r3)
+    import jax as _jax
+
+    def bump(leaf):
+        a = np.array(np.asarray(leaf))
+        if a.dtype == np.uint8 and a.ndim == 3:   # a u4 payload stack
+            mid = tuple(d // 2 for d in a.shape)
+            a[mid] ^= 0x0F
+        return a
+    params_bumped = _jax.tree.map(bump, _jax.tree.map(np.asarray, params))
+    ModelRuntime("pc3", cfg, params_bumped, rt, use_kernel=True)
+    dirs2 = [d for d in tmp_path.glob("pack_*") if d.is_dir()]
+    assert len(dirs2) > len(dirs), "changed weights must produce a new key"
+
+    # a corrupted cached array must be detected (digest) and rebuilt
+    import json
+    man = json.loads((dirs[0] / "manifest.json").read_text())
+    first = sorted(man["arrays"].items())[0][1]
+    fn = dirs[0] / first["file"]
+    blob = bytearray(fn.read_bytes())
+    blob[-1] ^= 0xFF
+    fn.write_bytes(bytes(blob))
+    r4 = ModelRuntime("pc4", cfg, params, rt, use_kernel=True)
+    for a, b in zip(jax.tree.leaves(r1.mega_params["packed"]),
+                    jax.tree.leaves(r4.mega_params["packed"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -53,8 +53,9 @@ def main():
     # KV probes reuse the same multi-GB pack cache
     import dataclasses as _dc
     _key_cache = _dc.replace(rt.cache, mode=CacheMode.INT8)
+    stream = bench._stream_kind("dense", B)
     key_src = repr((cfg, _key_cache, B, os.environ.get("DI_MK_CHUNK_BYTES"),
-                    mk.PACK_VERSION))
+                    mk.PACK_VERSION, stream))
     cache_key = hashlib.blake2b(key_src.encode(), digest_size=8).hexdigest()
     cache_file = os.path.join("/tmp", f"di_bench_pack_{cache_key}.pkl")
     t0 = time.time()
@@ -73,6 +74,11 @@ def main():
         print(f"pack cache hit in {time.time()-t0:.1f}s", file=sys.stderr)
     else:
         params_np = bench.build_qwen2_7b_params(cfg)
+        if stream == "i8":
+            t_e = time.time()
+            params_np = mk.expand_u4_to_i8(params_np) or params_np
+            print(f"u4->i8 re-expansion in {time.time()-t_e:.1f}s",
+                  file=sys.stderr)
         plan = mk.make_plan(cfg, rt, params_np)
         packed_np = jax.tree.map(np.asarray, mk.pack_params(cfg, plan,
                                                             params_np))
