@@ -272,7 +272,9 @@ def main():
     if on_tpu:
         import hashlib
         probe_params = None
-        key_src = repr((cfg, rt.cache, B, os.environ.get("DI_MK_CHUNK_BYTES"),
+        # B is NOT in the key (stream geometry is batch-independent at the
+        # auto chunk target); plan B/MAXPG are rewritten on hit below
+        key_src = repr((cfg, rt.cache, os.environ.get("DI_MK_CHUNK_BYTES"),
                         mk.PACK_VERSION, _stream_kind(model_kind, B)))
         cache_key = hashlib.blake2b(key_src.encode(), digest_size=8).hexdigest()
         cache_file = os.path.join("/tmp", f"di_bench_pack_{cache_key}.pkl")
@@ -310,10 +312,13 @@ def main():
     if use_mega:
         if packed_cached is not None:
             plan, packed_np, embed_np = packed_cached
+            plan = dataclasses.replace(plan, B=B,
+                                       maxP=rt.max_pages_per_seq,
+                                       MAXPG=B * rt.max_pages_per_seq)
             packed = jax.tree.map(jnp.asarray, packed_np)
             params = {"packed": packed, "embed": jnp.asarray(embed_np)}
         else:
-            plan = mk.make_plan(cfg, rt, params_np)
+            plan = mk.make_plan(cfg, rt, params_np, interleave_mlp=True)
             packed = mk.pack_params(cfg, plan, params_np)
             embed_np = np.asarray(params_np["embed_tokens"]["w"])
             params = {"packed": packed, "embed": jnp.asarray(embed_np)}

@@ -80,6 +80,13 @@ class RuntimeConfig:
 
     eviction_strategy: EvictionStrategy = EvictionStrategy.MAX_LENGTH
     scheduling_strategy: SchedulingStrategy = SchedulingStrategy.CONTEXT_PRIORITY
+    # CONTEXT_PRIORITY bound: at most this many consecutive prefill
+    # admissions between decode ticks (0 = unbounded, the reference's
+    # "prefill until no more fits" — as_engine_prefill.cpp:149-186). A
+    # bounded value keeps decode cadence during prefill bursts on a
+    # single-stream device: a burst of 32 XLA prefills must not freeze
+    # every running stream for its whole duration.
+    max_prefills_per_tick: int = 4
 
     enable_prefix_cache: bool = False
     prefix_cache_ttl_s: float = 300.0   # reference default (allspark.h:201,255)

@@ -97,15 +97,21 @@ class _ModelLoop:
                         self.stop_flag = True
                         continue
             elif not self.lockstep_follower:
+                # CONTEXT_PRIORITY admits up to max_prefills_per_tick
+                # consecutive prefills, then yields to the decode tick
+                # below so a prefill burst cannot starve running streams
+                # (the reference runs prefill on its own thread instead,
+                # as_engine.cpp:1321-1326)
+                cap = rt.rt.max_prefills_per_tick \
+                    if strategy == SchedulingStrategy.CONTEXT_PRIORITY else 1
                 try:
                     if self.decision_sink is not None:
-                        did_work |= self._lockstep_prefill(
-                            strategy == SchedulingStrategy.CONTEXT_PRIORITY)
-                    elif strategy == SchedulingStrategy.CONTEXT_PRIORITY:
-                        while rt.try_prefill_one():
+                        did_work |= self._lockstep_prefill(cap)
+                    else:
+                        n = 0
+                        while (cap <= 0 or n < cap) and rt.try_prefill_one():
                             did_work = True
-                    else:  # BALANCE: one prefill per turn
-                        did_work |= rt.try_prefill_one()
+                            n += 1
                 except Exception:
                     logger.exception("prefill scheduling failed")
                     self._fail_head()
@@ -152,11 +158,14 @@ class _ModelLoop:
                 self.wake.wait(timeout=0.005)
                 self.wake.clear()
 
-    def _lockstep_prefill(self, drain_queue: bool) -> bool:
+    def _lockstep_prefill(self, cap: int) -> bool:
         """Leader-side admission under lockstep: decide, replicate the
-        decision (with the leader clock), then execute the launch."""
+        decision (with the leader clock), then execute the launch. At most
+        `cap` admissions per call (0 = unbounded) — same decode-cadence
+        bound as the local path."""
         rt = self.rt
         did = False
+        n = 0
         while True:
             rt.logical_now = time.monotonic()
             d = rt.prefill_decide()
@@ -178,7 +187,8 @@ class _ModelLoop:
                 return did
             rt.prefill_execute(d)
             did = True
-            if not drain_queue:
+            n += 1
+            if cap > 0 and n >= cap:
                 return did
 
     def _lockstep_decode(self) -> bool:

@@ -194,6 +194,12 @@ class ModelRuntime:
         # double-buffered decode: the last launched step's (tokens, logprobs,
         # batch) pending host-side drain — see decode_tick/_drain_inflight
         self._inflight = None
+        # async prefills: first tokens still on device, drained with the
+        # same in-flight mechanism decode uses (the reference runs prefill
+        # on its own thread so context work never blocks generation,
+        # as_engine.cpp:1321-1326; here the launch is async and the loop
+        # thread never blocks on the first-token transfer)
+        self._inflight_prefills: List[Tuple] = []
 
         self.params = jax.tree.map(jnp.asarray, params)
         # tensor-parallel mesh (reference: per-rank WeightSplitter + NCCL
@@ -217,6 +223,7 @@ class ModelRuntime:
         self.mega_plan = None
         self.mega_params = None
         self.tp_mega_plan = None
+        self._mega_plan_params = None
         # LoRA no longer disables the megakernels at install: batches
         # without an active LoRA request decode through the fast path, and
         # only steps that actually carry an adapter fall back to the XLA
@@ -270,7 +277,13 @@ class ModelRuntime:
                             "re-expansion (max_batch=%d)", rt.max_batch)
             if mk_params is not None and mk.supports(cfg, rt, plan_params):
                 t0 = time.monotonic()
-                self.mega_plan = mk.make_plan(cfg, rt, plan_params)
+                # interleaved pg/pu/pd MLP streams: the prefill megakernel's
+                # exact geometry, so ONE packed weight set serves BOTH
+                # kernels (reference shares one weight set between its
+                # prefill and decode workers, engine_worker.cpp:103-117)
+                self.mega_plan = mk.make_plan(cfg, rt, plan_params,
+                                              interleave_mlp=True)
+                self._mega_plan_params = plan_params
 
                 def _build_pack():
                     src = mk.expand_u4_to_i8(mk_params) if expand_i8 \
@@ -308,44 +321,26 @@ class ModelRuntime:
         # across buckets — stream geometry is bucket-independent) + a plan
         # per qualifying bucket. DI_PREFILL_MEGAKERNEL=0 disables.
         self._pmk_plans: Dict[int, object] = {}
-        if (self.mega_params is not None and self.mesh is None and
+        if (self.mega_params is not None and self.mega_plan is not None and
+                self.mesh is None and
                 EnvConfig.prefill_megakernel_enabled()):
             from dashinfer_tpu.ops.pallas import prefill_megakernel as pmk
+            # the prefill plans adopt the decode plan's StreamPlans, so
+            # BOTH kernels index the ONE decode pack already in HBM — no
+            # second weight copy, no install-time HBM guard needed
+            # (round-3's "skipping prefill megakernel pack" is gone)
+            src = self._mega_plan_params
             qual = [b for b in self.buckets
                     if b <= 1024 and b % 128 == 0 and
-                    pmk.supports_prefill(cfg, rt, params, b)]
-            if qual and jax.default_backend() == "tpu":
-                # the prefill pack is a SECOND full packed weight copy; on
-                # a 16 GB chip a 7B model cannot hold raw params + decode
-                # pack + prefill pack + KV pool — skip it (XLA prefill
-                # fallback) rather than OOM at install
-                hbm = rt.hbm_bytes or _detect_hbm_bytes()
-                used = (self._per_device_nbytes(self.params) +
-                        self._per_device_nbytes(self.mega_params))
-                est = self._per_device_nbytes(
-                    {"p": self.mega_params["packed"]})
-                min_kv = 4 * rt.max_batch * logical_page_bytes(
-                    cfg, rt.cache, self.dtype)
-                if used + est + min_kv > hbm * EnvConfig.hbm_mem_ratio():
-                    logger.warning(
-                        "skipping prefill megakernel pack: raw+decode-pack "
-                        "%.1f GiB + prefill-pack est %.1f GiB + KV floor "
-                        "would exceed HBM; prefill uses the XLA path",
-                        used / 1024**3, est / 1024**3)
-                    qual = []
+                    pmk.supports_prefill(cfg, rt, src, b)]
             if qual:
-                t0 = time.monotonic()
                 for b in qual:
                     self._pmk_plans[b] = pmk.make_prefill_plan(
-                        cfg, rt, params, b)
-                self.mega_params["prefill_packed"] = self._cached_pack(
-                    "prefill",
-                    lambda: pmk.pack_prefill_params(
-                        cfg, self._pmk_plans[qual[0]], params),
-                    self._pmk_plans[qual[0]], params)
-                logger.info(
-                    "prefill megakernel packed in %.1fs (buckets %s)",
-                    time.monotonic() - t0, qual)
+                        cfg, rt, src, b, decode_plan=self.mega_plan)
+                self.mega_params["prefill_packed"] = \
+                    self.mega_params["packed"]
+                logger.info("prefill megakernel shares the decode pack "
+                            "(buckets %s)", qual)
         # TP prefill segments (same bucket gating, per-rank packed streams)
         self._tp_pmk_plans: Dict[int, object] = {}
         if (self.tp_mega_plan is not None and
@@ -836,12 +831,16 @@ class ModelRuntime:
         admitted (empty queue, no slot, no memory)."""
         if not self.pending or self.params is None:
             return None
-        # admission mutates slot state and may need slots/pages freed by
-        # finish processing of the in-flight decode step
-        self._drain_inflight()
+        # admission may need slots/pages freed by finish processing of the
+        # in-flight decode step — but draining unconditionally would
+        # re-serialize every admission against the device; only block when
+        # the free-slot scan actually comes up empty
         slot = self.free_slot_index()
         if slot < 0:
-            return None
+            self._drain_inflight()
+            slot = self.free_slot_index()
+            if slot < 0:
+                return None
         req: Request = self.pending[0]
 
         prefix_len = 0
@@ -864,10 +863,15 @@ class ModelRuntime:
 
         need_pages = math.ceil(total_len / self.rt.cache.page_size) - len(prefix_pages)
         if need_pages > 0 and not self.allocator.reserve(req.uuid, need_pages):
+            # a finished in-flight request may free pages; then
             # pressure-release unreferenced prefix-cache pages, then retry
-            if self.prefix_cache is not None:
+            # (reserve ACCUMULATES per uuid — at most one successful call)
+            self._drain_inflight()
+            ok = self.allocator.reserve(req.uuid, need_pages)
+            if not ok and self.prefix_cache is not None:
                 self.prefix_cache.evict(need_pages - self.allocator.num_free)
-            if not self.allocator.reserve(req.uuid, need_pages):
+                ok = self.allocator.reserve(req.uuid, need_pages)
+            if not ok:
                 if self.prefix_cache is not None:
                     self.prefix_cache.release_nodes(req.prefix_nodes)
                     req.prefix_nodes = []
@@ -984,7 +988,6 @@ class ModelRuntime:
                     jnp.asarray(tok_buf), jnp.asarray(page_row),
                     jnp.int32(prefix_len), jnp.int32(total_len), init,
                     **kwargs)
-                tok = int(tok)
         except Exception:
             # fail THIS request atomically (reference converts per-rank
             # exceptions to request status, as_engine_prefill.cpp:216-232)
@@ -998,23 +1001,26 @@ class ModelRuntime:
             if q is not None:
                 q.set_status(GenerateRequestStatus.InternalError)
             return
-        t1 = time.monotonic()
 
         self._cached_len[req.uuid] = total_len
         req.prefilled_len = total_len
         req.status = GenerateRequestStatus.Generating
-        req.stat.first_token_time = t1
-        req.stat.time_to_first_token = t1 - req.enqueue_time
         req.stat.time_in_queue = t0 - req.enqueue_time
-        req.stat.context_tps = total_len / max(t1 - t0, 1e-9)
 
         if self.prefix_cache is not None:
             self._pc(self.prefix_cache.insert, req.input_ids, pages, req)
 
-        if req.format_enforcer is not None:
-            req.format_enforcer.advance(tok)
-        self._emit(req, [tok], lp, 0)
-        self._maybe_finish(req, tok)
+        # the first token drains ASYNCHRONOUSLY through the same in-flight
+        # mechanism decode uses — a blocking int(tok) here is a device sync
+        # on the scheduler thread that stalls every running decode stream
+        # for the whole transfer RTT (reference prefill/decode thread
+        # split, as_engine.cpp:1321-1326)
+        for arr in [tok] + list(lp or ()):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+        self._inflight_prefills.append((tok, lp, req, t0))
         self.stat.total_prefill_tokens += total_len
 
     def fail_decision(self, d: "PrefillDecision") -> None:
@@ -1316,11 +1322,38 @@ class ModelRuntime:
 
     def _drain_inflight(self):
         """Block on the in-flight decode step (if any) and emit its tokens."""
+        self._drain_prefill_tokens()
         batch, self._inflight = self._inflight, None
         if batch is not None:
             self._drain_batch(batch)
 
+    def _drain_prefill_tokens(self):
+        """Emit first tokens of async-launched prefills (oldest first).
+        Runs before any decode-batch drain so a request's token order is
+        preserved (its first decode batch was launched after its
+        prefill)."""
+        lst, self._inflight_prefills = self._inflight_prefills, []
+        for tok_j, lp, req, t_launch in lst:
+            if self.requests.get(req.uuid) is not req or req.slot < 0:
+                continue   # stopped/evicted while the prefill was in flight
+            try:
+                tok = int(np.asarray(tok_j))
+            except Exception:
+                logger.exception("prefill drain failed for %s", req.uuid[:8])
+                self._finish(req, GenerateRequestStatus.InternalError)
+                continue
+            t1 = time.monotonic()
+            req.stat.first_token_time = t1
+            req.stat.time_to_first_token = t1 - req.enqueue_time
+            req.stat.context_tps = req.prefilled_len / max(t1 - t_launch,
+                                                           1e-9)
+            if req.format_enforcer is not None:
+                req.format_enforcer.advance(tok)
+            self._emit(req, [tok], lp, 0)
+            self._maybe_finish(req, tok)
+
     def _drain_batch(self, batch):
+        self._drain_prefill_tokens()
         tokens_j, lp, act = batch
         tokens = np.asarray(tokens_j)
         # single-step launches yield [B]; multi-step launches yield [N, B]
@@ -1518,10 +1551,19 @@ class ModelRuntime:
         self._params_host = jax.device_get(self.params)
         self.params = None
         if self.mega_params is not None:
+            # prefill_packed may alias the decode pack (shared pack) —
+            # drop the alias before the host round trip so reload doesn't
+            # materialize a second device copy
+            self._mega_shared_pp = (
+                self.mega_params.get("prefill_packed")
+                is self.mega_params.get("packed"))
+            mp = dict(self.mega_params)
+            if self._mega_shared_pp:
+                mp.pop("prefill_packed")
             self._mega_sh = jax.tree.map(
-                lambda a: a.sharding, self.mega_params) \
+                lambda a: a.sharding, mp) \
                 if self.mesh is not None else None
-            self._mega_host = jax.device_get(self.mega_params)
+            self._mega_host = jax.device_get(mp)
             self.mega_params = None
         logger.info("weights swapped to host RAM")
 
@@ -1540,6 +1582,9 @@ class ModelRuntime:
                     jax.device_put, self._mega_host, self._mega_sh)
             else:
                 self.mega_params = jax.tree.map(jnp.asarray, self._mega_host)
+            if getattr(self, "_mega_shared_pp", False):
+                self.mega_params["prefill_packed"] = \
+                    self.mega_params["packed"]
             self._mega_host = None
         logger.info("weights reloaded to device")
 

@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dashinfer_tpu.config import CacheMode, ModelConfig, RuntimeConfig
 
-PACK_VERSION = 5   # bump when plan geometry / packed layout changes
+PACK_VERSION = 6   # bump when plan geometry / packed layout changes
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 _RMW_W = 8          # aligned row window for in-place pool writes
@@ -114,6 +114,28 @@ def _plan_stream(name: str, bits: int, K: int, N: int, gs: int,
     return StreamPlan(name, bits, K, N, Kp, Np, chunk, S, gs, "k")
 
 
+def _plan_interleave(prefix: str, bits: int, gs_g: int, gs_d: int,
+                     m_inter: int, hid: int, target_chunk_bytes: int):
+    """ONE shared chunk width over `inter` for gate/up/down (the trio's
+    total bytes per step ~ target): g/u n-chunked, d k-chunked with
+    chunk == cols. Shared with the prefill megakernel so one pack serves
+    both kernels."""
+    step = 256 if bits == 4 else 128
+    per_col = hid * (0.5 if bits == 4 else 1 if bits == 8 else 2) * 3
+    cols = max(step, int(target_chunk_bytes / per_col) // step * step)
+    cols = min(cols, _round_up(m_inter, step))
+    Smd = -(-m_inter // cols)
+    cols = _round_up(-(-m_inter // Smd), step)
+    Smd = -(-m_inter // cols)
+    interp = Smd * cols
+    g = StreamPlan(prefix + "g", bits, hid, m_inter, hid, interp, cols,
+                   Smd, gs_g, "n")
+    u = dataclasses.replace(g, name=prefix + "u")
+    d = StreamPlan(prefix + "d", bits, m_inter, hid, interp,
+                   _round_up(hid, 128), cols, Smd, gs_d, "k")
+    return g, u, d
+
+
 @dataclasses.dataclass(frozen=True)
 class MegaPlan:
     B: int
@@ -166,9 +188,33 @@ class MegaPlan:
     sgu: Optional[StreamPlan] = None
     sdn: Optional[StreamPlan] = None
     shared_inter: int = 0
+    # Interleaved-MLP mode (pg/pu/pd set): gate/up/down stream one shared
+    # chunk width over `inter` and each grid step runs all three dots
+    # (act_c = silu(x@G_c) * (x@U_c); acc += act_c @ D_c) — the PREFILL
+    # megakernel's exact stream geometry, so ONE packed weight set serves
+    # both kernels (reference shares one weight set between its prefill
+    # and decode workers, engine_worker.cpp:103-117). The fused gu/dn
+    # layout remains for the TP segment kernels.
+    pg: Optional[StreamPlan] = None
+    pu: Optional[StreamPlan] = None
+    pd: Optional[StreamPlan] = None
+    psg: Optional[StreamPlan] = None
+    psu: Optional[StreamPlan] = None
+    psd: Optional[StreamPlan] = None
+
+    @property
+    def interleave(self) -> bool:
+        return self.pg is not None
 
     @property
     def S_layer(self) -> int:
+        if self.interleave:
+            if self.E:
+                s = self.qkv.S + 1 + self.o.S + 1 + self.E * self.pg.S
+                if self.has_shared:
+                    s += self.psg.S
+                return s
+            return self.qkv.S + 1 + self.o.S + self.pg.S
         if self.E:
             s = self.qkv.S + 1 + self.o.S + 1 + \
                 self.E * (self.gu.S + self.dn.S)
@@ -217,6 +263,14 @@ class MegaPlan:
     @property
     def base_dn(self) -> int:
         return self.base_gu + self.gu.S
+
+    @property
+    def base_mlp(self) -> int:         # interleave mode, dense
+        return self.base_o + self.o.S
+
+    @property
+    def base_shared(self) -> int:      # interleave mode, MoE
+        return self.base_exp + self.E * self.pg.S
 
     @property
     def kv_store_dim(self) -> int:
@@ -533,7 +587,8 @@ def _scratch_bytes_estimate(B, L, hid, H, KH, D, G8, inter, QKVN, ps,
 
 
 def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
-              target_chunk_bytes: int = 0) -> MegaPlan:
+              target_chunk_bytes: int = 0,
+              interleave_mlp: bool = False) -> MegaPlan:
     lp = params["layers"]
     hid = cfg.hidden_size
     H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -619,6 +674,29 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
     lm = _plan_stream("lm", _weight_bits(lm_leaf), hid, V,
                       gs_of(lm_leaf, hid, gaxis=0), target_chunk_bytes)
 
+    pg = pu = pd = psg = psu = psd = None
+    if interleave_mlp:
+        if moe is not None:
+            ex = lp["experts"]
+            pg, pu, pd = _plan_interleave(
+                "p", _expert_leaf_bits(ex["gate_proj"]),
+                _expert_gs(ex["gate_proj"], hid),
+                _expert_gs(ex["down_proj"], inter), inter, hid,
+                target_chunk_bytes)
+            if moe.shared_expert_intermediate_size:
+                se = lp["shared_expert"]
+                psg, psu, psd = _plan_interleave(
+                    "s", _weight_bits(se["gate_proj"]),
+                    gs_of(se["gate_proj"], hid),
+                    gs_of(se["down_proj"], sh_inter), sh_inter, hid,
+                    target_chunk_bytes)
+        else:
+            pg, pu, pd = _plan_interleave(
+                "p", _weight_bits(lp["gate_proj"]),
+                gs_of(lp["gate_proj"], hid),
+                gs_of(lp["down_proj"], inter), inter, hid,
+                target_chunk_bytes)
+
     mode = rt.cache.mode
     kv_bits = {CacheMode.DEFAULT: 16, CacheMode.INT8: 8,
                CacheMode.UINT4: 4}[mode]
@@ -650,7 +728,8 @@ def make_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
         EP=(max(128, _round_up(
             moe.num_experts + (1 if sgu is not None else 0), 128))
             if moe else 128),
-        sgu=sgu, sdn=sdn, shared_inter=sh_inter)
+        sgu=sgu, sdn=sdn, shared_inter=sh_inter,
+        pg=pg, pu=pu, pd=pd, psg=psg, psu=psu, psd=psd)
 
 
 # ---------------------------------------------------------------------------
@@ -811,18 +890,34 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
     pack_stream(plan.o, lambda l: [jax.tree.map(lambda a: a[l], lp["o_proj"])])
     if plan.E:
         ex = lp["experts"]
-        pack_expert_stream(plan.gu, lambda l, e: [
-            _expert_leaf(ex["gate_proj"], l, e),
-            _expert_leaf(ex["up_proj"], l, e)])
-        pack_expert_stream(plan.dn, lambda l, e: [
-            _expert_leaf(ex["down_proj"], l, e)])
+        if plan.interleave:
+            pack_expert_stream(plan.pg, lambda l, e: [
+                _expert_leaf(ex["gate_proj"], l, e)])
+            pack_expert_stream(plan.pu, lambda l, e: [
+                _expert_leaf(ex["up_proj"], l, e)])
+            pack_expert_stream(plan.pd, lambda l, e: [
+                _expert_leaf(ex["down_proj"], l, e)])
+        else:
+            pack_expert_stream(plan.gu, lambda l, e: [
+                _expert_leaf(ex["gate_proj"], l, e),
+                _expert_leaf(ex["up_proj"], l, e)])
+            pack_expert_stream(plan.dn, lambda l, e: [
+                _expert_leaf(ex["down_proj"], l, e)])
         if plan.has_shared:
             se = lp["shared_expert"]
-            pack_stream(plan.sgu, lambda l: [
-                jax.tree.map(lambda a: a[l], se["gate_proj"]),
-                jax.tree.map(lambda a: a[l], se["up_proj"])])
-            pack_stream(plan.sdn, lambda l: [
-                jax.tree.map(lambda a: a[l], se["down_proj"])])
+            if plan.interleave:
+                pack_stream(plan.psg, lambda l: [
+                    jax.tree.map(lambda a: a[l], se["gate_proj"])])
+                pack_stream(plan.psu, lambda l: [
+                    jax.tree.map(lambda a: a[l], se["up_proj"])])
+                pack_stream(plan.psd, lambda l: [
+                    jax.tree.map(lambda a: a[l], se["down_proj"])])
+            else:
+                pack_stream(plan.sgu, lambda l: [
+                    jax.tree.map(lambda a: a[l], se["gate_proj"]),
+                    jax.tree.map(lambda a: a[l], se["up_proj"])])
+                pack_stream(plan.sdn, lambda l: [
+                    jax.tree.map(lambda a: a[l], se["down_proj"])])
         # router (+ shared gate col E) padded to EP lanes, bf16
         rw = np.zeros((L, plan.hid, plan.EP), np.float32)
         for l in range(L):
@@ -831,6 +926,13 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
                 rw[l, :, plan.E:plan.E + 1] = np.asarray(
                     lp["shared_expert_gate"]["w"][l], np.float32)
         out["router_w"] = jnp.asarray(rw.astype(jnp.bfloat16))
+    elif plan.interleave:
+        pack_stream(plan.pg, lambda l: [
+            jax.tree.map(lambda a: a[l], lp["gate_proj"])])
+        pack_stream(plan.pu, lambda l: [
+            jax.tree.map(lambda a: a[l], lp["up_proj"])])
+        pack_stream(plan.pd, lambda l: [
+            jax.tree.map(lambda a: a[l], lp["down_proj"])])
     else:
         pack_stream(plan.gu, lambda l: [
             jax.tree.map(lambda a: a[l], lp["gate_proj"]),
@@ -1261,7 +1363,26 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
             return (l, c, 0, 0)
         return idx
 
-    if MOE:
+    ILV = plan.interleave
+    pg, pu, pd = plan.pg, plan.pu, plan.pd
+    if MOE and ILV:
+        stream_defs = [
+            (qkv, stream_idx(plan.base_qkv, qkv.S)),
+            (o_sp, stream_idx(plan.base_o, o_sp.S)),
+            # expert streams are [L, E*S, ...] with expert e's chunks at
+            # rows e*S..: the combined in-phase index IS the row
+            (pg, stream_idx(plan.base_exp, E * pg.S)),
+            (pu, stream_idx(plan.base_exp, E * pu.S)),
+            (pd, stream_idx(plan.base_exp, E * pd.S)),
+        ]
+        if plan.has_shared:
+            stream_defs += [
+                (plan.psg, stream_idx(plan.base_shared, plan.psg.S)),
+                (plan.psu, stream_idx(plan.base_shared, plan.psu.S)),
+                (plan.psd, stream_idx(plan.base_shared, plan.psd.S)),
+            ]
+        stream_defs.append((lm, lm_idx))
+    elif MOE:
         stream_defs = [
             (qkv, stream_idx(plan.base_qkv, qkv.S)),
             (o_sp, stream_idx(plan.base_o, o_sp.S)),
@@ -1274,6 +1395,15 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                 (plan.sdn, stream_idx(plan.base_sdn, plan.sdn.S)),
             ]
         stream_defs.append((lm, lm_idx))
+    elif ILV:
+        stream_defs = [
+            (qkv, stream_idx(plan.base_qkv, qkv.S)),
+            (o_sp, stream_idx(plan.base_o, o_sp.S)),
+            (pg, stream_idx(plan.base_mlp, pg.S)),
+            (pu, stream_idx(plan.base_mlp, pu.S)),
+            (pd, stream_idx(plan.base_mlp, pd.S)),
+            (lm, lm_idx),
+        ]
     else:
         stream_defs = [
             (qkv, stream_idx(plan.base_qkv, qkv.S)),
@@ -1322,9 +1452,12 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
         pltpu.VMEM((B, qkv.Np), jnp.float32),         # 2 qkv_out
         pltpu.VMEM((B, KH, G8, D), jnp.bfloat16),     # 3 q4
         pltpu.VMEM((B, HD), jnp.bfloat16),            # 4 attn_out
-        pltpu.VMEM((B, max([gu.Np, dn.Kp] +
-                           ([plan.sgu.Np, plan.sdn.Kp] if plan.has_shared
-                            else []))), jnp.bfloat16),     # 5 gu_out
+        pltpu.VMEM((B, 128 if ILV else
+                    max([gu.Np, dn.Kp] +
+                        ([plan.sgu.Np, plan.sdn.Kp] if plan.has_shared
+                         else []))), jnp.bfloat16),        # 5 gu_out
+        # (interleaved mode computes act per chunk — no [B, 2*inter]
+        # activation buffer; the 128-col stub keeps scratch positions)
         pltpu.VMEM((B, hid), jnp.float32),            # 7 acc_dn
         pltpu.VMEM((B, KH, G8, 2), jnp.float32),      # 8 ml_st (m, l lanes)
         pltpu.VMEM((B, KH, G8, D), jnp.float32),      # 10 acc_at
@@ -1737,7 +1870,39 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                     (B, Kp_dn - inter_v), jnp.bfloat16)
             acc_dn[:] = jnp.zeros_like(acc_dn)
 
-        if not MOE:
+        def interleave_chunk(g_sp, u_sp, d_sp, pre, c):
+            """One interleaved gate/up/down chunk -> [B, hid] partial
+            (prefill megakernel geometry; shared pack)."""
+            g_ = _stream_dot(plan, g_sp, x_norm[:], args[pre + "g_w"],
+                             args.get(pre + "g_s"), args.get(pre + "g_z"),
+                             c, wdeq=wdeq)
+            u_ = _stream_dot(plan, u_sp, x_norm[:], args[pre + "u_w"],
+                             args.get(pre + "u_s"), args.get(pre + "u_z"),
+                             c, wdeq=wdeq)
+            act = (g_ * jax.lax.logistic(g_) * u_).astype(jnp.bfloat16)
+            return _stream_dot(plan, d_sp, act, args[pre + "d_w"],
+                               args.get(pre + "d_s"), args.get(pre + "d_z"),
+                               c, wdeq=wdeq)
+
+        if ILV and not MOE:
+            # ------------- interleaved mlp phase (dense) -------------
+            @pl.when(jnp.logical_and(~in_lm, s >= plan.base_mlp))
+            def _mlp():
+                c = s - plan.base_mlp
+
+                @pl.when(c == 0)
+                def _():
+                    x_norm[:] = _rms(x_resid[:], args["norms"][0, 1],
+                                     eps).astype(jnp.bfloat16)
+                    acc_dn[:] = jnp.zeros_like(acc_dn)
+
+                y = interleave_chunk(pg, pu, pd, "p", c)
+                acc_dn[:] = acc_dn[:] + y[:, :hid]
+
+                @pl.when(c == pg.S - 1)
+                def _():
+                    x_resid[:] = x_resid[:] + acc_dn[:]
+        elif not MOE:
             # ---------------- gate/up phase (dense) ----------------
             @pl.when(jnp.logical_and(
                 ~in_lm, jnp.logical_and(s >= plan.base_gu, s < plan.base_dn)))
@@ -1815,78 +1980,118 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                         sg = jnp.ones((B, 1), jnp.float32)
                     gates = jnp.where(lane_ep == E, sg, gates)
                 gates_st[:] = gates
+                if ILV:
+                    acc_dn[:] = jnp.zeros_like(acc_dn)
 
-            in_exp = jnp.logical_and(s >= plan.base_exp, s < plan.base_sgu)
-            c_all = jnp.clip(s - plan.base_exp, 0, E * SE - 1)
-            e_idx = c_all // SE
-            w_in = c_all - e_idx * SE
+            if ILV:
+                # ------------- per-expert interleaved chunks -------------
+                in_expi = jnp.logical_and(
+                    s >= plan.base_exp,
+                    s < plan.base_exp + E * pg.S)
+                end_exp = plan.base_exp + E * pg.S
 
-            # ---------------- expert gate/up (MoE) ----------------
-            @pl.when(jnp.logical_and(
-                ~in_lm, jnp.logical_and(in_exp, w_in < gu.S)))
-            def _egu():
-                c = w_in
-                y = _stream_dot(plan, gu, x_norm[:],
-                                args["gu_w"], args.get("gu_s"),
-                                args.get("gu_z"), c, wdeq=wdeq)
-                pl_store_cols(gu_out, c * gu.chunk, gu.chunk,
-                              y.astype(jnp.bfloat16))
-
-                @pl.when(c == gu.S - 1)
-                def _():
-                    swiglu_into_guout(plan.inter, dn.Kp)
-
-            # ---------------- expert down (MoE) ----------------
-            @pl.when(jnp.logical_and(
-                ~in_lm, jnp.logical_and(in_exp, w_in >= gu.S)))
-            def _edn():
-                c = w_in - gu.S
-                xc = pl_load_cols(gu_out, c * dn.chunk, dn.chunk)
-                y = _stream_dot(plan, dn, xc,
-                                args["dn_w"], args.get("dn_s"),
-                                args.get("dn_z"), c, wdeq=wdeq)
-                acc_dn[:] = acc_dn[:] + y[:, :hid]
-
-                @pl.when(c == dn.S - 1)
-                def _():
+                @pl.when(jnp.logical_and(~in_lm, in_expi))
+                def _emlp():
+                    c_all_i = jnp.clip(s - plan.base_exp, 0, E * pg.S - 1)
+                    e_i = c_all_i // pg.S
+                    y = interleave_chunk(pg, pu, pd, "p", c_all_i)
                     ge = jnp.sum(
-                        jnp.where(lane_ep == e_idx, gates_st[:], 0.0),
+                        jnp.where(lane_ep == e_i, gates_st[:], 0.0),
                         axis=-1, keepdims=True)              # [B, 1]
-                    x_resid[:] = x_resid[:] + ge * acc_dn[:]
+                    acc_dn[:] = acc_dn[:] + ge * y[:, :hid]
+                    if not plan.has_shared:
+                        @pl.when(c_all_i == E * pg.S - 1)
+                        def _():
+                            x_resid[:] = x_resid[:] + acc_dn[:]
 
-            if plan.has_shared:
-                sgu_, sdn_ = plan.sgu, plan.sdn
+                if plan.has_shared:
+                    psg_, psu_, psd_ = plan.psg, plan.psu, plan.psd
 
-                # ---------------- shared expert (CalcExpert) ----------------
-                @pl.when(jnp.logical_and(~in_lm, jnp.logical_and(
-                    s >= plan.base_sgu, s < plan.base_sdn)))
-                def _sgu():
-                    c = s - plan.base_sgu
-                    y = _stream_dot(plan, sgu_, x_norm[:],
-                                    args["sg_w"], args.get("sg_s"),
-                                    args.get("sg_z"), c, wdeq=wdeq)
-                    pl_store_cols(gu_out, c * sgu_.chunk, sgu_.chunk,
-                                  y.astype(jnp.bfloat16))
-
-                    @pl.when(c == sgu_.S - 1)
-                    def _():
-                        swiglu_into_guout(plan.shared_inter, sdn_.Kp)
-
-                @pl.when(jnp.logical_and(~in_lm, s >= plan.base_sdn))
-                def _sdn():
-                    c = s - plan.base_sdn
-                    xc = pl_load_cols(gu_out, c * sdn_.chunk, sdn_.chunk)
-                    y = _stream_dot(plan, sdn_, xc,
-                                    args["sd_w"], args.get("sd_s"),
-                                    args.get("sd_z"), c, wdeq=wdeq)
-                    acc_dn[:] = acc_dn[:] + y[:, :hid]
-
-                    @pl.when(c == sdn_.S - 1)
-                    def _():
+                    @pl.when(jnp.logical_and(~in_lm, s >= end_exp))
+                    def _smlp():
+                        c = s - end_exp
+                        y = interleave_chunk(psg_, psu_, psd_, "s", c)
                         sgv = jnp.sum(
                             jnp.where(lane_ep == E, gates_st[:], 0.0),
                             axis=-1, keepdims=True)
-                        x_resid[:] = x_resid[:] + sgv * acc_dn[:]
+                        acc_dn[:] = acc_dn[:] + sgv * y[:, :hid]
+
+                        @pl.when(c == psg_.S - 1)
+                        def _():
+                            x_resid[:] = x_resid[:] + acc_dn[:]
+
+            if not ILV:
+                in_exp = jnp.logical_and(s >= plan.base_exp, s < plan.base_sgu)
+                c_all = jnp.clip(s - plan.base_exp, 0, E * SE - 1)
+                e_idx = c_all // SE
+                w_in = c_all - e_idx * SE
+
+                # ---------------- expert gate/up (MoE) ----------------
+                @pl.when(jnp.logical_and(
+                    ~in_lm, jnp.logical_and(in_exp, w_in < gu.S)))
+                def _egu():
+                    c = w_in
+                    y = _stream_dot(plan, gu, x_norm[:],
+                                    args["gu_w"], args.get("gu_s"),
+                                    args.get("gu_z"), c, wdeq=wdeq)
+                    pl_store_cols(gu_out, c * gu.chunk, gu.chunk,
+                                  y.astype(jnp.bfloat16))
+
+                    @pl.when(c == gu.S - 1)
+                    def _():
+                        swiglu_into_guout(plan.inter, dn.Kp)
+
+                # ---------------- expert down (MoE) ----------------
+                @pl.when(jnp.logical_and(
+                    ~in_lm, jnp.logical_and(in_exp, w_in >= gu.S)))
+                def _edn():
+                    c = w_in - gu.S
+                    xc = pl_load_cols(gu_out, c * dn.chunk, dn.chunk)
+                    y = _stream_dot(plan, dn, xc,
+                                    args["dn_w"], args.get("dn_s"),
+                                    args.get("dn_z"), c, wdeq=wdeq)
+                    acc_dn[:] = acc_dn[:] + y[:, :hid]
+
+                    @pl.when(c == dn.S - 1)
+                    def _():
+                        ge = jnp.sum(
+                            jnp.where(lane_ep == e_idx, gates_st[:], 0.0),
+                            axis=-1, keepdims=True)              # [B, 1]
+                        x_resid[:] = x_resid[:] + ge * acc_dn[:]
+
+                if plan.has_shared:
+                    sgu_, sdn_ = plan.sgu, plan.sdn
+
+                    # ---------------- shared expert (CalcExpert) ----------------
+                    @pl.when(jnp.logical_and(~in_lm, jnp.logical_and(
+                        s >= plan.base_sgu, s < plan.base_sdn)))
+                    def _sgu():
+                        c = s - plan.base_sgu
+                        y = _stream_dot(plan, sgu_, x_norm[:],
+                                        args["sg_w"], args.get("sg_s"),
+                                        args.get("sg_z"), c, wdeq=wdeq)
+                        pl_store_cols(gu_out, c * sgu_.chunk, sgu_.chunk,
+                                      y.astype(jnp.bfloat16))
+
+                        @pl.when(c == sgu_.S - 1)
+                        def _():
+                            swiglu_into_guout(plan.shared_inter, sdn_.Kp)
+
+                    @pl.when(jnp.logical_and(~in_lm, s >= plan.base_sdn))
+                    def _sdn():
+                        c = s - plan.base_sdn
+                        xc = pl_load_cols(gu_out, c * sdn_.chunk, sdn_.chunk)
+                        y = _stream_dot(plan, sdn_, xc,
+                                        args["sd_w"], args.get("sd_s"),
+                                        args.get("sd_z"), c, wdeq=wdeq)
+                        acc_dn[:] = acc_dn[:] + y[:, :hid]
+
+                        @pl.when(c == sdn_.S - 1)
+                        def _():
+                            sgv = jnp.sum(
+                                jnp.where(lane_ep == E, gates_st[:], 0.0),
+                                axis=-1, keepdims=True)
+                            x_resid[:] = x_resid[:] + sgv * acc_dn[:]
 
         # ---------------- lm phase ----------------
         @pl.when(in_lm)

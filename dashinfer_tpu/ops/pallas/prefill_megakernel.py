@@ -176,14 +176,43 @@ def supports_prefill(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
     if "w_q" in dnl:
         Kdn = dnl["w_q"].shape[1]
         gs = Kdn // dnl["scale"].shape[1]
-        if gs % 128:   # per-chunk groups must tile the inter chunks
+        # groups must tile the inter chunks — or be per-channel (gs == K,
+        # one group spanning every chunk)
+        if gs % 128 and gs != Kdn:
             return False
     return True
 
 
 def make_prefill_plan(cfg: ModelConfig, rt: RuntimeConfig, params: Dict,
                       bucket: int,
-                      target_chunk_bytes: int = 1 << 20) -> PrefillPlan:
+                      target_chunk_bytes: int = 1 << 20,
+                      decode_plan=None) -> PrefillPlan:
+    """`decode_plan`: an interleaved-MLP decode MegaPlan whose StreamPlans
+    this prefill plan adopts verbatim — the two kernels then index ONE
+    packed weight set (reference shares one weight set between prefill and
+    decode workers, engine_worker.cpp:103-117)."""
+    if decode_plan is not None:
+        assert decode_plan.interleave, "shared pack needs interleave_mlp"
+        dp = decode_plan
+        mode = rt.cache.mode
+        kv_bits = {CacheMode.DEFAULT: 16, CacheMode.INT8: 8,
+                   CacheMode.UINT4: 4}[mode]
+        if mode == CacheMode.DEFAULT:
+            kv_dtype_name = "float32" if rt.dtype == "float32" else "bfloat16"
+        else:
+            kv_dtype_name = "int8" if mode == CacheMode.INT8 else "uint8"
+        return PrefillPlan(
+            S=bucket, L=dp.L, hid=dp.hid, H=dp.H, KH=dp.KH, D=dp.D,
+            QKVN=dp.QKVN, ps=rt.cache.page_size,
+            maxPb=-(-bucket // rt.cache.page_size), Vp=dp.lm.Np,
+            kv_mode=mode, kv_bits=kv_bits, kv_dtype_name=kv_dtype_name,
+            has_qkv_bias=dp.has_qkv_bias,
+            qkv=dp.qkv, o=dp.o, pg=dp.pg, pu=dp.pu, pd=dp.pd, lm=dp.lm,
+            rms_eps=dp.rms_eps, qk_norm=dp.qk_norm, alibi=dp.alibi,
+            E=dp.E, k_top=dp.k_top, norm_topk=dp.norm_topk,
+            has_shared=dp.has_shared, has_shared_gate=dp.has_shared_gate,
+            EP=dp.EP, psg=dp.psg, psu=dp.psu, psd=dp.psd,
+            shared_inter=dp.shared_inter)
     params = weight_only_decode_view(params)
     lp = params["layers"]
     hid = cfg.hidden_size
@@ -416,7 +445,9 @@ def _wdeq_tile(sp: StreamPlan, w_ref, s_ref, z_ref):
         return q
     rows, cols = q.shape
     gs = sp.gs if sp.gs else rows
-    groups = rows // gs
+    # per-channel k-chunked streams (gs >= Kp > rows): whole chunk is one
+    # group sharing the [1, cols] affine
+    groups = rows // gs if gs <= rows else 1
     s = s_ref[0, 0].astype(jnp.float32)
     z = z_ref[0, 0].astype(jnp.float32)
     if groups == 1:

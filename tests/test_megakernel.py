@@ -134,6 +134,12 @@ def _prep_cache(cfg, rt, params, mode, lens, pt):
     # k-chunked down stream (the geometry the round-4 change unlocked)
     ("a16w4i8", "int8", False, False, 1, 16),
     ("a16w4i8", "uint4", False, False, 1, 16),
+    # interleaved pg/pu/pd MLP streams (prefill geometry -> ONE shared
+    # pack for decode + prefill; docs/megakernel.md §shared pack)
+    ("none+ilv", "int8", False, False, 1, 16),
+    ("a16w4+ilv", "int8", False, False, 1, 16),
+    ("a16w4i8+ilv", "int8", False, False, 1, 16),
+    ("a16w4+ilv", "uint4", False, False, 2, 16),
 ])
 def test_megakernel_matches_reference(quant, kv_mode_name, qk_norm, alibi,
                                       page_chunk, ps):
@@ -162,6 +168,9 @@ def run_megakernel_parity_case(quant, kv_mode_name, qk_norm, alibi,
     # KH*D/2 lane dim to fill a 128 tile (supports() gates KH=1 + u4 off
     # the fast path), so u4-KV cases run the realistic GQA geometry
     kh = 2 if kv_mode == CacheMode.UINT4 else 1
+    ilv = quant.endswith("+ilv")     # interleaved pg/pu/pd (shared pack)
+    if ilv:
+        quant = quant[:-4]
     expand_i8 = quant == "a16w4i8"
     fixture_quant = "a16w4" if expand_i8 else quant
     cfg, rt, params = _quantized_fixture(fixture_quant, qk_norm, alibi, ps,
@@ -189,8 +198,11 @@ def run_megakernel_parity_case(quant, kv_mode_name, qk_norm, alibi,
         params = view
 
     assert mk.supports(cfg, rt, params)
-    plan = mk.make_plan(cfg, rt, params, target_chunk_bytes=chunk_bytes)
-    if expand_i8:
+    plan = mk.make_plan(cfg, rt, params, target_chunk_bytes=chunk_bytes,
+                        interleave_mlp=ilv)
+    if ilv:
+        assert plan.interleave and plan.pg.S >= 1
+    if expand_i8 and not ilv:
         assert plan.dn.S > 1 and plan.dn.gs >= cfg.intermediate_size
     if page_chunk != 1:
         plan = dataclasses.replace(plan, page_chunk=page_chunk)
@@ -633,6 +645,9 @@ def test_megakernel_moe_wide_router_lanes():
     ("a16w8", True, True, False),    # quantized experts + shared expert
     ("a16w4", True, False, False),
     ("a16w4", False, False, True),   # Qwen3-MoE: QK-norm + no shared expert
+    ("none+ilv", True, True, False),   # interleaved expert streams
+    ("a16w4+ilv", True, False, False),
+    ("a16w4+ilv", False, False, False),
 ])
 def test_megakernel_moe_matches_reference(quant, shared, shared_gate,
                                           qk_norm):
@@ -647,6 +662,9 @@ def test_megakernel_moe_matches_reference(quant, shared, shared_gate,
     from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
                                           _mscale)
 
+    ilv = quant.endswith("+ilv")
+    if ilv:
+        quant = quant[:-4]
     cfg, rt, params = _tiny_moe(shared=shared, shared_gate=shared_gate,
                                 qk_norm=qk_norm)
     if quant != "none":
@@ -656,7 +674,8 @@ def test_megakernel_moe_matches_reference(quant, shared, shared_gate,
         assert params["layers"]["experts"]["gate_proj"]["w_q"].ndim == 4
 
     assert mk.supports(cfg, rt, params), "MoE model must take the fast path"
-    plan = mk.make_plan(cfg, rt, params, target_chunk_bytes=48 * 1024)
+    plan = mk.make_plan(cfg, rt, params, target_chunk_bytes=48 * 1024,
+                        interleave_mlp=ilv)
     assert plan.E == 4 and plan.k_top == 2
     packed = mk.pack_params(cfg, plan, params)
     fn = mk.build_decode_megakernel(plan, interpret=True)

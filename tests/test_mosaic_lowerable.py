@@ -55,13 +55,16 @@ def _assert_lowerable(prims, what):
     assert not bad, f"{what} traces {bad} — Mosaic cannot lower these on TPU"
 
 
-@pytest.mark.parametrize("qk_norm,alibi,moe", [
-    (False, False, False),
-    (True, False, False),     # Qwen3 QK-norm (the historically broken path)
-    (False, True, False),     # ALiBi
-    (False, False, True),     # MoE
+@pytest.mark.parametrize("qk_norm,alibi,moe,ilv", [
+    (False, False, False, False),
+    (True, False, False, False),  # Qwen3 QK-norm (historically broken path)
+    (False, True, False, False),  # ALiBi
+    (False, False, True, False),  # MoE
+    (False, False, False, True),  # interleaved MLP (production default)
+    (True, False, False, True),
+    (False, False, True, True),   # MoE interleaved
 ])
-def test_decode_megakernel_no_gather(qk_norm, alibi, moe):
+def test_decode_megakernel_no_gather(qk_norm, alibi, moe, ilv):
     import jax
     import jax.numpy as jnp
     from dashinfer_tpu.config import CacheMode
@@ -75,7 +78,8 @@ def test_decode_megakernel_no_gather(qk_norm, alibi, moe):
     rt = dataclasses.replace(
         rt, cache=dataclasses.replace(rt.cache, mode=CacheMode.INT8))
     assert mk.supports(cfg, rt, params)
-    plan = mk.make_plan(cfg, rt, params, target_chunk_bytes=64 * 1024)
+    plan = mk.make_plan(cfg, rt, params, target_chunk_bytes=64 * 1024,
+                        interleave_mlp=ilv)
     packed = mk.pack_params(cfg, plan, params)
     fn = mk.build_decode_megakernel(plan, interpret=True)
 
@@ -99,7 +103,7 @@ def test_decode_megakernel_no_gather(qk_norm, alibi, moe):
         jnp.asarray(pt), jnp.asarray(lens), jnp.asarray(active),
         tgt_page, sched_b, sched_p, n_sched, *pools)
     _assert_lowerable(prims, f"decode megakernel qk_norm={qk_norm} "
-                             f"alibi={alibi} moe={moe}")
+                             f"alibi={alibi} moe={moe} ilv={ilv}")
 
 
 @pytest.mark.parametrize("qk_norm,alibi,moe", [

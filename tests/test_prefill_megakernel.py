@@ -8,7 +8,8 @@ from tests.test_megakernel import _tiny, _tiny_moe, _prep_cache  # noqa: F401
 
 
 def _run_case(quant, kv_mode_name, qk_norm, n_tokens, bucket=128, ps=16,
-              alibi=False, moe=False, shared=True, shared_gate=True):
+              alibi=False, moe=False, shared=True, shared_gate=True,
+              shared_pack=False):
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -40,9 +41,20 @@ def _run_case(quant, kv_mode_name, qk_norm, n_tokens, bucket=128, ps=16,
                                                      group_size=128))
 
     assert pmk.supports_prefill(cfg, rt, params, bucket)
-    plan = pmk.make_prefill_plan(cfg, rt, params, bucket,
-                                 target_chunk_bytes=48 * 1024)
-    packed = pmk.pack_prefill_params(cfg, plan, params)
+    if shared_pack:
+        # ONE pack for decode + prefill: the prefill plan adopts the
+        # interleaved decode plan's StreamPlans and the prefill kernel
+        # consumes the DECODE pack (model_runtime's production wiring)
+        dview = mk.weight_only_decode_view(params)
+        dplan = mk.make_plan(cfg, rt, dview, target_chunk_bytes=48 * 1024,
+                             interleave_mlp=True)
+        packed = mk.pack_params(cfg, dplan, dview)
+        plan = pmk.make_prefill_plan(cfg, rt, params, bucket,
+                                     decode_plan=dplan)
+    else:
+        plan = pmk.make_prefill_plan(cfg, rt, params, bucket,
+                                     target_chunk_bytes=48 * 1024)
+        packed = pmk.pack_prefill_params(cfg, plan, params)
     fn = pmk.build_prefill_megakernel(plan, interpret=True)
 
     L = cfg.num_layers
@@ -176,6 +188,17 @@ def test_prefill_megakernel_alibi_matches_reference():
     # (n_tokens=45 lands on a 0.004-gap argmax near-tie on this random
     # model that bf16 flips; 40 has a clear margin.)
     _run_case("a16w4", "int8", False, 40, alibi=True)
+
+
+@pytest.mark.parametrize("quant,moe", [
+    ("a16w4", False),
+    ("a8w8", False),
+    ("none", True),
+])
+def test_prefill_megakernel_shared_decode_pack(quant, moe):
+    """The prefill kernel consuming the DECODE pack (interleaved plan,
+    one weight set for both phases) matches the XLA reference."""
+    _run_case(quant, "int8", False, 45, moe=moe, shared_pack=True)
 
 
 def test_prefill_megakernel_partial_last_page():

@@ -19,6 +19,11 @@ import numpy as np
 
 def main():
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu" or \
+            os.environ.get("DI_PROF_PACK_ONLY"):
+        # the axon plugin ignores JAX_PLATFORMS; pack-only runs must not
+        # touch (or hang on) the TPU tunnel
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/di_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
@@ -54,7 +59,10 @@ def main():
     import dataclasses as _dc
     _key_cache = _dc.replace(rt.cache, mode=CacheMode.INT8)
     stream = bench._stream_kind("dense", B)
-    key_src = repr((cfg, _key_cache, B, os.environ.get("DI_MK_CHUNK_BYTES"),
+    # B is NOT in the key: stream geometry is batch-independent at the
+    # auto chunk target (verified for B in 16..64), so a batch sweep
+    # reuses one multi-GB pack; plan B/MAXPG are rewritten on hit below
+    key_src = repr((cfg, _key_cache, os.environ.get("DI_MK_CHUNK_BYTES"),
                     mk.PACK_VERSION, stream))
     cache_key = hashlib.blake2b(key_src.encode(), digest_size=8).hexdigest()
     cache_file = os.path.join("/tmp", f"di_bench_pack_{cache_key}.pkl")
@@ -70,7 +78,9 @@ def main():
             rt.cache.mode, cfg.head_dim, jnp.bfloat16)
         _bits = {"int8": 8, "uint8": 4}.get(str(np.dtype(_kvdt)), 16)
         plan = _dc.replace(plan, kv_mode=rt.cache.mode, kv_bits=_bits,
-                           kv_dtype_name=str(np.dtype(_kvdt)))
+                           kv_dtype_name=str(np.dtype(_kvdt)),
+                           B=B, maxP=rt.max_pages_per_seq,
+                           MAXPG=B * rt.max_pages_per_seq)
         print(f"pack cache hit in {time.time()-t0:.1f}s", file=sys.stderr)
     else:
         params_np = bench.build_qwen2_7b_params(cfg)
@@ -79,7 +89,7 @@ def main():
             params_np = mk.expand_u4_to_i8(params_np) or params_np
             print(f"u4->i8 re-expansion in {time.time()-t_e:.1f}s",
                   file=sys.stderr)
-        plan = mk.make_plan(cfg, rt, params_np)
+        plan = mk.make_plan(cfg, rt, params_np, interleave_mlp=True)
         packed_np = jax.tree.map(np.asarray, mk.pack_params(cfg, plan,
                                                             params_np))
         embed_np = np.asarray(params_np["embed_tokens"]["w"])
