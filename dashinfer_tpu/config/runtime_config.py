@@ -107,6 +107,14 @@ class RuntimeConfig:
     # prefill length buckets are powers of two between these bounds
     min_prefill_bucket: int = 32
 
+    # expected steady-state sequence length (prompt + generation) of the
+    # workload, used to cross-check the KV pool plan at install: when set
+    # (> 0) and the pool cannot hold max_batch concurrent sequences of
+    # this length, admission is capped at the supported concurrency
+    # instead of serving through OOM-eviction churn (reference adaptive
+    # span-count calc, as_engine.cpp:602-647). 0 = no cap.
+    typical_seq_len: int = 0
+
     # sampler static limits
     sampler_max_top_k: int = 128   # reference caps k at 1024 (generate_op.cpp:383-391)
     # exact radix-style top-k (XLA full sort, ~29 ms/step at B=32 on a 152k

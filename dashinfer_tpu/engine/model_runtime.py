@@ -493,7 +493,7 @@ class ModelRuntime:
         (as_engine.cpp:1035-1258)."""
         rt, cfg = self.rt, self.cfg
         if rt.cache.num_pages:
-            return rt.cache.num_pages
+            return self._check_pool_vs_workload(rt.cache.num_pages)
         lpb = logical_page_bytes(cfg, rt.cache, self.dtype)
         lpb_dev = lpb
         if self.mesh is not None:
@@ -531,7 +531,29 @@ class ModelRuntime:
         n = min(n, rt.max_batch * rt.max_pages_per_seq)
         logger.info("KV pool: %d logical pages (%.2f GiB global)", n,
                     n * lpb / 1024**3)
-        return int(n)
+        return self._check_pool_vs_workload(int(n))
+
+    def _check_pool_vs_workload(self, n: int) -> int:
+        """Cross-check the planned pool against the workload's steady-state
+        page demand (VERDICT r3: a 64-page pool admitted an in512/bs32
+        workload wanting 96 pages and served through OOM-eviction churn).
+        With typical_seq_len set, admission is capped at the concurrency
+        the pool can actually hold; the cap is deterministic host state,
+        lockstep-safe."""
+        rt = self.rt
+        self.admission_cap = rt.max_batch
+        if rt.typical_seq_len > 0:
+            typ = min(rt.typical_seq_len, rt.max_length)
+            per_seq = -(-typ // rt.cache.page_size)
+            cap = max(1, min(rt.max_batch, n // per_seq))
+            if cap < rt.max_batch:
+                logger.warning(
+                    "KV pool (%d logical pages) cannot hold %d concurrent "
+                    "sequences of typical length %d (%d pages each); "
+                    "admission capped at %d concurrent requests",
+                    n, rt.max_batch, typ, per_seq, cap)
+            self.admission_cap = cap
+        return n
 
     def _per_device_cache_page_bytes(self) -> int:
         """Per-device HBM bytes of ONE logical page under the mesh's cache
@@ -805,6 +827,10 @@ class ModelRuntime:
         self.stat.pendings += 1
 
     def free_slot_index(self) -> int:
+        # admission_cap < max_batch when the KV pool cannot hold max_batch
+        # sequences of the configured typical length (_check_pool_vs_workload)
+        if sum(1 for r in self.slots if r is not None) >= self.admission_cap:
+            return -1
         for i, r in enumerate(self.slots):
             if r is None:
                 return i

@@ -463,7 +463,17 @@ def main(argv=None):
     ap.add_argument("--max-length", type=int, default=2048)
     ap.add_argument("--quant", default="none")
     ap.add_argument("--prefix-cache", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--page-size", type=int, default=0, help="0 = default")
+    ap.add_argument("--num-pages", type=int, default=0, help="0 = auto")
+    ap.add_argument("--min-bucket", type=int, default=0, help="0 = default")
     args = ap.parse_args(argv)
+
+    import os
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon plugin ignores the env var and would probe the TPU tunnel
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     if args.coordinator:
         initialize_distributed(args.coordinator, args.num_processes,
@@ -472,7 +482,13 @@ def main(argv=None):
     from dashinfer_tpu import Engine, RuntimeConfigBuilder
     rtb = (RuntimeConfigBuilder(args.name)
            .max_length(args.max_length).max_batch(args.max_batch)
-           .prefix_cache(args.prefix_cache))
+           .prefix_cache(args.prefix_cache).dtype(args.dtype))
+    if args.page_size:
+        rtb = rtb.kv_cache_page_size(args.page_size)
+    if args.num_pages:
+        rtb = rtb.kv_cache_num_pages(args.num_pages)
+    if args.min_bucket:
+        rtb = rtb.update({"min_prefill_bucket": args.min_bucket})
     if args.prefix_cache:
         # lockstep TTL decisions use the LEADER's replicated clock — only
         # the Python cache accepts it (the native C++ cache reads the local

@@ -98,7 +98,22 @@ def build_random_model(preset: str, dtype: str, quant: str, group_size: int):
     return cfg, params_np
 
 
+def _ttft_buckets(eng, prompts, ttfts):
+    """Group request TTFTs by prefill bucket (persisted in the artifact —
+    round-3 printed but dropped these)."""
+    runtime = eng._models["bench"]
+    out = {}
+    for p, t in zip(prompts, ttfts):
+        b = runtime.bucket_for(min(len(p), runtime.rt.max_length))
+        out.setdefault(b, []).append((t, None))
+    return out
+
+
 def main():
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon plugin ignores the env var and would probe the TPU tunnel
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="tiny", choices=sorted(PRESETS))
     ap.add_argument("--batch", type=int, default=8)
@@ -115,6 +130,15 @@ def main():
                     help="fraction of prompt shared across requests "
                          "(prefix-cache hit sweep)")
     ap.add_argument("--qps", type=float, default=0.0, help="0 = all at once")
+    ap.add_argument("--arrival", default="poisson",
+                    choices=["poisson", "uniform"],
+                    help="paced-arrival process when --qps > 0 (Poisson = "
+                         "seeded exponential inter-arrivals; the reference "
+                         "harness paces uniformly, benchmark_throughput.py:"
+                         "163)")
+    ap.add_argument("--raw-step-tok-s", type=float, default=0.0,
+                    help="raw multi-step decode rate (bench.py) for the "
+                         "engine-overhead delta in the artifact")
     ap.add_argument("--decode-steps", type=int, default=1,
                     help="decode steps per jitted launch (flagship uses 8)")
     ap.add_argument("--page-size", type=int, default=0, help="0 = default")
@@ -136,7 +160,11 @@ def main():
            .kv_cache_mode(CacheMode(args.kv_cache_mode))
            .prefix_cache(args.prefix_cache)
            .dtype(args.dtype)
-           .update({"decode_steps_per_launch": args.decode_steps}))
+           .update({"decode_steps_per_launch": args.decode_steps,
+                    # pool-plan cross-check: cap admission at the
+                    # concurrency the pool actually holds for this
+                    # workload instead of OOM-eviction churn
+                    "typical_seq_len": args.in_len + args.out_len}))
     if args.page_size:
         rtb = rtb.kv_cache_page_size(args.page_size)
     rt = rtb.build()
@@ -156,26 +184,38 @@ def main():
                                      do_sample=False, top_k=1,
                                      eos_token_id=-1)
 
+    arrival_rng = np.random.RandomState(1234)
+
     def drive(prompt_list, timed):
         t_start = time.time()
         handles = []
         for p in prompt_list:
             if args.qps > 0:
-                time.sleep(1.0 / args.qps)
+                # Poisson arrivals by default: exponential inter-arrival
+                # times at rate qps (a fixed 1/qps sleep has zero burst
+                # variance and understates queueing TTFT)
+                if args.arrival == "poisson":
+                    time.sleep(float(arrival_rng.exponential(1.0 /
+                                                             args.qps)))
+                else:
+                    time.sleep(1.0 / args.qps)
             handles.append((time.time(),
                             eng.start_request("bench", p, gen(p))))
         ttfts, gen_times, toks = [], [], 0
+        interrupted = 0
         first_tok_at = None
         for t0, (_, h, q) in handles:
             eng.sync_request("bench", h, timeout_s=36000)
+            if q.GenerateStatus().name == "GenerateInterrupted":
+                interrupted += 1
             stat = q.RequestStatInfo()
             n = len(q.GetAllGeneratedTokens())
             toks += n
-            ttfts.append(stat["time_to_first_token"])
+            ttfts.append(stat.get("time_to_first_token", float("nan")))
             ft = stat.get("first_token_time")
             if ft and (first_tok_at is None or ft < first_tok_at):
                 first_tok_at = ft
-            if stat["generate_tps"] > 0:
+            if stat.get("generate_tps", 0) > 0:
                 gen_times.append((n - 1) / stat["generate_tps"])
             eng.release_request("bench", h)
         wall = time.time() - t_start
@@ -188,7 +228,7 @@ def main():
         decode_toks = toks - len(handles)
         return dict(wall=wall, ttfts=ttfts, gen_times=gen_times, toks=toks,
                     decode_tok_s=decode_toks / max(decode_window, 1e-9),
-                    qps=len(prompt_list) / wall)
+                    qps=len(prompt_list) / wall, interrupted=interrupted)
 
     warmup_s = 0.0
     if args.warmup:
@@ -219,19 +259,33 @@ def main():
         print(f"prefix_cache_hit_rate:  {stats['prefix_cache_hit_rate']:.3f}")
     if args.json:
         import json
+        ttfts = np.asarray(r["ttfts"], float)
         art = {
             "metric": "engine-loop serving throughput "
                       f"({args.preset} {args.quant} kv={args.kv_cache_mode} "
                       f"bs={args.batch} in={args.in_len} out={args.out_len})",
             "total_tok_s": round(r["toks"] / r["wall"], 2),
             "steady_decode_tok_s": round(r["decode_tok_s"], 2),
-            "p50_ttft_s": round(float(np.percentile(r["ttfts"], 50)), 4),
-            "mean_ttft_s": round(float(np.mean(r["ttfts"])), 4),
+            "p50_ttft_s": round(float(np.percentile(ttfts, 50)), 4),
+            "p90_ttft_s": round(float(np.percentile(ttfts, 90)), 4),
+            "mean_ttft_s": round(float(np.mean(ttfts)), 4),
             "qps": round(r["qps"], 3),
+            "arrival": args.arrival if args.qps > 0 else "burst",
+            "target_qps": args.qps,
             "num_requests": args.num_requests,
+            "interrupted": r["interrupted"],
+            "prefix_cache_hit_rate": round(
+                float(stats.get("prefix_cache_hit_rate", 0.0)), 4),
+            "per_bucket_ttft_s": {
+                str(b): round(float(np.mean([t for t, _ in group])), 4)
+                for b, group in _ttft_buckets(eng, prompts, ttfts).items()},
             "install_s": round(install_s, 1),
             "warmup_s": round(warmup_s, 1),
         }
+        if args.raw_step_tok_s > 0:
+            art["raw_step_tok_s"] = args.raw_step_tok_s
+            art["engine_overhead_pct"] = round(
+                100.0 * (1 - r["decode_tok_s"] / args.raw_step_tok_s), 1)
         with open(args.json, "w") as f:
             json.dump(art, f, indent=1)
         print(json.dumps(art))

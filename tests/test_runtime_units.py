@@ -287,3 +287,49 @@ def test_megakernel_pack_cache_roundtrip(tmp_path, monkeypatch):
     for a, b in zip(jax.tree.leaves(r1.mega_params["packed"]),
                     jax.tree.leaves(r4.mega_params["packed"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_admission_capped_by_typical_seq_len():
+    """typical_seq_len cross-checks the pool plan: when the pool cannot
+    hold max_batch sequences of that length, admission is capped at the
+    supported concurrency instead of OOM-eviction churn (the round-3
+    prefix512 run admitted 32 into a 64-page pool wanting 96)."""
+    import dataclasses
+    import time
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    import tests.hf_util as hf_util
+    from dashinfer_tpu.loader import build_from_torch_model
+
+    hf = hf_util.tiny_qwen2_config()
+    cfg, params = build_from_torch_model(hf_util.make_torch_model(hf),
+                                         hf.to_dict(), "float32")
+    # pool of 8 logical pages; typical 64 tokens = 4 pages/seq (ps=16)
+    # -> only 2 of max_batch=4 requests may run concurrently
+    rt = (RuntimeConfigBuilder("cap").max_length(96).max_batch(4)
+          .kv_cache_page_size(16).kv_cache_num_pages(8).dtype("float32")
+          .update({"min_prefill_bucket": 16, "typical_seq_len": 64})
+          .build())
+    eng = Engine().install_model("cap", rt, params=params, model_config=cfg)
+    runtime = eng._models["cap"]
+    assert runtime.admission_cap == 2
+    eng.start_model("cap")
+    gen = lambda: GenerationConfig(max_length=40, do_sample=False,  # noqa
+                                   top_k=1, eos_token_id=-1)
+    hs = [eng.start_request("cap", [3 + i, 5, 7], gen())[1:]
+          for i in range(4)]
+    deadline = time.monotonic() + 600
+    running_peak = 0
+    while time.monotonic() < deadline:
+        s = eng.get_engine_stat("cap")
+        running_peak = max(running_peak, s["runnings"])
+        if all(q.GenerateStatus().name in ("GenerateFinished",
+                                           "GenerateInterrupted",
+                                           "InternalError")
+               for _, q in hs):
+            break
+        time.sleep(0.02)
+    assert running_peak <= 2, running_peak
+    for h, q in hs:
+        assert q.GenerateStatus().name == "GenerateFinished"
+        eng.release_request("cap", h)
+    eng.release_model("cap")
