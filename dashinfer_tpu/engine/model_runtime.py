@@ -224,6 +224,7 @@ class ModelRuntime:
         self.mega_params = None
         self.tp_mega_plan = None
         self._mega_plan_params = None
+        self._mega_lora_ok = False
         # LoRA no longer disables the megakernels at install: batches
         # without an active LoRA request decode through the fast path, and
         # only steps that actually carry an adapter fall back to the XLA
@@ -292,6 +293,9 @@ class ModelRuntime:
 
                 packed = self._cached_pack(
                     pack_tag, _build_pack, self.mega_plan, mk_params)
+                self._mega_lora_ok = (rt.enable_lora and
+                                      mk.supports_lora_epilogue(
+                                          self.mega_plan))
                 self.mega_params = {
                     "packed": packed,
                     "embed": jnp.asarray(params["embed_tokens"]["w"])}
@@ -767,7 +771,12 @@ class ModelRuntime:
     def _decode_fn(self, with_logprobs: bool, with_guided: bool,
                    with_lora: bool = False,
                    with_banned: bool = False) -> Callable:
-        plan = self.mega_plan if not with_lora else None
+        # LoRA batches keep the megakernel when the plan supports the
+        # in-kernel epilogue (interleaved dense; ops/pallas/megakernel.py
+        # supports_lora_epilogue) — only unsupported layouts fall back
+        plan = self.mega_plan
+        if with_lora and not self._mega_lora_ok:
+            plan = None
         tp = (self.tp_mega_plan, self.mesh) \
             if (self.tp_mega_plan is not None and not with_lora) else None
         if (not (with_logprobs or with_guided or with_lora or with_banned)
@@ -784,7 +793,8 @@ class ModelRuntime:
         return self._prefill_steps[key]
 
     def _decode_params(self, with_lora: bool):
-        if self.mega_params is not None and not with_lora:
+        if self.mega_params is not None and (not with_lora or
+                                             self._mega_lora_ok):
             return self.mega_params
         return self.params
 
@@ -1323,7 +1333,9 @@ class ModelRuntime:
                 allowed[r.slot] = r.format_enforcer.allowed_mask()
             kwargs["allowed"] = jnp.asarray(allowed)
         if with_lora:
-            kwargs["lora_pool"] = self.lora_manager.pool
+            kwargs["lora_pool"] = (
+                self.lora_manager.pool_for_mega(self.mega_plan)
+                if self._mega_lora_ok else self.lora_manager.pool)
         with self.profiler.phase("decode"):
             tokens, lp, self.cache, self.state = fn(
                 self._decode_params(with_lora), self.cache, self.state,

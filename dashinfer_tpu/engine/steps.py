@@ -284,7 +284,7 @@ def build_prefill_chunk_step(cfg: ModelConfig, rt: RuntimeConfig,
 
 
 def _megakernel_forward(cfg, plan, fn, params, state, cache, page_tables,
-                        lens):
+                        lens, lora=None):
     """One whole-model decode forward via the Pallas megakernel."""
     from dashinfer_tpu.ops.pallas import megakernel as mk
     packed = params["packed"]
@@ -305,7 +305,7 @@ def _megakernel_forward(cfg, plan, fn, params, state, cache, page_tables,
         pools += [cache.k_qparams, cache.v_qparams]
     outs = fn(packed, x0, cosq, sinq, cosk, sink,
               page_tables, lens, state.active, tgt_page,
-              sched_b, sched_p, n_sched, *pools)
+              sched_b, sched_p, n_sched, *pools, lora=lora)
     logits = outs[0][:, :cfg.vocab_size]
     return logits, _rebuild_cache(cache, outs[1:])
 
@@ -356,7 +356,12 @@ def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
         _tp_fn = _tpk.build_tp_decode_fn(_tp_plan, _tp_mesh, cfg.vocab_size)
     elif megakernel_plan is not None:
         from dashinfer_tpu.ops.pallas import megakernel as _mk
-        _mega_fn = _mk.build_decode_megakernel(megakernel_plan)
+        _mega_lora_nr = rt.lora_max_num * rt.lora_max_rank \
+            if with_lora else 0
+        if with_lora:
+            assert _mk.supports_lora_epilogue(megakernel_plan)
+        _mega_fn = _mk.build_decode_megakernel(megakernel_plan,
+                                               lora_nr=_mega_lora_nr)
 
     def step(params, cache: KVCache, state: DecodeState, new_page_ids,
              allowed=None, lora_pool=None, banned=None):
@@ -378,9 +383,23 @@ def build_decode_step(cfg: ModelConfig, rt: RuntimeConfig,
                 cfg, tp_megakernel[0], _tp_fn, params, state, cache,
                 page_tables, lens)
         elif megakernel_plan is not None:
+            lora_args = None
+            if with_lora:
+                # dense rank-lane masks for the in-kernel LoRA epilogue:
+                # lane n*R + r of slot n carries the request's adapter
+                # one-hot (zeros = no adapter / pad lanes)
+                R = rt.lora_max_rank
+                nr = lora_pool["scale"].shape[0] * R
+                NRp = -(-nr // 128) * 128
+                m = jnp.repeat(onehot, R, axis=1)           # [B, nr]
+                mask1 = jnp.zeros((B, NRp), jnp.float32)
+                mask1 = mask1.at[:, :nr].set(m)
+                lora_args = dict(lora_pool["mega"])
+                lora_args["lmask1"] = mask1
+                lora_args["lmask3"] = jnp.tile(mask1, (1, 3))
             logits, cache = _megakernel_forward(
                 cfg, megakernel_plan, _mega_fn, params, state, cache,
-                page_tables, lens)
+                page_tables, lens, lora=lora_args)
         else:
             logits, cache = transformer.decode_forward(
                 cfg, params, state.token_ids, cache, page_tables, lens,

@@ -57,6 +57,7 @@ class LoraManager:
         self.dtype = dtype
         self.names: List[Optional[str]] = [None] * self.max_num
         self.pool = self._empty_pool()
+        self._mega_view = None     # built lazily per plan; reset on load/unload
 
     def _empty_pool(self) -> Dict:
         L, N, R = self.cfg.num_layers, self.max_num, self.max_rank
@@ -105,6 +106,7 @@ class LoraManager:
             self.pool["B"][t] = self.pool["B"][t].at[:, slot].set(
                 jnp.asarray(B, self.dtype))
         self.pool["scale"] = self.pool["scale"].at[slot].set(alpha / rank)
+        self._mega_view = None
         self.names[slot] = name
         logger.info("loaded lora '%s' (rank %d, alpha %.1f) into slot %d",
                     name, rank, alpha, slot)
@@ -119,7 +121,79 @@ class LoraManager:
             self.pool["A"][t] = self.pool["A"][t].at[:, slot].set(0.0)
             self.pool["B"][t] = self.pool["B"][t].at[:, slot].set(0.0)
         self.pool["scale"] = self.pool["scale"].at[slot].set(0.0)
+        self._mega_view = None
         return True
+
+    def pool_for_mega(self, plan) -> Dict:
+        """The pool plus its dense rank-lane view for the megakernel's
+        in-kernel LoRA epilogue."""
+        if self._mega_view is None:
+            self._mega_view = self.build_mega_view(plan)
+        return dict(self.pool, mega=self._mega_view)
+
+    def build_mega_view(self, plan) -> Dict:
+        """Dense rank-lane views of the adapter pool for the decode
+        megakernel's LoRA epilogue (build_decode_megakernel lora_nr;
+        reference SGMV batched adapter matmuls, sgmv_lora_op_gpu.cpp).
+
+        Per stream: A [L, K, NRp] (lane n*R+r = adapter slot n, rank r)
+        and B [L, NRp, Np] with the adapter scale FOLDED into B rows —
+        one [B, K] @ [K, NRp] MXU dot projects into the pooled rank space,
+        the per-request mask zeroes non-selected slots, and per-chunk
+        [B, NRp] @ [NRp, cols] dots add the delta alongside the base
+        stream. The fused qkv view stacks q/k/v as three NRp-wide rank
+        blocks (cols t*NRp + n*R + r) with block-structured B rows."""
+        cfg = self.cfg
+        L, N, R = cfg.num_layers, self.max_num, self.max_rank
+        nr = N * R
+        NRp = -(-nr // 128) * 128
+        dt = self.dtype
+        HD = cfg.num_heads * cfg.head_dim
+        KHD = cfg.num_kv_heads * cfg.head_dim
+        scale = self.pool["scale"]
+
+        def a_flat(t):
+            A = self.pool["A"][t]                    # [L, N, in, R]
+            return jnp.transpose(A, (0, 2, 1, 3)).reshape(
+                L, A.shape[2], nr).astype(dt)
+
+        def b_flat(t):
+            Bp = self.pool["B"][t]                   # [L, N, R, out]
+            return (Bp.astype(jnp.float32) *
+                    scale[None, :, None, None]).reshape(
+                L, nr, Bp.shape[3]).astype(dt)
+
+        def a_view(t, Kp):
+            f = a_flat(t)
+            out = jnp.zeros((L, Kp, NRp), dt)
+            return out.at[:, :f.shape[1], :nr].set(f)
+
+        def b_view(t, Np):
+            f = b_flat(t)
+            out = jnp.zeros((L, NRp, Np), dt)
+            return out.at[:, :nr, :f.shape[2]].set(f)
+
+        view = {}
+        # fused qkv: A cols [q | k | v] blocks of NRp; B rows block-diag
+        la3 = jnp.zeros((L, cfg.hidden_size, 3 * NRp), dt)
+        lb3 = jnp.zeros((L, 3 * NRp, plan.qkv.Np), dt)
+        for ti, (t, c0, cw) in enumerate((("q_proj", 0, HD),
+                                          ("k_proj", HD, KHD),
+                                          ("v_proj", HD + KHD, KHD))):
+            la3 = la3.at[:, :, ti * NRp:ti * NRp + nr].set(a_flat(t))
+            lb3 = lb3.at[:, ti * NRp:ti * NRp + nr, c0:c0 + cw].set(
+                b_flat(t))
+        view["la_qkv"] = la3
+        view["lb_qkv"] = lb3
+        view["la_o"] = a_view("o_proj", HD)
+        view["lb_o"] = b_view("o_proj", plan.o.Np)
+        view["la_g"] = a_view("gate_proj", cfg.hidden_size)
+        view["lb_g"] = b_view("gate_proj", plan.pg.Np)
+        view["la_u"] = a_view("up_proj", cfg.hidden_size)
+        view["lb_u"] = b_view("up_proj", plan.pu.Np)
+        view["la_d"] = a_view("down_proj", plan.pd.Kp)
+        view["lb_d"] = b_view("down_proj", cfg.hidden_size)
+        return view
 
     def index_of(self, name: Optional[str]) -> int:
         if name is None:

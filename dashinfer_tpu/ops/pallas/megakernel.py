@@ -1254,10 +1254,28 @@ def _rot_half_heads(x, D):
     return jnp.where(first, -fwd, bwd)
 
 
-def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
+def supports_lora_epilogue(plan: MegaPlan) -> bool:
+    """The in-kernel LoRA epilogue (reference SGMV, sgmv_lora_op_gpu.cpp)
+    needs the interleaved dense layout; MoE + LoRA takes the XLA path."""
+    return plan.interleave and plan.E == 0
+
+
+def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None,
+                            lora_nr: int = 0):
     """Returns fn(packed, x0, cosq, sinq, cosk, sink, pt, lens, active,
-    tgt_page, sched_b, sched_p, n_sched, k, v, kq, vq) ->
-    (logits [B, Vp] f32, k, v, kq, vq)."""
+    tgt_page, sched_b, sched_p, n_sched[, lora args], k, v, kq, vq) ->
+    (logits [B, Vp] f32, k, v, kq, vq).
+
+    lora_nr > 0 enables the in-kernel multi-adapter LoRA epilogue
+    (reference SGMV batched adapter matmuls, sgmv_lora_op_gpu.cpp +
+    GemmLoraCapsule micro-graph, gemm_capsule_op_gpu.cpp:18-70): the whole
+    adapter pool rides as DENSE rank-lane views (lora/manager.py
+    build_mega_view) — per phase ONE [B, in] @ [in, N*R] MXU dot projects
+    into the pooled rank space, a per-slot mask (from the request's
+    adapter one-hot) zeroes non-selected slots, and the per-chunk
+    [B, N*R] @ [N*R, cols] dot adds the delta alongside the base stream.
+    Mixed batches (some rows with adapters, some without) stay entirely
+    on the fast path. Requires supports_lora_epilogue(plan)."""
     B, L, hid = plan.B, plan.L, plan.hid
     H, KH, D, G, G8 = plan.H, plan.KH, plan.D, plan.G, plan.G8
     HD = H * D
@@ -1436,6 +1454,50 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
     if MOE:
         in_specs.append(pl.BlockSpec((1, hid, plan.EP), norm_idx))
         arg_names.append("router_w")
+    LORA = lora_nr > 0
+    if LORA:
+        assert ILV and not MOE, "LoRA epilogue needs the dense ILV layout"
+        NRp = _round_up(lora_nr, 128)
+        NR3p = 3 * NRp
+
+        def bcols_idx(base, count):
+            # per-layer lora B view, column-sliced by the phase chunk
+            def idx(t, *_):
+                l = layer_of(t)
+                s = t - l * S_layer
+                return (l, 0, jnp.clip(s - base, 0, count - 1))
+            return idx
+
+        def brows_idx(base, count):
+            # k-chunked lora A view (down), row-sliced by the phase chunk
+            def idx(t, *_):
+                l = layer_of(t)
+                s = t - l * S_layer
+                return (l, jnp.clip(s - base, 0, count - 1), 0)
+            return idx
+
+        lora_defs = [
+            ("lmask3", pl.BlockSpec((B, NR3p), lambda t, *_: (0, 0))),
+            ("lmask1", pl.BlockSpec((B, NRp), lambda t, *_: (0, 0))),
+            ("la_qkv", pl.BlockSpec((1, hid, NR3p), norm_idx)),
+            ("lb_qkv", pl.BlockSpec((1, NR3p, qkv.chunk),
+                                    bcols_idx(plan.base_qkv, qkv.S))),
+            ("la_o", pl.BlockSpec((1, HD, NRp), norm_idx)),
+            ("lb_o", pl.BlockSpec((1, NRp, o_sp.chunk),
+                                  bcols_idx(plan.base_o, o_sp.S))),
+            ("la_g", pl.BlockSpec((1, hid, NRp), norm_idx)),
+            ("lb_g", pl.BlockSpec((1, NRp, pg.chunk),
+                                  bcols_idx(plan.base_mlp, pg.S))),
+            ("la_u", pl.BlockSpec((1, hid, NRp), norm_idx)),
+            ("lb_u", pl.BlockSpec((1, NRp, pu.chunk),
+                                  bcols_idx(plan.base_mlp, pu.S))),
+            ("la_d", pl.BlockSpec((1, pd.chunk, NRp),
+                                  brows_idx(plan.base_mlp, pd.S))),
+            ("lb_d", pl.BlockSpec((1, NRp, hid), norm_idx)),
+        ]
+        for nm, spec in lora_defs:
+            in_specs.append(spec)
+            arg_names.append(nm)
     npools = 4 if kv_quant else 2
     for _ in range(npools):
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # kv pools
@@ -1478,6 +1540,14 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
     ]
     if MOE:
         scratch_shapes.append(pltpu.VMEM((B, plan.EP), jnp.float32))  # gates
+    if LORA:
+        scratch_shapes += [
+            pltpu.VMEM((B, NR3p), jnp.float32),   # lh3 (qkv rank space)
+            pltpu.VMEM((B, NRp), jnp.float32),    # lh_o
+            pltpu.VMEM((B, NRp), jnp.float32),    # lh_g
+            pltpu.VMEM((B, NRp), jnp.float32),    # lh_u
+            pltpu.VMEM((B, NRp), jnp.float32),    # lh_d
+        ]
 
     NARG = len(arg_names)
     name_pos = {n: i for i, n in enumerate(arg_names)}
@@ -1499,11 +1569,31 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
              ml_st, acc_at, nk_buf, nv_buf, nkp_buf, nvp_buf,
              kbuf, vbuf, kqbuf, vqbuf, rmw_k, rmw_v, rmw_kq, rmw_vq,
              page_sems, rmw_sems, gates_st) = sc
+        elif LORA:
+            (x_resid, x_norm, qkv_out, q4, attn_out, gu_out, acc_dn,
+             ml_st, acc_at, nk_buf, nv_buf, nkp_buf, nvp_buf,
+             kbuf, vbuf, kqbuf, vqbuf, rmw_k, rmw_v, rmw_kq, rmw_vq,
+             page_sems, rmw_sems, lh3, lh_o, lh_g, lh_u, lh_d) = sc
         else:
             (x_resid, x_norm, qkv_out, q4, attn_out, gu_out, acc_dn,
              ml_st, acc_at, nk_buf, nv_buf, nkp_buf, nvp_buf,
              kbuf, vbuf, kqbuf, vqbuf, rmw_k, rmw_v, rmw_kq, rmw_vq,
              page_sems, rmw_sems) = sc
+
+        def lora_proj(x_bf16, a_ref, mask_ref, h_ref):
+            """Rank-space projection h = (x @ A_l) * mask (pads and
+            non-selected slots zeroed by the mask)."""
+            h = jax.lax.dot_general(
+                x_bf16, a_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            h_ref[:] = h * mask_ref[:]
+
+        def lora_delta(h_ref, b_ref):
+            """Per-chunk delta = h @ B_chunk, f32 [B, cols]."""
+            return jax.lax.dot_general(
+                h_ref[:].astype(jnp.bfloat16), b_ref[0],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         t = pl.program_id(0)
         l = layer_of(t)
@@ -1521,11 +1611,16 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
             def _():
                 x_norm[:] = _rms(x_resid[:], args["norms"][0, 0],
                                  eps).astype(jnp.bfloat16)
+                if LORA:
+                    lora_proj(x_norm[:], args["la_qkv"], args["lmask3"],
+                              lh3)
             c = s
             y = _stream_dot(plan, qkv, x_norm[:],
                             args["qkv_w"],
                             args.get("qkv_s"), args.get("qkv_z"), c,
                             wdeq=wdeq)
+            if LORA:
+                y = y + lora_delta(lh3, args["lb_qkv"])
             pl_store_cols(qkv_out, c * qkv.chunk, qkv.chunk, y)
 
         # ---------------- attention phase ----------------
@@ -1848,9 +1943,16 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
             ~in_lm, jnp.logical_and(s >= plan.base_o, s < plan.base_gu)))
         def _o():
             c = s - plan.base_o
+            if LORA:
+                @pl.when(c == 0)
+                def _():
+                    lora_proj(attn_out[:], args["la_o"], args["lmask1"],
+                              lh_o)
             y = _stream_dot(plan, o_sp, attn_out[:],
                             args["o_w"], args.get("o_s"), args.get("o_z"), c,
                             wdeq=wdeq)
+            if LORA:
+                y = y + lora_delta(lh_o, args["lb_o"])
             # o.Np == hid (chunk divides hid; see make_plan), so chunk adds
             # land exactly on the residual columns
             cur = x_resid[:, pl.ds(pl.multiple_of(c * o_sp.chunk, 128),
@@ -1895,13 +1997,48 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
                     x_norm[:] = _rms(x_resid[:], args["norms"][0, 1],
                                      eps).astype(jnp.bfloat16)
                     acc_dn[:] = jnp.zeros_like(acc_dn)
+                    if LORA:
+                        lora_proj(x_norm[:], args["la_g"], args["lmask1"],
+                                  lh_g)
+                        lora_proj(x_norm[:], args["la_u"], args["lmask1"],
+                                  lh_u)
+                        lh_d[:] = jnp.zeros_like(lh_d)
 
-                y = interleave_chunk(pg, pu, pd, "p", c)
+                if LORA:
+                    # inline interleave with per-chunk LoRA deltas: the
+                    # down A-projection consumes the LORA-ADJUSTED
+                    # activation (XLA-path semantics)
+                    g_ = _stream_dot(plan, pg, x_norm[:], args["pg_w"],
+                                     args.get("pg_s"), args.get("pg_z"),
+                                     c, wdeq=wdeq) \
+                        + lora_delta(lh_g, args["lb_g"])
+                    u_ = _stream_dot(plan, pu, x_norm[:], args["pu_w"],
+                                     args.get("pu_s"), args.get("pu_z"),
+                                     c, wdeq=wdeq) \
+                        + lora_delta(lh_u, args["lb_u"])
+                    act = (g_ * jax.lax.logistic(g_) * u_) \
+                        .astype(jnp.bfloat16)
+                    y = _stream_dot(plan, pd, act, args["pd_w"],
+                                    args.get("pd_s"), args.get("pd_z"),
+                                    c, wdeq=wdeq)
+                    lh_d[:] = lh_d[:] + jax.lax.dot_general(
+                        act, args["la_d"][0], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    y = interleave_chunk(pg, pu, pd, "p", c)
                 acc_dn[:] = acc_dn[:] + y[:, :hid]
 
                 @pl.when(c == pg.S - 1)
                 def _():
-                    x_resid[:] = x_resid[:] + acc_dn[:]
+                    if LORA:
+                        x_resid[:] = x_resid[:] + acc_dn[:] + \
+                            jax.lax.dot_general(
+                                (lh_d[:] * args["lmask1"][:])
+                                .astype(jnp.bfloat16),
+                                args["lb_d"][0], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                    else:
+                        x_resid[:] = x_resid[:] + acc_dn[:]
         elif not MOE:
             # ---------------- gate/up phase (dense) ----------------
             @pl.when(jnp.logical_and(
@@ -2247,7 +2384,7 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
 
     def fn(packed: Dict, x0, cosq, sinq, cosk, sink,
            pt, lens, active, tgt_page, sched_b, sched_p, n_sched,
-           k, v, kq=None, vq=None):
+           k, v, kq=None, vq=None, lora=None):
         pools = [k, v] + ([kq, vq] if kv_quant else [])
         shapes = out_shape + [
             jax.ShapeDtypeStruct(p.shape, p.dtype) for p in pools]
@@ -2267,6 +2404,8 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None):
             tensors.append(packed["slopes"])
         if MOE:
             tensors.append(packed["router_w"])
+        if LORA:
+            tensors += [lora[nm] for nm, _ in lora_defs]
         tensors += pools
         outs = pl.pallas_call(
             kernel,

@@ -174,3 +174,61 @@ def test_lora_enabled_keeps_megakernel_for_plain_batches():
         "enable_lora must not disable the megakernel pack"
     toks_plain, _ = run(enable_lora=False)
     assert toks_lora == toks_plain
+
+
+def test_lora_request_stays_on_megakernel_and_matches_xla():
+    """A batch CARRYING an adapter now keeps the megakernel fast path
+    (in-kernel LoRA epilogue, VERDICT r3 #8) — greedy tokens match the
+    XLA LoRA path."""
+    import numpy as np
+    import tests.hf_util as hf_util
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.loader import build_from_torch_model
+    from dashinfer_tpu.config import QuantConfig
+    from dashinfer_tpu.loader.quantize import quantize_params
+    from dashinfer_tpu.lora.manager import _dims
+
+    hf = hf_util.tiny_qwen2_config(hidden=256, inter=256, heads=2,
+                                   kv_heads=1)
+    cfg, params = build_from_torch_model(hf_util.make_torch_model(hf),
+                                         hf.to_dict(), "float32")
+    params = quantize_params(params, QuantConfig(mode="a16w4",
+                                                 group_size=128))
+    rng = np.random.RandomState(3)
+    tensors = {}
+    for l in range(cfg.num_layers):
+        for t in ("q_proj", "v_proj", "down_proj"):
+            i, o = _dims(cfg, t)
+            tensors[(l, t, "A")] = rng.randn(4, i).astype(np.float32) * 0.1
+            tensors[(l, t, "B")] = rng.randn(o, 4).astype(np.float32) * 0.1
+    prompt = rng.randint(1, hf.vocab_size, size=7).tolist()
+
+    def run(enable_mega):
+        rtb = (RuntimeConfigBuilder("lm2").max_length(24).max_batch(2)
+               .kv_cache_page_size(16).kv_cache_num_pages(24)
+               .dtype("float32").lora(max_num=2, max_rank=4)
+               .update({"min_prefill_bucket": 16,
+                        "enable_megakernel": enable_mega}))
+        rt = rtb.build()
+        from dashinfer_tpu.engine.model_runtime import ModelRuntime
+        runtime = ModelRuntime("lm2", cfg, params, rt, use_kernel=True)
+        eng = Engine()
+        with eng._lock:
+            eng._models["lm2"] = runtime
+        eng.start_model("lm2")
+        eng.load_lora("lm2", "ad", tensors, alpha=8.0, rank=4)
+        if enable_mega:
+            assert runtime.mega_plan is not None
+            assert runtime._mega_lora_ok, \
+                "LoRA batches must keep the megakernel"
+        _, h, q = eng.start_request("lm2", prompt, GenerationConfig(
+            max_length=16, do_sample=False, top_k=1, eos_token_id=-1,
+            lora_name="ad"))
+        eng.sync_request("lm2", h, timeout_s=900)
+        toks = q.GetAllGeneratedTokens()
+        eng.release_model("lm2")
+        return toks
+
+    toks_mega = run(True)
+    toks_xla = run(False)
+    assert toks_mega == toks_xla, (toks_mega, toks_xla)

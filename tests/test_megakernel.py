@@ -801,3 +801,104 @@ def test_expand_u4_to_i8_error_bound():
     assert ml["w_q"].shape == nl["w_q"].shape
     assert ml["w_q"].dtype == nl["w_q"].dtype
     assert ml["scale"].shape == nl["scale"].shape
+
+
+def test_megakernel_lora_epilogue_parity():
+    """In-kernel multi-adapter LoRA epilogue (reference SGMV,
+    sgmv_lora_op_gpu.cpp) vs the XLA LoRA decode path on a MIXED batch
+    (rows with and without adapters) — the fast path the round-3 build
+    dropped to XLA for."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from dashinfer_tpu.config import CacheMode
+    from dashinfer_tpu.models import transformer
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+    from dashinfer_tpu.lora.manager import LoraManager, _dims, TARGETS
+
+    cfg, rt, params = _quantized_fixture("a16w4", False, False, 16, 1)
+    rt = dataclasses.replace(
+        rt, cache=dataclasses.replace(rt.cache, mode=CacheMode.INT8),
+        enable_lora=True, lora_max_num=2, lora_max_rank=8)
+    mgr = LoraManager(cfg, rt, dtype=jnp.float32)
+    rng = np.random.RandomState(11)
+    tensors = {}
+    for l in range(cfg.num_layers):
+        for t in TARGETS:
+            i, o = _dims(cfg, t)
+            tensors[(l, t, "A")] = rng.randn(8, i).astype(np.float32) * 0.05
+            tensors[(l, t, "B")] = rng.randn(o, 8).astype(np.float32) * 0.05
+    mgr.load("ad", tensors, alpha=16.0, rank=8)
+
+    plan = mk.make_plan(cfg, rt, params, target_chunk_bytes=32 * 1024,
+                        interleave_mlp=True)
+    assert mk.supports_lora_epilogue(plan)
+    packed = mk.pack_params(cfg, plan, params)
+    NR = rt.lora_max_num * rt.lora_max_rank
+    fn = mk.build_decode_megakernel(plan, interpret=True, lora_nr=NR)
+
+    B, L, ps = rt.max_batch, cfg.num_layers, rt.cache.page_size
+    maxP = rt.max_pages_per_seq
+    lens = np.asarray([17, 16, 5, 0], np.int32)[:B]
+    active = np.asarray([1, 1, 1, 0], np.int32)[:B]
+    pt = np.zeros((B, maxP), np.int32)
+    g = 1
+    for b in range(B):
+        for j in range(maxP):
+            pt[b, j] = g
+            g += 1
+    cache = _prep_cache(cfg, rt, params, CacheMode.INT8, lens, pt)
+    tokens = jnp.asarray([7, 11, 13, 0], jnp.int32)[:B]
+    lora_idx = jnp.asarray([0, -1, 0, -1], jnp.int32)[:B]
+    onehot = jax.nn.one_hot(lora_idx, rt.lora_max_num, dtype=jnp.float32)
+
+    ref_logits, _ = transformer.decode_forward(
+        cfg, params, tokens, jax.tree.map(jnp.copy, cache), jnp.asarray(pt),
+        jnp.asarray(lens), jnp.asarray(active > 0), mode=CacheMode.INT8,
+        use_kernel=False, lora=mgr.pool, lora_onehot=onehot)
+
+    from dashinfer_tpu.ops.rotary import (compute_inv_freq, rope_cos_sin,
+                                          _mscale)
+    x0 = params["embed_tokens"]["w"][tokens].astype(jnp.bfloat16)
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    inv_freq = compute_inv_freq(cfg)
+    cos, sin = rope_cos_sin(jnp.asarray(lens), inv_freq,
+                            _mscale(cfg.rope_scaling))
+    cos = jnp.concatenate([cos, cos], axis=-1).astype(jnp.bfloat16)
+    sin = jnp.concatenate([sin, sin], axis=-1).astype(jnp.bfloat16)
+    sched_b, sched_p, n_sched, tgt_page = mk.build_schedule(
+        jnp.asarray(pt), jnp.asarray(lens), jnp.asarray(active > 0), ps)
+
+    view = mgr.build_mega_view(plan)
+    R = rt.lora_max_rank
+    NRp = -(-NR // 128) * 128
+    m = jnp.repeat(onehot, R, axis=1)
+    mask1 = jnp.zeros((B, NRp), jnp.float32).at[:, :NR].set(m)
+    lora_args = dict(view, lmask1=mask1, lmask3=jnp.tile(mask1, (1, 3)))
+
+    pools = [cache.k, cache.v, cache.k_qparams, cache.v_qparams]
+    outs = fn(packed, x0, jnp.tile(cos, (1, H)), jnp.tile(sin, (1, H)),
+              jnp.tile(cos, (1, KH)), jnp.tile(sin, (1, KH)),
+              jnp.asarray(pt), jnp.asarray(lens), jnp.asarray(active),
+              tgt_page, sched_b, sched_p, n_sched, *pools, lora=lora_args)
+    logits = np.asarray(outs[0])[:, :cfg.vocab_size]
+
+    ref = np.asarray(ref_logits)
+    deltas = []
+    for b in range(B):
+        if active[b] == 0:
+            continue
+        denom = np.abs(ref[b]).max() + 1e-6
+        rel = np.abs(logits[b] - ref[b]).max() / denom
+        assert rel < 0.08, (b, rel)
+        assert int(np.argmax(logits[b])) == int(np.argmax(ref[b])), b
+        deltas.append(rel)
+
+    # and the adapter actually changed the output (the epilogue is live)
+    base_logits, _ = transformer.decode_forward(
+        cfg, params, tokens, jax.tree.map(jnp.copy, cache), jnp.asarray(pt),
+        jnp.asarray(lens), jnp.asarray(active > 0), mode=CacheMode.INT8,
+        use_kernel=False)
+    b0 = np.asarray(base_logits)
+    assert np.abs(b0[0] - ref[0]).max() > 1e-3   # row 0 has the adapter
+    assert np.abs(b0[1] - ref[1]).max() < 1e-5   # row 1 does not

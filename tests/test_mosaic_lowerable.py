@@ -63,6 +63,7 @@ def _assert_lowerable(prims, what):
     (False, False, False, True),  # interleaved MLP (production default)
     (True, False, False, True),
     (False, False, True, True),   # MoE interleaved
+    (False, False, False, "lora"),  # in-kernel LoRA epilogue
 ])
 def test_decode_megakernel_no_gather(qk_norm, alibi, moe, ilv):
     import jax
@@ -78,10 +79,25 @@ def test_decode_megakernel_no_gather(qk_norm, alibi, moe, ilv):
     rt = dataclasses.replace(
         rt, cache=dataclasses.replace(rt.cache, mode=CacheMode.INT8))
     assert mk.supports(cfg, rt, params)
+    lora = ilv == "lora"
     plan = mk.make_plan(cfg, rt, params, target_chunk_bytes=64 * 1024,
-                        interleave_mlp=ilv)
+                        interleave_mlp=bool(ilv))
     packed = mk.pack_params(cfg, plan, params)
-    fn = mk.build_decode_megakernel(plan, interpret=True)
+    lora_nr = 16 if lora else 0
+    fn = mk.build_decode_megakernel(plan, interpret=True, lora_nr=lora_nr)
+    if lora:
+        import dataclasses as _dc
+        from dashinfer_tpu.lora.manager import LoraManager
+        rt_l = _dc.replace(rt, enable_lora=True, lora_max_num=2,
+                           lora_max_rank=8)
+        mgr = LoraManager(cfg, rt_l, dtype=jnp.float32)
+        view = mgr.build_mega_view(plan)
+        NRp = 128
+        mask1 = jnp.zeros((rt.max_batch, NRp), jnp.float32)
+        lora_args = dict(view, lmask1=mask1,
+                         lmask3=jnp.tile(mask1, (1, 3)))
+    else:
+        lora_args = None
 
     B, ps = rt.max_batch, rt.cache.page_size
     lens = np.full((B,), ps, np.int32)
@@ -98,7 +114,7 @@ def test_decode_megakernel_no_gather(qk_norm, alibi, moe, ilv):
         jnp.asarray(pt), jnp.asarray(lens), jnp.ones((B,), bool), ps)
     pools = [cache.k, cache.v, cache.k_qparams, cache.v_qparams]
     prims = _jaxpr_primitives(
-        lambda *a: fn(*a),
+        lambda *a: fn(*a, lora=lora_args),
         packed, x, cosq, sinq, cosk, sink,
         jnp.asarray(pt), jnp.asarray(lens), jnp.asarray(active),
         tgt_page, sched_b, sched_p, n_sched, *pools)
