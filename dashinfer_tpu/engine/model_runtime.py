@@ -276,6 +276,20 @@ class ModelRuntime:
                 plan_params = mk.expand_u4_to_i8(mk_params, meta_only=True)
                 logger.info("decode stream: u4 -> per-channel i8 "
                             "re-expansion (max_batch=%d)", rt.max_batch)
+            if mk_params is not None and not mk.supports(cfg, rt,
+                                                         plan_params):
+                # batch-aware guidance (round-3 weak #5): if max_batch is
+                # the ONLY reason the fast path disengaged, say so — the
+                # per-op XLA fallback is ~15x slower per step and a bigger
+                # batch cannot make up for that
+                import dataclasses as _dc
+                rt64 = _dc.replace(rt, max_batch=64)
+                if rt.max_batch > 64 and mk.supports(cfg, rt64, plan_params):
+                    logger.warning(
+                        "max_batch=%d exceeds the decode megakernel's "
+                        "supported batch (64); decode falls back to the "
+                        "per-op XLA path — a max_batch <= 64 config has "
+                        "HIGHER aggregate throughput", rt.max_batch)
             if mk_params is not None and mk.supports(cfg, rt, plan_params):
                 t0 = time.monotonic()
                 # interleaved pg/pu/pd MLP streams: the prefill megakernel's
@@ -408,8 +422,13 @@ class ModelRuntime:
             os.path.expanduser("~/.cache/dashinfer_tpu/packs"))
         if d in ("0", ""):
             return build()
+        from dashinfer_tpu.ops.pallas.megakernel import pack_cache_key_fields
         h = hashlib.blake2b(digest_size=16)
-        h.update(repr((tag, plan)).encode())
+        try:
+            key_fields = pack_cache_key_fields(plan)
+        except AttributeError:   # non-MegaPlan (TP/prefill plans)
+            key_fields = plan
+        h.update(repr((tag, key_fields)).encode())
         for path, leaf in sorted(
                 jax.tree_util.tree_flatten_with_path(src_params)[0],
                 key=lambda kv: str(kv[0])):

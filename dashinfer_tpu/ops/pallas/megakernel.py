@@ -277,6 +277,19 @@ class MegaPlan:
         return self.D // 2 if self.kv_bits == 4 else self.D
 
 
+def pack_cache_key_fields(plan: MegaPlan) -> tuple:
+    """The plan fields the PACKED ARRAYS depend on — excludes batch, page
+    geometry, and KV mode (all irrelevant to the weight relayout), so a
+    batch sweep or KV-mode change reuses one multi-GB cached pack."""
+    return (PACK_VERSION, plan.L, plan.hid, plan.H, plan.KH, plan.D,
+            plan.Vp, plan.has_qkv_bias, plan.qk_norm, plan.alibi,
+            plan.E, plan.EP, plan.k_top, plan.norm_topk, plan.has_shared,
+            plan.has_shared_gate, plan.shared_inter,
+            plan.qkv, plan.o, plan.gu, plan.dn, plan.lm,
+            plan.sgu, plan.sdn, plan.pg, plan.pu, plan.pd,
+            plan.psg, plan.psu, plan.psd)
+
+
 def _weight_bits(leaf) -> int:
     if not isinstance(leaf, dict) or "w_q" not in leaf:
         return 16   # raw array (MoE expert stack) or {"w": ...}
