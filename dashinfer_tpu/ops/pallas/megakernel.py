@@ -790,8 +790,13 @@ def _chunk_qparams(sp: StreamPlan, s: np.ndarray, z: np.ndarray):
         zb[:G, :sp.N] = z
         sc = sb.reshape(sb.shape[0], sp.S, sp.chunk).transpose(1, 0, 2)
         zc = zb.reshape(zb.shape[0], sp.S, sp.chunk).transpose(1, 0, 2)
-    elif G == 1 and gs >= sp.K:
-        # per-channel k-chunked: one shared [1, Np] affine row per chunk
+    elif G == 1 and gs >= sp.K and gs >= sp.chunk:
+        # per-channel k-chunked with each chunk inside the single group:
+        # one shared [1, Np] affine row per chunk. (When padding makes
+        # chunk > gs — e.g. a 128-row rank-local K padded to a 256-row
+        # chunk — the kernel addresses chunk//gs groups per chunk and the
+        # generic path below must emit that many rows, zeros on the pad
+        # groups.)
         sb = np.zeros((1, sp.Np), np.float32)
         zb = np.zeros((1, sp.Np), np.float32)
         sb[:, :sp.N] = s
