@@ -155,6 +155,18 @@ class _DevicePager:
             raise
         return page
 
+def _file_digest(path: str, chunk: int = 16 << 20) -> str:
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
 _DEFAULT_HBM = 16 * 1024**3  # v5e per-chip (fallback when probing fails)
 
 
@@ -264,16 +276,21 @@ class ModelRuntime:
             # the pack build so a pack-cache hit skips the dequant+requant
             # pass; make_plan/supports run on a zero-payload meta view.
             stream = EnvConfig.mk_stream()
-            expand_i8 = (mk_params is not None and
-                         stream != "u4" and
-                         (stream == "i8" or
-                          rt.max_batch >= EnvConfig.mk_i8_batch()) and
-                         mk.expand_u4_to_i8(mk_params, meta_only=True)
-                         is not None)
+            i8_meta = None
+            if (mk_params is not None and stream != "u4" and
+                    cfg.moe is None and
+                    (stream == "i8" or
+                     rt.max_batch >= EnvConfig.mk_i8_batch())):
+                # MoE keeps u4: its decode step is weight-STREAM-bound
+                # across all experts, so doubling the bytes has no
+                # epilogue win to pay for it (bench._stream_kind mirrors
+                # this rule)
+                i8_meta = mk.expand_u4_to_i8(mk_params, meta_only=True)
+            expand_i8 = i8_meta is not None
             pack_tag, plan_params = "decode", mk_params
             if expand_i8:
                 pack_tag = "decode_i8"
-                plan_params = mk.expand_u4_to_i8(mk_params, meta_only=True)
+                plan_params = i8_meta
                 logger.info("decode stream: u4 -> per-channel i8 "
                             "re-expansion (max_batch=%d)", rt.max_batch)
             if mk_params is not None and not mk.supports(cfg, rt,
@@ -346,7 +363,11 @@ class ModelRuntime:
             # the prefill plans adopt the decode plan's StreamPlans, so
             # BOTH kernels index the ONE decode pack already in HBM — no
             # second weight copy, no install-time HBM guard needed
-            # (round-3's "skipping prefill megakernel pack" is gone)
+            # (round-3's "skipping prefill megakernel pack" is gone).
+            # Under the i8-expanded stream this means prefill ALSO serves
+            # from the re-expanded weights (requant error <= range/510
+            # per weight, below the kernels' bf16 operand rounding) —
+            # docs/megakernel.md §i8 streaming
             src = self._mega_plan_params
             qual = [b for b in self.buckets
                     if b <= 1024 and b % 128 == 0 and
@@ -444,16 +465,16 @@ class ModelRuntime:
                     man = _json.load(f)
                 out = {}
                 for key, ent in man["arrays"].items():
-                    arr = np.load(os.path.join(cd, ent["file"]),
-                                  mmap_mode="r", allow_pickle=False)
+                    path = os.path.join(cd, ent["file"])
+                    # digest the FILE bytes in streamed chunks — hashing
+                    # the mmap'd array would materialize a full host copy
+                    # of every multi-GB pack on the hit path
+                    if _file_digest(path) != ent["digest"]:
+                        raise ValueError(f"pack cache corrupt: {key}")
+                    arr = np.load(path, mmap_mode="r", allow_pickle=False)
                     if list(arr.shape) != ent["shape"] or \
                             str(arr.dtype) != ent["dtype"]:
                         raise ValueError(f"pack cache shape mismatch: {key}")
-                    fh = hashlib.blake2b(digest_size=16)
-                    fh.update(np.ascontiguousarray(arr).view(np.uint8)
-                              .reshape(-1))
-                    if fh.hexdigest() != ent["digest"]:
-                        raise ValueError(f"pack cache corrupt: {key}")
                     out[key] = jnp.asarray(arr)
                 logger.info("pack cache hit: %s (%d arrays verified)", cd,
                             len(out))
@@ -469,12 +490,10 @@ class ModelRuntime:
             for i, (key, arr) in enumerate(sorted(flat.items())):
                 fn = f"{i}.npy"
                 np.save(os.path.join(tmp, fn), arr, allow_pickle=False)
-                fh = hashlib.blake2b(digest_size=16)
-                fh.update(np.ascontiguousarray(arr).view(np.uint8)
-                          .reshape(-1))
                 man["arrays"][key] = {
                     "file": fn, "shape": list(arr.shape),
-                    "dtype": str(arr.dtype), "digest": fh.hexdigest()}
+                    "dtype": str(arr.dtype),
+                    "digest": _file_digest(os.path.join(tmp, fn))}
             with open(os.path.join(tmp, "manifest.json"), "w") as f:
                 _json.dump(man, f)
             import shutil
@@ -1047,14 +1066,7 @@ class ModelRuntime:
             # fail THIS request atomically (reference converts per-rank
             # exceptions to request status, as_engine_prefill.cpp:216-232)
             logger.exception("prefill failed for %s", req.uuid[:8])
-            self.slots[slot] = None
-            req.slot = -1
-            self.stat.runnings -= 1
-            self._release_pages(req)
-            req.status = GenerateRequestStatus.InternalError
-            q = self.queues.get(req.uuid)
-            if q is not None:
-                q.set_status(GenerateRequestStatus.InternalError)
+            self._fail_admitted(req)
             return
 
         self._cached_len[req.uuid] = total_len
@@ -1083,9 +1095,13 @@ class ModelRuntime:
         pre-launch step) failed AFTER prefill_decide committed scheduler
         state: release the slot and pages and fail the decided request
         itself (engine._lockstep_prefill error path)."""
-        req = d.req
-        if self.slots[d.slot] is req:
-            self.slots[d.slot] = None
+        self._fail_admitted(d.req)
+
+    def _fail_admitted(self, req: Request) -> None:
+        """Tear down an admitted-but-unserved request: clear its slot,
+        release pages (incl. prefix-node refs), mark InternalError."""
+        if req.slot >= 0 and self.slots[req.slot] is req:
+            self.slots[req.slot] = None
         req.slot = -1
         self.stat.runnings -= 1
         self._release_pages(req)
@@ -1223,7 +1239,12 @@ class ModelRuntime:
         near_limit = any(
             self._cached_len.get(r.uuid, 0) >=
             min(r.gen_cfg.max_length, self.rt.max_length) for r in act)
-        if (sync_mode or near_limit) and self._inflight is not None:
+        if (sync_mode or near_limit) and (self._inflight is not None or
+                                          self._inflight_prefills):
+            # sync requests (guided JSON / host-banned) need the enforcer
+            # advanced through EVERY emitted token — including async
+            # prefill first tokens still in flight — before this step's
+            # allowed/banned sets are computed
             self._drain_inflight()
             act = self.active_requests()
             if not act:
@@ -1402,6 +1423,10 @@ class ModelRuntime:
             t1 = time.monotonic()
             req.stat.first_token_time = t1
             req.stat.time_to_first_token = t1 - req.enqueue_time
+            # NB: measured launch -> drain, which includes up to ~a decode
+            # tick of in-flight queueing on top of the device prefill time
+            # (the async drain has no completion timestamp); TTFT above is
+            # exact — it's defined to first-token VISIBILITY
             req.stat.context_tps = req.prefilled_len / max(t1 - t_launch,
                                                            1e-9)
             if req.format_enforcer is not None:

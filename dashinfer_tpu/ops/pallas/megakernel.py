@@ -121,6 +121,13 @@ def _plan_interleave(prefix: str, bits: int, gs_g: int, gs_d: int,
     chunk == cols. Shared with the prefill megakernel so one pack serves
     both kernels."""
     step = 256 if bits == 4 else 128
+    # the down stream is k-chunked over `inter`: its qparam addressing
+    # needs chunks group-aligned (chunk % gs == 0) unless the whole K is
+    # one group — mirror _plan_stream's step=max(gs, ...) rule (a
+    # group_size-256 checkpoint would otherwise hit chunk < gs and
+    # pack_params' qparam reshape fails)
+    if 0 < gs_d < m_inter:
+        step = max(step, gs_d)
     per_col = hid * (0.5 if bits == 4 else 1 if bits == 8 else 2) * 3
     cols = max(step, int(target_chunk_bytes / per_col) // step * step)
     cols = min(cols, _round_up(m_inter, step))

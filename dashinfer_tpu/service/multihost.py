@@ -163,11 +163,14 @@ class FollowerDaemon(EngineDaemon):
                 except Exception:
                     logger.exception("replicated op %d %s failed",
                                      self._next_seq, m)
-                    if m == "tick":
+                    if m == "tick" and not self._diverged:
                         # a failed TICK means this host's state is behind
                         # the stream — that IS divergence, not a client
                         # error the leader can surface. Mark it fatal and
-                        # count it so check_divergence names this host.
+                        # count ONE event (later ticks are rejected by the
+                        # flag; counting each rejection would inflate the
+                        # counter unboundedly) so check_divergence names
+                        # this host.
                         self._diverged = True
                         name = (p or {}).get("name")
                         mrt = self.engine._models.get(name) if name else None
@@ -381,8 +384,12 @@ class MultiHostEngine:
 
         The comparison happens at a SEQUENCE BARRIER: followers first drain
         every replicated op up to the leader's current seq (rpc wait_seq),
-        then digests are read — comparing mid-stream positions reports
-        transient false mismatches while ticks are in flight."""
+        then digests are read. The barrier is one-sided — the leader may
+        replicate further ticks while the digests are read — so a
+        mismatch on an ACTIVE stream is a prompt to re-check at
+        quiescence; a mismatch on a quiesced stream (or a non-zero
+        lockstep_divergence counter, which only real tick failures
+        increment) is definitive."""
         rt = self.engine._models[self.name]
         with self._lock:
             seq = self._seq

@@ -140,3 +140,61 @@ def test_engine_json_mode_e2e():
         assert advance_str(st, text), f"not a JSON prefix: {text!r}"
     finally:
         eng.release_model("json")
+
+
+def test_enforcer_advances_before_next_mask_with_async_prefill():
+    """The async prefill drain must not let a decode step compute its
+    allowed mask from a stale FSM: every allowed_mask() call after
+    generation starts must be preceded by advance() of ALL previously
+    emitted tokens (round-4 regression: the first decode tick after an
+    async prefill read the mask before the in-flight first token had
+    advanced the enforcer)."""
+    import tests.hf_util as hf_util
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.loader import build_from_torch_model
+    from dashinfer_tpu.engine.model_runtime import ModelRuntime
+    import numpy as np
+
+    hf = hf_util.tiny_qwen2_config()
+    cfg, params = build_from_torch_model(hf_util.make_torch_model(hf),
+                                         hf.to_dict(), "float32")
+
+    events = []
+
+    class SpyEnforcer:
+        complete = False
+
+        def __init__(self, vocab):
+            self.vocab = vocab
+            self.n_advanced = 0
+
+        def allowed_mask(self):
+            events.append(("mask", self.n_advanced))
+            return np.ones((self.vocab,), bool)
+
+        def advance(self, tok):
+            self.n_advanced += 1
+            events.append(("advance", self.n_advanced))
+
+    rt = (RuntimeConfigBuilder("g").max_length(64).max_batch(2)
+          .kv_cache_page_size(16).kv_cache_num_pages(24).dtype("float32")
+          .update({"min_prefill_bucket": 16}).build())
+    eng = Engine().install_model("g", rt, params=params, model_config=cfg)
+    runtime = eng._models["g"]
+    runtime._make_enforcer = \
+        lambda req: (SpyEnforcer(cfg.vocab_size)
+                     if req.gen_cfg.response_format else None)
+    eng.start_model("g")
+    gen = GenerationConfig(max_length=12, do_sample=False, top_k=1,
+                           eos_token_id=-1,
+                           response_format={"type": "json_object"})
+    _, h, q = eng.start_request("g", [5, 9, 2], gen)
+    eng.sync_request("g", h, timeout_s=900)
+    toks = q.GetAllGeneratedTokens()
+    assert len(toks) == 12 - 3
+    # every mask computed for decode step k must have seen k prior tokens:
+    # the n_advanced value at each "mask" event must equal the number of
+    # tokens emitted so far (prefill mask sees 0; step k's mask sees k)
+    mask_counts = [n for kind, n in events if kind == "mask"]
+    assert mask_counts == list(range(len(mask_counts))), events
+    eng.release_model("g")

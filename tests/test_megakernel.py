@@ -902,3 +902,49 @@ def test_megakernel_lora_epilogue_parity():
     b0 = np.asarray(base_logits)
     assert np.abs(b0[0] - ref[0]).max() > 1e-3   # row 0 has the adapter
     assert np.abs(b0[1] - ref[1]).max() < 1e-5   # row 1 does not
+
+
+def test_make_plan_interleave_group_aligned_chunks():
+    """group_size > 128 checkpoints must get group-aligned interleave
+    chunks (a gs=256 a16w8 model crashed pack_params' qparam reshape when
+    cols=128 < gs — round-4 review finding)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from dashinfer_tpu.config import (CacheConfig, CacheMode, ModelConfig,
+                                      QuantConfig, RuntimeConfig)
+    from dashinfer_tpu.loader.quantize import quantize_params
+    from dashinfer_tpu.ops.pallas import megakernel as mk
+
+    L, hid, inter, V = 2, 512, 512, 512
+    cfg = ModelConfig(arch="qwen2", vocab_size=V, hidden_size=hid,
+                      intermediate_size=inter, num_layers=L, num_heads=4,
+                      num_kv_heads=2, head_dim=128, qkv_bias=False)
+    rng = np.random.RandomState(0)
+
+    def w(*s):
+        return rng.randn(*s).astype(np.float32) * 0.05
+
+    params = {"embed_tokens": {"w": w(V, hid)},
+              "norm": np.ones((hid,), np.float32),
+              "lm_head": {"w": w(hid, V)},
+              "layers": {
+                  "input_layernorm": np.ones((L, hid), np.float32),
+                  "post_attention_layernorm": np.ones((L, hid), np.float32),
+                  "q_proj": {"w": w(L, hid, 512)},
+                  "k_proj": {"w": w(L, hid, 256)},
+                  "v_proj": {"w": w(L, hid, 256)},
+                  "o_proj": {"w": w(L, 512, hid)},
+                  "gate_proj": {"w": w(L, hid, inter)},
+                  "up_proj": {"w": w(L, hid, inter)},
+                  "down_proj": {"w": w(L, inter, hid)}}}
+    for gs, mode in ((256, "a16w8"), (512, "a16w4")):
+        qp = quantize_params(params, QuantConfig(mode=mode, group_size=gs))
+        rt = RuntimeConfig(model_name="t", max_length=64, max_batch=2,
+                           cache=CacheConfig(page_size=16, num_pages=32,
+                                             mode=CacheMode.INT8),
+                           dtype="float32")
+        assert mk.supports(cfg, rt, qp)
+        plan = mk.make_plan(cfg, rt, qp, target_chunk_bytes=32 * 1024,
+                            interleave_mlp=True)
+        assert plan.pd.chunk % gs == 0 or plan.pd.chunk <= plan.pd.gs
+        mk.pack_params(cfg, plan, qp)   # must not raise
