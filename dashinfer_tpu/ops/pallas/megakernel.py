@@ -601,8 +601,12 @@ def _scratch_bytes_estimate(B, L, hid, H, KH, D, G8, inter, QKVN, ps,
     QLe = -(-ps // 128) * 128  # qparam rows are 128-lane padded
     rings = 2 * _RING * ps * KH * D * kv_bytes + \
         2 * _RING * max(2 * KH, 8) * QLe * 4
-    rmw = B * (2 * L * _RMW_W * KH * D * kv_bytes +
-               2 * L * max(2 * KH, 8) * 128 * 4)
+    # slot-chunked flush ring: RNG2*SC windows live, not B (see the
+    # DI_MK_RMW_SLOTS block in build_decode_megakernel)
+    sc = max(1, min(B, int(os.environ.get("DI_MK_RMW_SLOTS", "16"))))
+    rng2 = min(-(-B // sc), 2)
+    rmw = rng2 * sc * (2 * L * _RMW_W * KH * D * kv_bytes +
+                       2 * L * max(2 * KH, 8) * 128 * 4)
     return b_dep + rings + rmw
 
 
@@ -1331,6 +1335,17 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None,
     # VMEM: 29 MB at bs=64 ps=256, eating the whole chunk budget); 128 is
     # both the minimum legal DMA width and enough for any in-page offset
     RWQ = 128
+    # lm-phase RMW flush slot chunking (round-3 "per-layer RMW flushing"
+    # design, resolved differently): the per-slot read-merge-write windows
+    # are allocated for the WHOLE kernel, and at bs=64 the [B, L, W, F]
+    # form was ~29 MB of VMEM that de-pipelined the weight stream. Flush
+    # slots in chunks of SC through a 2-deep ring instead — scratch is
+    # [2, SC, L, W, F] (4x smaller at bs=64/SC=16) and the chunk waves'
+    # DMAs overlap each other and the lm weight stream. SC >= B gives the
+    # round-3 all-at-once behavior.
+    SC = max(1, min(B, int(os.environ.get("DI_MK_RMW_SLOTS", "16"))))
+    NCH = -(-B // SC)
+    RNG2 = min(NCH, 2)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # weight-side dequant experiment switch (see _stream_dot docstring)
@@ -1556,12 +1571,12 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None,
         pltpu.VMEM((RING, psC, F), kv_dtype),         # 16 vbuf
         pltpu.VMEM((RING, 2 * KH, qlC), jnp.float32),  # 17 kqbuf
         pltpu.VMEM((RING, 2 * KH, qlC), jnp.float32),  # 18 vqbuf
-        pltpu.VMEM((B, L, _RMW_W, F), kv_dtype),      # 19 rmw_k (per slot)
-        pltpu.VMEM((B, L, _RMW_W, F), kv_dtype),      # 20 rmw_v
-        pltpu.VMEM((B, L, 2 * KH, RWQ), jnp.float32),  # 21 rmw_kq
-        pltpu.VMEM((B, L, 2 * KH, RWQ), jnp.float32),  # 22 rmw_vq
+        pltpu.VMEM((RNG2, SC, L, _RMW_W, F), kv_dtype),   # 19 rmw_k ring
+        pltpu.VMEM((RNG2, SC, L, _RMW_W, F), kv_dtype),   # 20 rmw_v
+        pltpu.VMEM((RNG2, SC, L, 2 * KH, RWQ), jnp.float32),  # 21 rmw_kq
+        pltpu.VMEM((RNG2, SC, L, 2 * KH, RWQ), jnp.float32),  # 22 rmw_vq
         pltpu.SemaphoreType.DMA((4, RING, C)),        # 23 page sems
-        pltpu.SemaphoreType.DMA((4, B)),              # 24 rmw sems
+        pltpu.SemaphoreType.DMA((4, RNG2, SC)),       # 24 rmw sems
     ]
     if MOE:
         scratch_shapes.append(pltpu.VMEM((B, plan.EP), jnp.float32))  # gates
@@ -2265,11 +2280,15 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None,
                 x_norm[:] = _rms(x_resid[:], args["final_norm"][0],
                                  eps).astype(jnp.bfloat16)
                 # Flush the step's new-token KV: one RMW window per slot,
-                # BATCHED — all slots' reads go in flight before any merge,
-                # and all writes before any wait (a per-slot serialized
-                # start/wait chain is O(B) DMA round trips and dominated the
-                # step at batch 32). Slots hold distinct logical pages, so
-                # windows never overlap.
+                # flushed in SLOT CHUNKS of SC through a 2-deep ring — each
+                # chunk's reads go in flight together, merges run while the
+                # other ring slot's writes drain, and the whole pipeline
+                # overlaps the lm weight stream. Slots hold distinct
+                # logical pages, so windows never overlap. (A per-slot
+                # serialized start/wait chain is O(B) DMA round trips and
+                # dominated the step at batch 32; a [B, ...] all-at-once
+                # window set was ~29 MB of whole-kernel VMEM at bs=64 and
+                # de-pipelined the weight stream.)
                 def slot_win(b):
                     g = tgt_page[b]
                     off = lens[b] % ps
@@ -2278,111 +2297,136 @@ def build_decode_megakernel(plan: MegaPlan, interpret: Optional[bool] = None,
                         if QL > RWQ else 0
                     return g * L, w0, off, q0
 
-                for b in range(B):
-                    @pl.when(active[b] > 0)
-                    def _(b=b):
-                        row0, w0, off, q0 = slot_win(b)
+                def read_copies(ring, j, b):
+                    row0, w0, off, q0 = slot_win(b)
+                    cps = [
                         pltpu.make_async_copy(
-                            args["k"].at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
-                            rmw_k.at[b], rmw_sems.at[0, b]).start()
+                            args["k"].at[pl.ds(row0, L),
+                                         pl.ds(w0, _RMW_W), :],
+                            rmw_k.at[ring, j], rmw_sems.at[0, ring, j]),
                         pltpu.make_async_copy(
-                            args["v"].at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
-                            rmw_v.at[b], rmw_sems.at[1, b]).start()
-                        if kv_quant:
+                            args["v"].at[pl.ds(row0, L),
+                                         pl.ds(w0, _RMW_W), :],
+                            rmw_v.at[ring, j], rmw_sems.at[1, ring, j]),
+                    ]
+                    if kv_quant:
+                        cps += [
                             pltpu.make_async_copy(
                                 args["kq"].at[pl.ds(row0, L), :,
                                               pl.ds(q0, RWQ)],
-                                rmw_kq.at[b], rmw_sems.at[2, b]).start()
+                                rmw_kq.at[ring, j],
+                                rmw_sems.at[2, ring, j]),
                             pltpu.make_async_copy(
                                 args["vq"].at[pl.ds(row0, L), :,
                                               pl.ds(q0, RWQ)],
-                                rmw_vq.at[b], rmw_sems.at[3, b]).start()
+                                rmw_vq.at[ring, j],
+                                rmw_sems.at[3, ring, j]),
+                        ]
+                    return cps
 
-                for b in range(B):
-                    @pl.when(active[b] > 0)
-                    def _(b=b):
-                        row0, w0, off, q0 = slot_win(b)
-                        r = off - w0
+                def write_copies(ring, j, b):
+                    row0, w0, off, q0 = slot_win(b)
+                    cps = [
                         pltpu.make_async_copy(
-                            args["k"].at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
-                            rmw_k.at[b], rmw_sems.at[0, b]).wait()
+                            rmw_k.at[ring, j],
+                            kpool_o.at[pl.ds(row0, L),
+                                       pl.ds(w0, _RMW_W), :],
+                            rmw_sems.at[0, ring, j]),
                         pltpu.make_async_copy(
-                            args["v"].at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
-                            rmw_v.at[b], rmw_sems.at[1, b]).wait()
-                        # static per-row 2-D selects (axis-inserting int8
-                        # reshapes don't lower on hardware)
-                        for w in range(_RMW_W):
-                            sel = r == w
-                            rmw_k[b, :, w, :] = jnp.where(
-                                sel, nk_buf[b], rmw_k[b, :, w, :])
-                            rmw_v[b, :, w, :] = jnp.where(
-                                sel, nv_buf[b], rmw_v[b, :, w, :])
-                        pltpu.make_async_copy(
-                            rmw_k.at[b],
-                            kpool_o.at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
-                            rmw_sems.at[0, b]).start()
-                        pltpu.make_async_copy(
-                            rmw_v.at[b],
-                            vpool_o.at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
-                            rmw_sems.at[1, b]).start()
-                        if kv_quant:
+                            rmw_v.at[ring, j],
+                            vpool_o.at[pl.ds(row0, L),
+                                       pl.ds(w0, _RMW_W), :],
+                            rmw_sems.at[1, ring, j]),
+                    ]
+                    if kv_quant:
+                        cps += [
                             pltpu.make_async_copy(
-                                args["kq"].at[pl.ds(row0, L), :,
-                                              pl.ds(q0, RWQ)],
-                                rmw_kq.at[b], rmw_sems.at[2, b]).wait()
-                            pltpu.make_async_copy(
-                                args["vq"].at[pl.ds(row0, L), :,
-                                              pl.ds(q0, RWQ)],
-                                rmw_vq.at[b], rmw_sems.at[3, b]).wait()
-                            lane2 = jax.lax.broadcasted_iota(
-                                jnp.int32, (L, RWQ), 1)
-                            hit = lane2 == off - q0
-                            # nkp lanes: [scale(h=0..KH-1), zero(h=0..KH-1)];
-                            # pool rows: 2h = scale_h, 2h+1 = zero_h
-                            for h in range(KH):
-                                for j in range(2):
-                                    kcol = nkp_buf[b][:, j * KH + h:
-                                                      j * KH + h + 1]
-                                    vcol = nvp_buf[b][:, j * KH + h:
-                                                      j * KH + h + 1]
-                                    rmw_kq[b, :, 2 * h + j, :] = jnp.where(
-                                        hit, kcol, rmw_kq[b, :, 2 * h + j, :])
-                                    rmw_vq[b, :, 2 * h + j, :] = jnp.where(
-                                        hit, vcol, rmw_vq[b, :, 2 * h + j, :])
-                            pltpu.make_async_copy(
-                                rmw_kq.at[b],
+                                rmw_kq.at[ring, j],
                                 kqpool_o.at[pl.ds(row0, L), :,
                                             pl.ds(q0, RWQ)],
-                                rmw_sems.at[2, b]).start()
+                                rmw_sems.at[2, ring, j]),
                             pltpu.make_async_copy(
-                                rmw_vq.at[b],
+                                rmw_vq.at[ring, j],
                                 vqpool_o.at[pl.ds(row0, L), :,
                                             pl.ds(q0, RWQ)],
-                                rmw_sems.at[3, b]).start()
+                                rmw_sems.at[3, ring, j]),
+                        ]
+                    return cps
 
-                for b in range(B):
-                    @pl.when(active[b] > 0)
-                    def _(b=b):
-                        row0, w0, off, q0 = slot_win(b)
-                        pltpu.make_async_copy(
-                            rmw_k.at[b],
-                            kpool_o.at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
-                            rmw_sems.at[0, b]).wait()
-                        pltpu.make_async_copy(
-                            rmw_v.at[b],
-                            vpool_o.at[pl.ds(row0, L), pl.ds(w0, _RMW_W), :],
-                            rmw_sems.at[1, b]).wait()
-                        if kv_quant:
-                            pltpu.make_async_copy(
-                                rmw_kq.at[b],
-                                kqpool_o.at[pl.ds(row0, L), :,
-                                            pl.ds(q0, RWQ)],
-                                rmw_sems.at[2, b]).wait()
-                            pltpu.make_async_copy(
-                                rmw_vq.at[b],
-                                vqpool_o.at[pl.ds(row0, L), :,
-                                            pl.ds(q0, RWQ)],
-                                rmw_sems.at[3, b]).wait()
+                def merge_slot(ring, j, b):
+                    row0, w0, off, q0 = slot_win(b)
+                    r = off - w0
+                    # static per-row 2-D selects (axis-inserting int8
+                    # reshapes don't lower on hardware)
+                    for w in range(_RMW_W):
+                        sel = r == w
+                        rmw_k[ring, j, :, w, :] = jnp.where(
+                            sel, nk_buf[b], rmw_k[ring, j, :, w, :])
+                        rmw_v[ring, j, :, w, :] = jnp.where(
+                            sel, nv_buf[b], rmw_v[ring, j, :, w, :])
+                    if kv_quant:
+                        lane2 = jax.lax.broadcasted_iota(
+                            jnp.int32, (L, RWQ), 1)
+                        hit = lane2 == off - q0
+                        # nkp lanes: [scale(h=0..KH-1), zero(h=0..KH-1)];
+                        # pool rows: 2h = scale_h, 2h+1 = zero_h
+                        for h in range(KH):
+                            for jj in range(2):
+                                kcol = nkp_buf[b][:, jj * KH + h:
+                                                  jj * KH + h + 1]
+                                vcol = nvp_buf[b][:, jj * KH + h:
+                                                  jj * KH + h + 1]
+                                rmw_kq[ring, j, :, 2 * h + jj, :] = \
+                                    jnp.where(hit, kcol,
+                                              rmw_kq[ring, j, :,
+                                                     2 * h + jj, :])
+                                rmw_vq[ring, j, :, 2 * h + jj, :] = \
+                                    jnp.where(hit, vcol,
+                                              rmw_vq[ring, j, :,
+                                                     2 * h + jj, :])
+
+                for ci in range(NCH):
+                    ring = ci % RNG2
+                    base = ci * SC
+                    if ci >= RNG2:
+                        # reuse guard: this ring slot's previous chunk
+                        # writes must land before its buffers are reread
+                        pbase = (ci - RNG2) * SC
+                        for j in range(min(SC, B - pbase)):
+                            b = pbase + j
+
+                            @pl.when(active[b] > 0)
+                            def _(b=b, j=j, ring=ring):
+                                for cp in write_copies(ring, j, b):
+                                    cp.wait()
+                    for j in range(min(SC, B - base)):
+                        b = base + j
+
+                        @pl.when(active[b] > 0)
+                        def _(b=b, j=j, ring=ring):
+                            for cp in read_copies(ring, j, b):
+                                cp.start()
+                    for j in range(min(SC, B - base)):
+                        b = base + j
+
+                        @pl.when(active[b] > 0)
+                        def _(b=b, j=j, ring=ring):
+                            for cp in read_copies(ring, j, b):
+                                cp.wait()
+                            merge_slot(ring, j, b)
+                            for cp in write_copies(ring, j, b):
+                                cp.start()
+
+                for ci in range(max(NCH - RNG2, 0), NCH):
+                    ring = ci % RNG2
+                    base = ci * SC
+                    for j in range(min(SC, B - base)):
+                        b = base + j
+
+                        @pl.when(active[b] > 0)
+                        def _(b=b, j=j, ring=ring):
+                            for cp in write_copies(ring, j, b):
+                                cp.wait()
 
             y = _stream_dot(plan, lm, x_norm[:],
                             args["lm_w"], args.get("lm_s"), args.get("lm_z"),

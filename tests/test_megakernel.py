@@ -948,3 +948,12 @@ def test_make_plan_interleave_group_aligned_chunks():
                             interleave_mlp=True)
         assert plan.pd.chunk % gs == 0 or plan.pd.chunk <= plan.pd.gs
         mk.pack_params(cfg, plan, qp)   # must not raise
+
+
+def test_megakernel_rmw_slot_chunked_flush_parity(monkeypatch):
+    """The slot-chunked RMW flush ring (DI_MK_RMW_SLOTS) must be
+    bit-identical to the all-at-once flush: SC=1 at B=4 forces 4 chunks
+    through the 2-deep ring including the ring-reuse wait path."""
+    monkeypatch.setenv("DI_MK_RMW_SLOTS", "1")
+    run_megakernel_parity_case("a16w4", "int8", False, False, 1, 16)
+    run_megakernel_parity_case("none", "int8", False, False, 1, 16)
