@@ -38,3 +38,12 @@ if _cc not in ("0", ""):
     jax.config.update("jax_compilation_cache_dir", _cc)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# Isolate the megakernel pack cache from the USER's ~/.cache: tests that
+# build ModelRuntime(use_kernel=True) would otherwise drop their tiny pack
+# dirs next to multi-GB production packs (and a test could in principle hit
+# a stale user entry). Tests that test the cache itself monkeypatch their
+# own directory.
+os.environ.setdefault(
+    "DI_PACK_CACHE",
+    os.path.expanduser("~/.cache/di_test_packs"))
