@@ -107,6 +107,13 @@ class RuntimeConfig:
     # prefill length buckets are powers of two between these bounds
     min_prefill_bucket: int = 32
 
+    # MoE prefill-megakernel bucket cap: the dense-all-experts kernel wins
+    # on weight streaming at small buckets but pays an all-experts FLOP
+    # tax that grows with tokens; buckets above this cap take the XLA
+    # path (capacity-bucketed grouped matmul, ops/moe.py). 0 disables the
+    # MoE prefill megakernel entirely.
+    moe_prefill_mega_max_bucket: int = 1024
+
     # expected steady-state sequence length (prompt + generation) of the
     # workload, used to cross-check the KV pool plan at install: when set
     # (> 0) and the pool cannot hold max_batch concurrent sequences of

@@ -369,8 +369,10 @@ class ModelRuntime:
             # per weight, below the kernels' bf16 operand rounding) —
             # docs/megakernel.md §i8 streaming
             src = self._mega_plan_params
+            cap_b = 1024 if cfg.moe is None else \
+                min(1024, rt.moe_prefill_mega_max_bucket)
             qual = [b for b in self.buckets
-                    if b <= 1024 and b % 128 == 0 and
+                    if b <= cap_b and b % 128 == 0 and
                     pmk.supports_prefill(cfg, rt, src, b)]
             if qual:
                 for b in qual:
