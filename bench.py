@@ -275,7 +275,8 @@ def main():
         # B is NOT in the key (stream geometry is batch-independent at the
         # auto chunk target); plan B/MAXPG are rewritten on hit below
         key_src = repr((cfg, rt.cache, os.environ.get("DI_MK_CHUNK_BYTES"),
-                        mk.PACK_VERSION, _stream_kind(model_kind, B)))
+                        mk.PACK_VERSION, _stream_kind(model_kind, B),
+                        os.environ.get("DI_MK_ILV", "1")))
         cache_key = hashlib.blake2b(key_src.encode(), digest_size=8).hexdigest()
         cache_file = os.path.join("/tmp", f"di_bench_pack_{cache_key}.pkl")
 
@@ -318,7 +319,9 @@ def main():
             packed = jax.tree.map(jnp.asarray, packed_np)
             params = {"packed": packed, "embed": jnp.asarray(embed_np)}
         else:
-            plan = mk.make_plan(cfg, rt, params_np, interleave_mlp=True)
+            plan = mk.make_plan(
+                cfg, rt, params_np,
+                interleave_mlp=os.environ.get("DI_MK_ILV", "1") != "0")
             packed = mk.pack_params(cfg, plan, params_np)
             embed_np = np.asarray(params_np["embed_tokens"]["w"])
             params = {"packed": packed, "embed": jnp.asarray(embed_np)}

@@ -63,7 +63,8 @@ def main():
     # auto chunk target (verified for B in 16..64), so a batch sweep
     # reuses one multi-GB pack; plan B/MAXPG are rewritten on hit below
     key_src = repr((cfg, _key_cache, os.environ.get("DI_MK_CHUNK_BYTES"),
-                    mk.PACK_VERSION, stream))
+                    mk.PACK_VERSION, stream,
+                    os.environ.get("DI_MK_ILV", "1")))
     cache_key = hashlib.blake2b(key_src.encode(), digest_size=8).hexdigest()
     cache_file = os.path.join("/tmp", f"di_bench_pack_{cache_key}.pkl")
     t0 = time.time()
@@ -89,7 +90,9 @@ def main():
             params_np = mk.expand_u4_to_i8(params_np) or params_np
             print(f"u4->i8 re-expansion in {time.time()-t_e:.1f}s",
                   file=sys.stderr)
-        plan = mk.make_plan(cfg, rt, params_np, interleave_mlp=True)
+        plan = mk.make_plan(
+            cfg, rt, params_np,
+            interleave_mlp=os.environ.get("DI_MK_ILV", "1") != "0")
         packed_np = jax.tree.map(np.asarray, mk.pack_params(cfg, plan,
                                                             params_np))
         embed_np = np.asarray(params_np["embed_tokens"]["w"])
