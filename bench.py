@@ -322,17 +322,17 @@ def main():
             plan = mk.make_plan(
                 cfg, rt, params_np,
                 interleave_mlp=os.environ.get("DI_MK_ILV", "1") != "0")
-            packed = mk.pack_params(cfg, plan, params_np)
+            packed_np = mk.pack_params(cfg, plan, params_np)  # host arrays
             embed_np = np.asarray(params_np["embed_tokens"]["w"])
-            params = {"packed": packed, "embed": jnp.asarray(embed_np)}
             if cache_file:
                 try:
                     with open(cache_file, "wb") as f:
-                        pickle.dump((plan, jax.tree.map(np.asarray, packed),
-                                     embed_np), f)
+                        pickle.dump((plan, packed_np, embed_np), f)
                 except Exception:
                     pass
-            del params_np
+            packed = jax.tree.map(jnp.asarray, packed_np)
+            params = {"packed": packed, "embed": jnp.asarray(embed_np)}
+            del params_np, packed_np
         log(f"megakernel pack in {time.time()-t0:.1f}s; "
             f"S_layer={plan.S_layer} T={plan.T_total}")
     else:

@@ -444,7 +444,8 @@ class ModelRuntime:
             "DI_PACK_CACHE",
             os.path.expanduser("~/.cache/dashinfer_tpu/packs"))
         if d in ("0", ""):
-            return build()
+            # pack_params builds host-side; upload the one copy here
+            return jax.tree.map(jnp.asarray, build())
         from dashinfer_tpu.ops.pallas.megakernel import pack_cache_key_fields
         h = hashlib.blake2b(digest_size=16)
         try:
@@ -504,7 +505,9 @@ class ModelRuntime:
             os.replace(tmp, cd)
         except Exception:
             logger.exception("pack cache write failed")
-        return packed
+        # build() returns host arrays (no device round trip through the
+        # cache-write path); upload the single device copy last
+        return jax.tree.map(jnp.asarray, packed)
 
     def _pc(self, fn, *args, **kw):
         """Call a prefix-cache method, threading the logical clock when the

@@ -874,7 +874,12 @@ def _expert_leaf(stack, l: int, e: int) -> Dict:
 
 def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
     """Build the megakernel's streamed-weight arrays from the engine's
-    stacked params pytree (one-time cost at install)."""
+    stacked params pytree (one-time cost at install).
+
+    Returns HOST (numpy) arrays: callers upload once with jnp.asarray /
+    device_put. (Building on-device made every cold install pay a
+    device->host->device round trip of the multi-GB pack through the
+    pack cache and TP stacking paths.)"""
     lp = jax.tree.map(np.asarray, params["layers"])
     L = plan.L
     out: Dict[str, Any] = {}
@@ -887,10 +892,10 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
             if sc is not None:
                 scs.append(sc)
                 zcs.append(zc)
-        out[sp.name + "_w"] = jnp.asarray(np.stack(pays))
+        out[sp.name + "_w"] = np.asarray(np.stack(pays))
         if sp.bits != 16:
-            out[sp.name + "_s"] = jnp.asarray(np.stack(scs))
-            out[sp.name + "_z"] = jnp.asarray(np.stack(zcs))
+            out[sp.name + "_s"] = np.asarray(np.stack(scs))
+            out[sp.name + "_z"] = np.asarray(np.stack(zcs))
 
     def pack_expert_stream(sp: StreamPlan, leaves_per_expert):
         """[L, E*S, rows, cols]: expert e's chunks at rows e*S .. (e+1)*S."""
@@ -907,10 +912,10 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
             if es:
                 scs.append(np.concatenate(es, axis=0))
                 zcs.append(np.concatenate(ez, axis=0))
-        out[sp.name + "_w"] = jnp.asarray(np.stack(pays))
+        out[sp.name + "_w"] = np.asarray(np.stack(pays))
         if sp.bits != 16:
-            out[sp.name + "_s"] = jnp.asarray(np.stack(scs))
-            out[sp.name + "_z"] = jnp.asarray(np.stack(zcs))
+            out[sp.name + "_s"] = np.asarray(np.stack(scs))
+            out[sp.name + "_z"] = np.asarray(np.stack(zcs))
 
     pack_stream(plan.qkv, lambda l: [
         jax.tree.map(lambda a: a[l], lp["q_proj"]),
@@ -954,7 +959,7 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
             if plan.has_shared_gate:
                 rw[l, :, plan.E:plan.E + 1] = np.asarray(
                     lp["shared_expert_gate"]["w"][l], np.float32)
-        out["router_w"] = jnp.asarray(rw.astype(jnp.bfloat16))
+        out["router_w"] = np.asarray(rw.astype(jnp.bfloat16))
     elif plan.interleave:
         pack_stream(plan.pg, lambda l: [
             jax.tree.map(lambda a: a[l], lp["gate_proj"])])
@@ -978,16 +983,16 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
         w = np.asarray(lm_leaf["w"], np.float32)
         buf[:w.shape[0], :w.shape[1]] = w
         ch = buf.reshape(sp.Kp, sp.S, sp.chunk).transpose(1, 0, 2)
-        out["lm_w"] = jnp.asarray(ch.astype(jnp.bfloat16))[None]
+        out["lm_w"] = np.asarray(ch.astype(jnp.bfloat16))[None]
     else:
         q, s, z = _leaf_to_int(lm_leaf, sp.bits)
-        out["lm_w"] = jnp.asarray(_chunk_payload(sp, q))[None]
+        out["lm_w"] = np.asarray(_chunk_payload(sp, q))[None]
         sc, zc = _chunk_qparams(sp, s, z)
-        out["lm_s"] = jnp.asarray(sc)[None]
-        out["lm_z"] = jnp.asarray(zc)[None]
+        out["lm_s"] = np.asarray(sc)[None]
+        out["lm_z"] = np.asarray(zc)[None]
 
     # norms / bias
-    out["norms"] = jnp.asarray(np.stack(
+    out["norms"] = np.asarray(np.stack(
         [np.stack([np.asarray(lp["input_layernorm"][l], np.float32),
                    np.asarray(lp["post_attention_layernorm"][l], np.float32)])
          for l in range(L)]).astype(jnp.bfloat16))  # [L, 2, hid]
@@ -1000,8 +1005,8 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
         bias = np.zeros((L, plan.QKVN), np.float32)
     bp = np.zeros((L, 1, plan.QKVN), np.float32)
     bp[:, 0, :bias.shape[1]] = bias
-    out["qkv_b"] = jnp.asarray(bp.astype(jnp.bfloat16))
-    out["final_norm"] = jnp.asarray(
+    out["qkv_b"] = np.asarray(bp.astype(jnp.bfloat16))
+    out["final_norm"] = np.asarray(
         np.asarray(params["norm"], np.float32)[None].astype(jnp.bfloat16))
     if plan.qk_norm:
         # per-head weights tiled to full lane width: row 0 = q_norm x H,
@@ -1013,7 +1018,7 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
                                plan.H)
             qk[l, 1, :plan.KH * plan.D] = np.tile(
                 np.asarray(lp["k_norm"][l], np.float32), plan.KH)
-        out["qk_norms"] = jnp.asarray(qk.astype(jnp.bfloat16))
+        out["qk_norms"] = np.asarray(qk.astype(jnp.bfloat16))
     if plan.alibi:
         # canonical per-head slopes laid out [KH, G8] to match the q4
         # grouped-query layout (pad cols G..G8 are never read: their q rows
@@ -1023,7 +1028,7 @@ def pack_params(cfg: ModelConfig, plan: MegaPlan, params: Dict) -> Dict:
             .reshape(plan.KH, plan.G)
         slp = np.zeros((plan.KH, plan.G8), np.float32)
         slp[:, :plan.G] = sl
-        out["slopes"] = jnp.asarray(slp)
+        out["slopes"] = np.asarray(slp)
     return out
 
 
