@@ -151,6 +151,19 @@ class RuntimeConfig:
     hbm_bytes: int = 0             # 0 = probe / assume 16 GiB per chip
     kv_pool_bytes: int = 0         # explicit KV pool override
 
+    # weight residency (reference: ONE weight set shared across prefill
+    # and decode workers, engine_worker.cpp:103-117). With the megakernel
+    # pack installed, the raw quantized params are a SECOND weight set
+    # that only the XLA fallback paths read; at 7B on a 16 GiB chip the
+    # two together leave almost no KV pool. "pack_only" demotes the raw
+    # params to host RAM and serves exclusively through the decode +
+    # prefill megakernels (prefix cache, chunked prefill, LoRA and
+    # multimodal prefill become unavailable; prompts must fit the prefill
+    # megakernel buckets). "auto" picks pack_only only when the
+    # both-resident pool could not hold the configured typical_seq_len
+    # workload. "both" always keeps both sets resident.
+    weight_residency: str = "auto"   # auto | both | pack_only
+
     # json/guided decoding vocabulary (token string map) set by loader
     enable_json_mode: bool = False
 

@@ -290,7 +290,13 @@ class Engine:
                 raise ValueError(f"model {name} already installed")
             runtime = ModelRuntime(name, model_config, params, runtime_config,
                                    tokenizer=tokenizer)
-            if runtime_config.enable_prefix_cache:
+            if runtime_config.enable_prefix_cache and \
+                    runtime.residency == "pack_only":
+                # prefix-hit suffix prefill is an XLA path over the raw
+                # params, which pack_only residency demoted to host
+                logger.warning("prefix cache disabled: weight_residency="
+                               "pack_only serves megakernel prefills only")
+            elif runtime_config.enable_prefix_cache:
                 if runtime_config.prefix_cache_host_bytes > 0 or \
                         runtime_config.prefix_cache_impl == "python":
                     # host tier needs the device pager (python impl only);
@@ -353,6 +359,7 @@ class Engine:
         if loop is None:
             raise RuntimeError(f"model {name} not started")
         gen_cfg.validate(runtime.cfg.vocab_size, runtime.rt.max_length)
+        runtime.validate_request(input_ids, gen_cfg)
         if gen_cfg.lora_name is not None:
             if runtime.lora_manager is None:
                 raise ValueError("lora_name given but LoRA is not enabled")

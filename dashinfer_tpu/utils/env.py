@@ -97,6 +97,12 @@ class EnvConfig:
         return _get("DI_LOG_STATUS_INTERVAL", 30.0)
 
     @staticmethod
+    def weight_residency() -> str:
+        # DI_WEIGHT_RESIDENCY overrides RuntimeConfig.weight_residency
+        # ("auto" | "both" | "pack_only"); "" = use the config field
+        return str(_get("DI_WEIGHT_RESIDENCY", ""))
+
+    @staticmethod
     def warmup_enabled() -> bool:
         # DI_WARMUP=0 skips the AOT warmup measurement in KV-pool planning
         # (reference BFC warmup analog, as_engine.cpp:1035-1258) and falls
