@@ -114,6 +114,13 @@ class RuntimeConfig:
     # MoE prefill megakernel entirely.
     moe_prefill_mega_max_bucket: int = 1024
 
+    # hard admission cap on PROMPT length (reference
+    # engine_max_prefill_length, as_engine.cpp:439-443 — there it gates
+    # chunking; here it is a start_request-time reject). 0 = prompts may
+    # be up to max_length-1. Setting it also lets auto weight_residency
+    # prove the prefill megakernel covers every admissible prompt.
+    max_prompt_len: int = 0
+
     # expected steady-state sequence length (prompt + generation) of the
     # workload, used to cross-check the KV pool plan at install: when set
     # (> 0) and the pool cannot hold max_batch concurrent sequences of

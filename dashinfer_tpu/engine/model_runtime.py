@@ -392,7 +392,7 @@ class ModelRuntime:
         self.residency = "both"
         self._raw_params_host = None
         self._swapped_out = False
-        self._decide_residency()
+        self._decide_residency(raw_src=params)
 
         self.num_logical_pages = self._plan_pool()
         self.cache = create_kv_cache(
@@ -613,7 +613,7 @@ class ModelRuntime:
         return n
 
     # -- weight residency (VERDICT r4 #3) --------------------------------
-    def _decide_residency(self) -> None:
+    def _decide_residency(self, raw_src=None) -> None:
         """Decide whether the raw quantized params stay in HBM alongside
         the megakernel pack ("both") or are demoted to host RAM
         ("pack_only"). The reference keeps ONE weight set shared between
@@ -645,7 +645,7 @@ class ModelRuntime:
                     if self.mega_params is not None else 0.0)
         if eligible and (res == "pack_only" or
                          (res == "auto" and self._auto_pack_only())):
-            self._demote_raw_params()
+            self._demote_raw_params(raw_src)
         logger.info(
             "weight residency: %s (raw params %.2f GiB, megakernel pack "
             "%.2f GiB, requested %s)", self.residency, raw_gib, pack_gib,
@@ -661,8 +661,8 @@ class ModelRuntime:
         rt = self.rt
         if rt.typical_seq_len <= 0 or rt.cache.num_pages or                 rt.kv_pool_bytes or EnvConfig.kv_pool_bytes():
             return False
-        if rt.typical_seq_len > max(self._pmk_plans):
-            return False      # workload prompts may exceed pmk coverage
+        if not (0 < rt.max_prompt_len <= max(self._pmk_plans)):
+            return False      # prompts not provably within pmk coverage
         lpb = logical_page_bytes(self.cfg, rt.cache, self.dtype)
         w_raw = self._per_device_nbytes(self.params)
         w_pack = self._per_device_nbytes(self.mega_params)
@@ -682,11 +682,19 @@ class ModelRuntime:
             "pack_only", n_both, rt.max_batch, per_seq)
         return True
 
-    def _demote_raw_params(self) -> None:
+    def _demote_raw_params(self, raw_src=None) -> None:
         """Move the raw quantized params to host RAM; serving continues
         exclusively through the megakernel pack (decode + prefill). The
-        host copy is kept so a later install/config can reload it."""
-        self._raw_params_host = jax.device_get(self.params)
+        host copy is kept so a later install/config can reload it. When
+        the caller handed us host arrays (the loader path), keep THOSE —
+        a device_get of ~5 GiB through the tunneled runtime costs
+        minutes."""
+        if raw_src is not None and all(
+                isinstance(l, np.ndarray)
+                for l in jax.tree.leaves(raw_src)):
+            self._raw_params_host = raw_src
+        else:
+            self._raw_params_host = jax.device_get(self.params)
         self.params = None
         self.residency = "pack_only"
         self._pack_only_buckets = sorted(self._pmk_plans)
@@ -709,6 +717,11 @@ class ModelRuntime:
         """start_request-time guards (user thread). pack_only residency
         serves only what the megakernels cover — reject the rest with a
         clear error instead of an InternalError at prefill time."""
+        if self.rt.max_prompt_len and \
+                len(input_ids) > self.rt.max_prompt_len:
+            raise ValueError(
+                f"prompt length {len(input_ids)} exceeds max_prompt_len "
+                f"{self.rt.max_prompt_len}")
         if self.residency != "pack_only":
             return
         if gen_cfg.lora_name is not None:

@@ -27,6 +27,36 @@ PRESETS = {
     "qwen2-1.5b": (1536, 8960, 28, 12, 2, 151936),
     "qwen2-7b": (3584, 18944, 28, 28, 4, 152064),
 }
+# MoE preset (built u4-quantized by bench.build_qwen15_moe_params; the
+# --quant flag is ignored for it)
+MOE_PRESETS = {"qwen15-moe-a2.7b"}
+
+
+def _build_moe_model():
+    import hashlib
+    import pickle
+    import bench
+    from dashinfer_tpu.config import ModelConfig, MoEConfig
+    cfg = ModelConfig(
+        arch="qwen2_moe", vocab_size=151936, hidden_size=2048,
+        intermediate_size=5632, num_layers=24, num_heads=16,
+        num_kv_heads=16, head_dim=128, qkv_bias=True, rope_theta=1000000.0,
+        moe=MoEConfig(num_experts=60, num_experts_per_tok=4,
+                      moe_intermediate_size=1408,
+                      shared_expert_intermediate_size=5632,
+                      norm_topk_prob=False))
+    ck = hashlib.blake2b(b"qwen15-moe-a2.7b-v1", digest_size=8).hexdigest()
+    cache_file = f"/tmp/di_serve_params_{ck}.pkl"
+    if os.path.exists(cache_file):
+        with open(cache_file, "rb") as f:
+            return cfg, pickle.load(f)
+    params_np = bench.build_qwen15_moe_params(cfg)
+    try:
+        with open(cache_file, "wb") as f:
+            pickle.dump(params_np, f)
+    except Exception:
+        pass
+    return cfg, params_np
 
 
 def build_random_model(preset: str, dtype: str, quant: str, group_size: int):
@@ -115,7 +145,8 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="tiny", choices=sorted(PRESETS))
+    ap.add_argument("--preset", default="tiny",
+                    choices=sorted(PRESETS) + sorted(MOE_PRESETS))
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--num-requests", type=int, default=16)
     ap.add_argument("--in-len", type=int, default=128)
@@ -155,8 +186,11 @@ def main():
     from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
     from dashinfer_tpu.config import CacheMode
 
-    cfg, params = build_random_model(args.preset, args.dtype, args.quant,
-                                     args.group_size)
+    if args.preset in MOE_PRESETS:
+        cfg, params = _build_moe_model()
+    else:
+        cfg, params = build_random_model(args.preset, args.dtype, args.quant,
+                                         args.group_size)
     t_install0 = time.time()
     rtb = (RuntimeConfigBuilder("bench")
            .max_length(args.in_len + args.out_len + 64)
@@ -169,6 +203,7 @@ def main():
                     # concurrency the pool actually holds for this
                     # workload instead of OOM-eviction churn
                     "typical_seq_len": args.in_len + args.out_len,
+                    "max_prompt_len": args.in_len,
                     "weight_residency": args.weight_residency}))
     if args.page_size:
         rtb = rtb.kv_cache_page_size(args.page_size)

@@ -133,6 +133,7 @@ def test_auto_residency_pool_starvation(monkeypatch):
               .update({"min_prefill_bucket": 128,
                        "weight_residency": "auto",
                        "typical_seq_len": 120,
+                       "max_prompt_len": 120,
                        "hbm_bytes": hbm_bytes}).build())
         return ModelRuntime("resa", cfg, params, rt, use_kernel=True)
 
