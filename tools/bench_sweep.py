@@ -237,6 +237,9 @@ def main():
                                "path": "xla-fallback",
                                "error": str(e)[:200]})
                 flush_partial()
+                # an errored fallback point doesn't void the megakernel
+                # scaling claim, but record that the requested table is
+                # incomplete (ADVICE r4 #1)
         del params
 
     # monotonicity over the MEGAKERNEL auto points only (the B>64 fallback
@@ -246,6 +249,7 @@ def main():
                 if p.get("auto") and "tok_s" in p
                 and p.get("path") == "megakernel"]
     auto_pts.sort(key=lambda p: p["batch"])
+    incomplete = any("error" in p for p in points)
     if any_auto_error or not auto_pts:
         mono = None
     else:
@@ -254,6 +258,7 @@ def main():
     out = {"config": {"model": "qwen2-7b-shape", "ctx": ctx_len,
                       "kv": "int8", "multistep": NSTEP, "steps": steps},
            "points": points, "monotonic_auto": mono,
+           "table_complete": not incomplete,
            "monotonic_tolerance": MONO_TOL,
            "monotonic_definition":
                "each megakernel auto point >= prev * (1 - tol); null when "
