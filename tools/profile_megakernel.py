@@ -53,20 +53,13 @@ def main():
         dtype="bfloat16")
 
     import pickle
-    import hashlib
     # pack contents are KV-mode independent: key on the INT8 shape so bf16
-    # KV probes reuse the same multi-GB pack cache
+    # KV probes reuse the same multi-GB pack cache; bench.pack_cache_file
+    # is the SHARED batch-independent key (ADVICE r4)
     import dataclasses as _dc
     _key_cache = _dc.replace(rt.cache, mode=CacheMode.INT8)
     stream = bench._stream_kind("dense", B)
-    # B is NOT in the key: stream geometry is batch-independent at the
-    # auto chunk target (verified for B in 16..64), so a batch sweep
-    # reuses one multi-GB pack; plan B/MAXPG are rewritten on hit below
-    key_src = repr((cfg, _key_cache, os.environ.get("DI_MK_CHUNK_BYTES"),
-                    mk.PACK_VERSION, stream,
-                    os.environ.get("DI_MK_ILV", "1")))
-    cache_key = hashlib.blake2b(key_src.encode(), digest_size=8).hexdigest()
-    cache_file = os.path.join("/tmp", f"di_bench_pack_{cache_key}.pkl")
+    cache_file = bench.pack_cache_file(cfg, _key_cache, stream)
     t0 = time.time()
     if os.path.exists(cache_file):
         with open(cache_file, "rb") as f:
