@@ -530,9 +530,17 @@ class ModelRuntime:
     def _per_device_nbytes(self, tree) -> int:
         """HBM bytes ONE device holds for a (possibly sharded) pytree —
         shard_shape metadata only, no device access. Unsharded leaves count
-        in full (replicated)."""
+        in full (replicated). ALIASED leaves count ONCE: the shared-pack
+        design makes prefill_packed the same arrays as packed, and the
+        mega embed aliases the raw embed — double-counting them made the
+        pool planner see ~9 GiB of phantom weights at 7B and floor the
+        pool."""
         total = 0
+        seen = set()
         for leaf in jax.tree.leaves(tree):
+            if id(leaf) in seen:
+                continue
+            seen.add(id(leaf))
             shape = tuple(jnp.shape(leaf))
             sh = getattr(leaf, "sharding", None)
             if sh is not None and self.mesh is not None:
@@ -557,11 +565,11 @@ class ModelRuntime:
         kv_bytes = rt.kv_pool_bytes or EnvConfig.kv_pool_bytes()
         if not kv_bytes:
             hbm = rt.hbm_bytes or _detect_hbm_bytes()
-            w = self._per_device_nbytes(self.params) \
-                if self.params is not None else 0
-            if self.mega_params is not None:
-                # packed megakernel streams live in HBM alongside raw params
-                w += self._per_device_nbytes(self.mega_params)
+            # raw params + packed megakernel streams in ONE count so the
+            # embed/prefill-pack aliases dedup across the two trees
+            w = self._per_device_nbytes(
+                [t for t in (self.params, self.mega_params)
+                 if t is not None])
             act = None
             if EnvConfig.warmup_enabled():
                 act = self._measure_step_temp_bytes()
@@ -664,12 +672,11 @@ class ModelRuntime:
         if not (0 < rt.max_prompt_len <= max(self._pmk_plans)):
             return False      # prompts not provably within pmk coverage
         lpb = logical_page_bytes(self.cfg, rt.cache, self.dtype)
-        w_raw = self._per_device_nbytes(self.params)
-        w_pack = self._per_device_nbytes(self.mega_params)
-        act = min(2 * 1024**3, max(512 * 1024**2, (w_raw + w_pack) // 4))
+        w_both = self._per_device_nbytes([self.params, self.mega_params])
+        act = min(2 * 1024**3, max(512 * 1024**2, w_both // 4))
         budget = int((rt.hbm_bytes or _detect_hbm_bytes()) *
                      EnvConfig.hbm_mem_ratio())
-        n_both = max((budget - w_raw - w_pack - act) // lpb,
+        n_both = max((budget - w_both - act) // lpb,
                      2 * rt.max_batch)
         per_seq = -(-min(rt.typical_seq_len, rt.max_length) //
                     rt.cache.page_size)
