@@ -37,9 +37,16 @@ def main():
     B = int(os.environ.get("DI_BENCH_BATCH", "32"))
     ctx_len = int(os.environ.get("DI_BENCH_CTX", "1024"))
 
+    # DI_TP_LAYERS < 28 probes an L-layer slice of the 7B shape: the
+    # tunneled remote-compile service crashes (broken pipe) on the full
+    # 28-layer x 2-segment program (56 Mosaic kernels in one jit); the
+    # per-layer segment cost is what the TP model needs, and it is
+    # layer-count-independent by construction (identical weights-stream
+    # geometry per layer).
+    L = int(os.environ.get("DI_TP_LAYERS", "28"))
     cfg = ModelConfig(
         arch="qwen2", vocab_size=152064, hidden_size=3584,
-        intermediate_size=18944, num_layers=28, num_heads=28,
+        intermediate_size=18944, num_layers=L, num_heads=28,
         num_kv_heads=4, head_dim=128, qkv_bias=True, rope_theta=1000000.0)
     page_size = 256
     num_logical_pages = 8 * (B * ((ctx_len + 255) // 256 + 2) // 8 + 2)
@@ -139,11 +146,21 @@ def main():
     dt = (time.time() - t0) / iters
     per_rank_bytes = sum(
         np.asarray(v).nbytes for k, v in packed_np.items() if "_w" in k)
-    print(f"TP n={n} rank-0 segments: {dt*1e3:.2f} ms/step "
-          f"({per_rank_bytes/1e9:.2f} GB weights/rank -> "
-          f"{per_rank_bytes/dt/1e9:.0f} GB/s effective); "
-          f"ideal n-chip aggregate at this rate: "
-          f"{B/dt:.0f} tok/s", flush=True)
+    import json
+    out = {"n_ranks": n, "batch": B, "ctx": ctx_len, "layers": L,
+           "ms_per_step": round(dt * 1e3, 2),
+           "ms_per_layer": round(dt * 1e3 / L, 3),
+           "rank_weight_gb": round(per_rank_bytes / 1e9, 2),
+           "effective_gb_s": round(per_rank_bytes / dt / 1e9, 1),
+           "ideal_aggregate_tok_s_28L":
+               round(B / (dt / L * 28), 1),
+           "note": "rank-0 attn+mlp segment kernels on one chip, "
+                   "identity psums; compiled (not interpret)"}
+    path = os.environ.get("DI_TP_OUT", "")
+    if path:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
