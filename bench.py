@@ -83,8 +83,12 @@ def pack_cache_file(cfg, cache_cfg, stream):
     path = f"/tmp/di_bench_pack_{ck}.pkl"
     if not os.path.exists(path):
         # migrate round-4 caches (keyed with the batch-dependent
-        # num_pages) so the multi-GB packs on disk keep hitting
-        for B in (16, 24, 32, 48, 64, 128):
+        # num_pages) so the multi-GB packs on disk keep hitting. ONLY
+        # batches whose make_plan auto chunk target equals the default
+        # 2 MB (B <= 16 or B >= 32) — a pack built at 16 < B < 32 has a
+        # SMALLER chunk geometry (batch_cap = 32MB/B) and must not
+        # silently serve other batches
+        for B in (16, 32, 64, 128):
             np_pages = 8 * (B * ((1024 + 255) // 256 + 2) // 8 + 2)
             legacy_cc = dataclasses.replace(cache_cfg, num_pages=np_pages)
             legacy_src = repr((cfg, legacy_cc,

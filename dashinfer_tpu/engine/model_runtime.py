@@ -1201,11 +1201,6 @@ class ModelRuntime:
                      gen.lora_name is not None)
         banned = self._banned_ids(req)
         with_mm = bool(gen.mm_info) or gen.mrope_positions is not None
-        mm_kwargs = {}
-        if with_mm:
-            mm_kwargs = self._mm_prefill_inputs(req, tok_buf, bucket,
-                                                prefix_len)
-        init = self._slot_init(req, slot)
         # prefill megakernel fast path: whole-bucket fresh prefill only
         # (prefix-cache hits, chunked continuations, LoRA, multimodal take
         # the XLA path — see prefill_megakernel.supports_prefill)
@@ -1221,6 +1216,12 @@ class ModelRuntime:
                          bucket, prefix_len)
             self._fail_admitted(req)
             return
+        mm_kwargs = {}
+        if with_mm:
+            # after the pack_only guard: this path reads self.params
+            mm_kwargs = self._mm_prefill_inputs(req, tok_buf, bucket,
+                                                prefix_len)
+        init = self._slot_init(req, slot)
         fn = self._prefill_fn(bucket, with_lp,
                               with_guided=req.format_enforcer is not None,
                               with_lora=with_lora,
@@ -1820,6 +1821,10 @@ class ModelRuntime:
         if self._swapped_out:
             return
         self._swapped_out = True
+        emb_alias = (self.params is not None and
+                     self.mega_params is not None and
+                     self.mega_params.get("embed")
+                     is self.params["embed_tokens"]["w"])
         if self.params is not None:
             # remember shardings so a TP-sharded layout survives the trip
             self._params_sh = jax.tree.map(
@@ -1828,15 +1833,19 @@ class ModelRuntime:
             self._params_host = jax.device_get(self.params)
             self.params = None
         if self.mega_params is not None:
-            # prefill_packed may alias the decode pack (shared pack) —
-            # drop the alias before the host round trip so reload doesn't
-            # materialize a second device copy
+            # prefill_packed may alias the decode pack (shared pack), and
+            # the mega embed may alias the raw embed — drop the aliases
+            # before the host round trip so reload doesn't materialize
+            # second device copies the pool plan never budgeted
             self._mega_shared_pp = (
                 self.mega_params.get("prefill_packed")
                 is self.mega_params.get("packed"))
+            self._mega_shared_embed = emb_alias
             mp = dict(self.mega_params)
             if self._mega_shared_pp:
                 mp.pop("prefill_packed")
+            if self._mega_shared_embed:
+                mp.pop("embed")
             self._mega_sh = jax.tree.map(
                 lambda a: a.sharding, mp) \
                 if self.mesh is not None else None
@@ -1864,6 +1873,10 @@ class ModelRuntime:
             if getattr(self, "_mega_shared_pp", False):
                 self.mega_params["prefill_packed"] = \
                     self.mega_params["packed"]
+            if getattr(self, "_mega_shared_embed", False):
+                # restore the embed alias (ONE device copy, as planned)
+                self.mega_params["embed"] = \
+                    self.params["embed_tokens"]["w"]
             self._mega_host = None
         logger.info("weights reloaded to device")
 

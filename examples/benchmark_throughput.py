@@ -212,9 +212,12 @@ def main():
     def _compile_cache_entries():
         # does the persistent cache actually capture the serving
         # programs? (VERDICT r4 #9 / weak #2) — count entries in the
-        # engine's cache dir before/after
-        d = os.environ.get("DI_COMPILE_CACHE",
-                           os.path.expanduser("~/.cache/dashinfer_tpu/xla"))
+        # engine's cache dir (EnvConfig resolves DI_COMPILE_CACHE=0 to
+        # disabled) before/after
+        from dashinfer_tpu.utils import EnvConfig
+        d = EnvConfig.compile_cache_dir()
+        if not d:
+            return 0
         try:
             return len(os.listdir(d))
         except OSError:

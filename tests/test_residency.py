@@ -162,3 +162,22 @@ def test_pack_only_weight_swap_roundtrip():
     assert runtime.mega_params is not None
     assert runtime.params is None           # raw set stays host-resident
     assert runtime._weights_resident()
+
+
+def test_both_swap_preserves_embed_alias():
+    """unload/reload under "both" must restore the embed ALIAS — a second
+    device copy after a swap cycle would exceed the planned pool budget
+    by the embed's size (round-5 review finding)."""
+    from dashinfer_tpu.engine.model_runtime import ModelRuntime
+
+    hf, cfg, params = _mega_model()
+    rt = _rt("resw", "both")
+    runtime = ModelRuntime("resw", cfg, params, rt, use_kernel=True)
+    assert runtime.mega_params["embed"] is \
+        runtime.params["embed_tokens"]["w"]
+    runtime.unload_weights_to_host()
+    # host copy must not hold the embed twice
+    assert "embed" not in runtime._mega_host
+    runtime.reload_weights_to_device()
+    assert runtime.mega_params["embed"] is \
+        runtime.params["embed_tokens"]["w"]

@@ -66,8 +66,24 @@ def main():
     stream = bench._stream_kind("dense", B)
     cache_file = bench.pack_cache_file(cfg, rt.cache, stream)
     import pickle
-    with open(cache_file, "rb") as f:
-        plan, packed_np, embed_np = pickle.load(f)
+    if os.path.exists(cache_file):
+        with open(cache_file, "rb") as f:
+            plan, packed_np, embed_np = pickle.load(f)
+    else:   # fresh machine: build like bench_sweep.load_pack
+        t0 = time.time()
+        params_np = bench.build_qwen2_7b_params(cfg)
+        if stream == "i8":
+            params_np = mk.expand_u4_to_i8(params_np) or params_np
+        os.environ["DI_MK_STREAM"] = stream
+        plan = mk.make_plan(
+            cfg, rt, params_np,
+            interleave_mlp=os.environ.get("DI_MK_ILV", "1") != "0")
+        packed_np = jax.tree.map(np.asarray,
+                                 mk.pack_params(cfg, plan, params_np))
+        embed_np = np.asarray(params_np["embed_tokens"]["w"])
+        with open(cache_file, "wb") as f:
+            pickle.dump((plan, packed_np, embed_np), f)
+        log(f"[{stream}] pack built in {time.time()-t0:.1f}s")
     plan = dataclasses.replace(plan, B=B, maxP=rt.max_pages_per_seq,
                                MAXPG=B * rt.max_pages_per_seq)
     assert mk.supports_lora_epilogue(plan), \

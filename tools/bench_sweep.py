@@ -177,6 +177,10 @@ def main():
     # stream sweep
     for spec in filter(None, os.environ.get("DI_SWEEP_EXTRA", "").split(",")):
         s, b = spec.split(":")
+        if int(b) > MK_MAX_BATCH:
+            log(f"DI_SWEEP_EXTRA {spec} exceeds the megakernel's supported "
+                f"batch ({MK_MAX_BATCH}); skipping")
+            continue
         if (int(b), False) not in groups.get(s, []) and \
                 (int(b), True) not in groups.get(s, []):
             groups.setdefault(s, []).append((int(b), False))

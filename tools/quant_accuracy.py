@@ -81,7 +81,8 @@ def metrics(lg, ref):
     kl = float(np.mean(np.sum(
         ref_p * (np.log(ref_p + 1e-20) - lp), axis=-1)))
     return {
-        "logit_rms_rel": round(float(np.sqrt((d / scale) ** 2).mean()), 5),
+        "logit_rms_rel": round(
+            float(np.sqrt(((d / scale) ** 2).mean())), 5),
         "logit_max_rel": round(float(np.abs(d / scale).max()), 5),
         "top1_agree": round(float(
             (lg.argmax(-1) == ref.argmax(-1)).mean()), 4),
@@ -192,13 +193,13 @@ def main():
         w4 = quantize_params(base, QuantConfig(mode="a16w4",
                                                group_size=128))
         del base
-        for name, qp in (
-                ("a16w8", None), ("a16w4", w4),
-                ("a16w4->i8pc", mk.expand_u4_to_i8(w4))):
-            if qp is None:
-                qp = quantize_params(build_base(style),
-                                     QuantConfig(mode="a16w8",
-                                                 group_size=128))
+        for name, qp_fn in (
+                ("a16w8", lambda: quantize_params(
+                    build_base(style), QuantConfig(mode="a16w8",
+                                                   group_size=128))),
+                ("a16w4", lambda: w4),
+                ("a16w4->i8pc", lambda: mk.expand_u4_to_i8(w4))):
+            qp = qp_fn()   # one variant in RAM at a time
             eng = logits_of(qp)
             orc = logits_of(dequant_tree(qp))
             rows[name] = {
