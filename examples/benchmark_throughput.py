@@ -360,8 +360,20 @@ def main():
         }
         if args.raw_step_tok_s > 0:
             art["raw_step_tok_s"] = args.raw_step_tok_s
-            art["engine_overhead_pct"] = round(
-                100.0 * (1 - r["decode_tok_s"] / args.raw_step_tok_s), 1)
+            if args.qps > 0:
+                # a paced run is ARRIVAL-limited: steady decode tracks the
+                # offered load (qps x out_len), not the engine's ceiling —
+                # comparing it against the saturation raw-step rate would
+                # read as phantom engine overhead. Record the offered-load
+                # ratio instead; burst runs carry the ceiling comparison.
+                art["offered_load_tok_s"] = round(
+                    args.qps * args.out_len, 1)
+                art["decode_vs_offered"] = round(
+                    r["decode_tok_s"] / (args.qps * args.out_len), 3)
+            else:
+                art["engine_overhead_pct"] = round(
+                    100.0 * (1 - r["decode_tok_s"] / args.raw_step_tok_s),
+                    1)
         with open(args.json, "w") as f:
             json.dump(art, f, indent=1)
         print(json.dumps(art))
