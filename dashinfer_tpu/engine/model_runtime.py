@@ -484,6 +484,21 @@ class ModelRuntime:
                     if _file_digest(path) != ent["digest"]:
                         raise ValueError(f"pack cache corrupt: {key}")
                     arr = np.load(path, mmap_mode="r", allow_pickle=False)
+                    if str(arr.dtype) != ent.get("store", ent["dtype"]):
+                        # legacy rescue: np.save wrote ml_dtypes arrays
+                        # (bfloat16, fp8) with a VOID descriptor — view
+                        # them back to the logical dtype when the
+                        # itemsize matches instead of rebuilding the
+                        # multi-GB pack
+                        want = np.dtype(ent["dtype"])
+                        if arr.dtype.kind == "V" and \
+                                arr.dtype.itemsize == want.itemsize:
+                            arr = arr.view(want)
+                        else:
+                            raise ValueError(
+                                f"pack cache dtype mismatch: {key}")
+                    elif "store" in ent:
+                        arr = arr.view(np.dtype(ent["dtype"]))
                     if list(arr.shape) != ent["shape"] or \
                             str(arr.dtype) != ent["dtype"]:
                         raise ValueError(f"pack cache shape mismatch: {key}")
@@ -501,11 +516,20 @@ class ModelRuntime:
             man = {"arrays": {}}
             for i, (key, arr) in enumerate(sorted(flat.items())):
                 fn = f"{i}.npy"
-                np.save(os.path.join(tmp, fn), arr, allow_pickle=False)
-                man["arrays"][key] = {
-                    "file": fn, "shape": list(arr.shape),
-                    "dtype": str(arr.dtype),
-                    "digest": _file_digest(os.path.join(tmp, fn))}
+                ent = {"file": fn, "shape": list(arr.shape),
+                       "dtype": str(arr.dtype)}
+                save_arr = arr
+                if arr.dtype.char not in np.typecodes["All"]:
+                    # ml_dtypes (bfloat16/fp8) round-trip through np.save
+                    # as VOID descriptors that np.load can't re-type —
+                    # store as a same-width uint view and record it
+                    store = np.dtype(f"uint{8 * arr.dtype.itemsize}")
+                    save_arr = arr.view(store)
+                    ent["store"] = str(store)
+                np.save(os.path.join(tmp, fn), save_arr,
+                        allow_pickle=False)
+                ent["digest"] = _file_digest(os.path.join(tmp, fn))
+                man["arrays"][key] = ent
             with open(os.path.join(tmp, "manifest.json"), "w") as f:
                 _json.dump(man, f)
             import shutil
