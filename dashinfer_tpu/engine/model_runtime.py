@@ -286,6 +286,35 @@ class ModelRuntime:
                 # epilogue win to pay for it (bench._stream_kind mirrors
                 # this rule)
                 i8_meta = mk.expand_u4_to_i8(mk_params, meta_only=True)
+            if i8_meta is not None:
+                # HBM-budget gate (round-5 on-chip finding: prefix-cache
+                # serving at 7B with residency "both" OOM'd — raw 7.5 GiB
+                # + i8 pack 9.2 GiB > 16 GiB). When the raw params MUST
+                # stay resident (prefix cache / LoRA / explicit "both" /
+                # auto that cannot engage pack_only) and the i8 pack does
+                # not fit beside them, keep the u4 stream: slower per
+                # step at large batch, but it serves.
+                res_req = EnvConfig.weight_residency() or rt.weight_residency
+                may_drop_raw = (res_req != "both" and not rt.enable_lora
+                                and not rt.enable_prefix_cache
+                                and rt.max_prompt_len > 0)
+                if not may_drop_raw:
+                    raw_b = self._per_device_nbytes(self.params)
+                    est = self._estimate_pack_bytes(mk_params,
+                                                    expand_i8=True)
+                    budget = int((rt.hbm_bytes or _detect_hbm_bytes()) *
+                                 EnvConfig.hbm_mem_ratio())
+                    if raw_b + est + 512 * 1024**2 > budget:
+                        logger.warning(
+                            "i8 stream re-expansion skipped: raw params "
+                            "stay resident (%s) and raw %.2f GiB + "
+                            "estimated i8 pack %.2f GiB exceeds the "
+                            "%.2f GiB budget; keeping the u4 stream",
+                            "residency=both" if res_req == "both"
+                            else "prefix/LoRA/auto-ineligible",
+                            raw_b / 1024**3, est / 1024**3,
+                            budget / 1024**3)
+                        i8_meta = None
             expand_i8 = i8_meta is not None
             pack_tag, plan_params = "decode", mk_params
             if expand_i8:
@@ -570,6 +599,30 @@ class ModelRuntime:
             if sh is not None and self.mesh is not None:
                 shape = sh.shard_shape(shape)
             total += math.prod(shape) * np.dtype(jnp.result_type(leaf)).itemsize
+        return total
+
+    def _estimate_pack_bytes(self, mk_params, expand_i8: bool) -> int:
+        """Rough (over by <10%) size of the megakernel pack for mk_params:
+        quantized payloads stream at their own width (u4 doubles under
+        the i8 re-expansion), dense leaves stream as bf16, plus the
+        embed table."""
+        total = 0
+        lp = mk_params.get("layers", {})
+        leaves = list(lp.values()) + [mk_params.get("lm_head")]
+        for leaf in leaves:
+            if not isinstance(leaf, dict):
+                continue
+            if "w_q" in leaf:
+                wq = np.asarray(leaf["w_q"])
+                mult = 2 if (expand_i8 and wq.dtype == np.uint8) else 1
+                total += wq.nbytes * mult
+                total += np.asarray(leaf["scale"]).nbytes * 2
+            elif "w" in leaf:
+                w = np.asarray(leaf["w"])
+                total += w.size * 2       # streams as bf16
+        emb = mk_params.get("embed_tokens", {}).get("w")
+        if emb is not None:
+            total += np.asarray(emb).size * 2
         return total
 
     def _plan_pool(self) -> int:

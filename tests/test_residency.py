@@ -181,3 +181,34 @@ def test_both_swap_preserves_embed_alias():
     runtime.reload_weights_to_device()
     assert runtime.mega_params["embed"] is \
         runtime.params["embed_tokens"]["w"]
+
+
+def test_i8_stream_budget_gate(monkeypatch):
+    """When raw params must stay resident (prefix cache) and the i8 pack
+    would not fit beside them, the engine keeps the u4 stream instead of
+    OOMing at install (round-5 on-chip finding)."""
+    from dashinfer_tpu.engine.model_runtime import ModelRuntime
+
+    monkeypatch.setenv("DI_MK_STREAM", "i8")
+    monkeypatch.setenv("DI_WARMUP", "0")
+    hf, cfg, params = _mega_model()
+
+    def build(prefix, hbm_bytes):
+        rt = (RuntimeConfigBuilder("resi").max_length(160).max_batch(2)
+              .kv_cache_page_size(16).kv_cache_num_pages(24)
+              .dtype("float32").prefix_cache(prefix)
+              .update({"min_prefill_bucket": 128,
+                       "max_prompt_len": 120,
+                       "hbm_bytes": hbm_bytes}).build())
+        return ModelRuntime("resi", cfg, params, rt, use_kernel=True)
+
+    # prefix cache forces raw residency; 4 MiB "HBM" cannot hold both
+    # sets -> the u4 stream is kept (payload dtype stays packed uint8)
+    tight = build(True, 4 * 1024**2)
+    wq = tight._mega_plan_params["layers"]["q_proj"]["w_q"]
+    import numpy as np
+    assert np.asarray(wq).dtype == np.uint8, "must keep the u4 stream"
+    # ample HBM: the i8 re-expansion goes through (int8 payload)
+    ample = build(True, 64 * 1024**3)
+    wq8 = ample._mega_plan_params["layers"]["q_proj"]["w_q"]
+    assert np.asarray(wq8).dtype == np.int8, "i8 stream expected"
