@@ -213,13 +213,20 @@ class ModelRuntime:
         # thread never blocks on the first-token transfer)
         self._inflight_prefills: List[Tuple] = []
 
-        self.params = jax.tree.map(jnp.asarray, params)
+        # raw-param upload is DEFERRED on single-chip installs until the
+        # weight-residency decision (below): uploading raw + pack
+        # together put a transient raw+pack peak on the device that
+        # OOM'd MoE installs whose steady state (pack_only) fits fine —
+        # the reference holds one weight set and never double-buffers a
+        # whole model either (engine_worker.cpp:103-117)
+        self.params = None
         # tensor-parallel mesh (reference: per-rank WeightSplitter + NCCL
         # graph ops, SURVEY.md §2.13; here NamedShardings declared on the
         # arrays — XLA's SPMD partitioner inserts the ICI collectives inside
         # the already-jitted steps, so no step code changes)
         self.mesh = None
         if tuple(rt.mesh_shape) != (1, 1):
+            self.params = jax.tree.map(jnp.asarray, params)
             from dashinfer_tpu.parallel import make_mesh, shard_params
             self.mesh = make_mesh(tuple(rt.mesh_shape))
             self.params = shard_params(self.params, self.mesh,
@@ -299,7 +306,7 @@ class ModelRuntime:
                                 and not rt.enable_prefix_cache
                                 and rt.max_prompt_len > 0)
                 if not may_drop_raw:
-                    raw_b = self._per_device_nbytes(self.params)
+                    raw_b = self._per_device_nbytes(params)
                     est = self._estimate_pack_bytes(mk_params,
                                                     expand_i8=True)
                     budget = int((rt.hbm_bytes or _detect_hbm_bytes()) *
@@ -358,9 +365,11 @@ class ModelRuntime:
                                           self.mega_plan))
                 self.mega_params = {
                     "packed": packed,
-                    # alias the raw embed table (already on device) — a
-                    # second jnp.asarray would duplicate ~1 GiB at 7B
-                    "embed": self.params["embed_tokens"]["w"]}
+                    # ONE embed upload; if the raw params are uploaded
+                    # later (residency "both"), their embed leaf aliases
+                    # THIS array — never two device copies of ~1 GiB
+                    "embed": jnp.asarray(
+                        np.asarray(params["embed_tokens"]["w"]))}
                 logger.info("megakernel packed in %.1fs (S_layer=%d T=%d)",
                             time.monotonic() - t0, self.mega_plan.S_layer,
                             self.mega_plan.T_total)
@@ -724,19 +733,30 @@ class ModelRuntime:
                 f"(megakernel={self.mega_params is not None}, "
                 f"prefill_buckets={sorted(self._pmk_plans)}, "
                 f"mesh={self.mesh is not None}, lora={rt.enable_lora})")
-        raw_gib = (self._per_device_nbytes(self.params) / 1024**3
-                   if self.params is not None else 0.0)
+        src = self.params if self.params is not None else raw_src
+        raw_gib = (self._per_device_nbytes(src) / 1024**3
+                   if src is not None else 0.0)
         pack_gib = (self._per_device_nbytes(self.mega_params) / 1024**3
                     if self.mega_params is not None else 0.0)
         if eligible and (res == "pack_only" or
-                         (res == "auto" and self._auto_pack_only())):
+                         (res == "auto" and self._auto_pack_only(src))):
             self._demote_raw_params(raw_src)
+        elif self.params is None:
+            # deferred single-chip upload: the raw set joins the pack on
+            # device only once we KNOW both stay resident — no transient
+            # raw+pack double peak for pack_only installs
+            self.params = jax.tree.map(jnp.asarray, raw_src)
+            if self.mega_params is not None and \
+                    "embed" in self.mega_params:
+                # alias the already-uploaded embed (frees the duplicate)
+                self.params["embed_tokens"]["w"] = \
+                    self.mega_params["embed"]
         logger.info(
             "weight residency: %s (raw params %.2f GiB, megakernel pack "
             "%.2f GiB, requested %s)", self.residency, raw_gib, pack_gib,
             res)
 
-    def _auto_pack_only(self) -> bool:
+    def _auto_pack_only(self, src=None) -> bool:
         """auto residency: demote the raw params only when the
         both-resident KV pool could NOT hold the configured workload
         (typical_seq_len x max_batch) but the prompts still fit the
@@ -749,7 +769,8 @@ class ModelRuntime:
         if not (0 < rt.max_prompt_len <= max(self._pmk_plans)):
             return False      # prompts not provably within pmk coverage
         lpb = logical_page_bytes(self.cfg, rt.cache, self.dtype)
-        w_both = self._per_device_nbytes([self.params, self.mega_params])
+        w_both = self._per_device_nbytes(
+            [src if src is not None else self.params, self.mega_params])
         act = min(2 * 1024**3, max(512 * 1024**2, w_both // 4))
         budget = int((rt.hbm_bytes or _detect_hbm_bytes()) *
                      EnvConfig.hbm_mem_ratio())
@@ -777,8 +798,10 @@ class ModelRuntime:
                 isinstance(l, np.ndarray)
                 for l in jax.tree.leaves(raw_src)):
             self._raw_params_host = raw_src
-        else:
+        elif self.params is not None:
             self._raw_params_host = jax.device_get(self.params)
+        else:
+            self._raw_params_host = jax.device_get(raw_src)
         self.params = None
         self.residency = "pack_only"
         self._pack_only_buckets = sorted(self._pmk_plans)
