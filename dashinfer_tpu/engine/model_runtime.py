@@ -1204,6 +1204,26 @@ class ModelRuntime:
             new_tokens = req.input_ids[prefix_len:]
 
         need_pages = math.ceil(total_len / self.rt.cache.page_size) - len(prefix_pages)
+        if need_pages > self.allocator.num_pages:
+            # PERMANENTLY infeasible: the prompt alone wants more pages
+            # than the whole pool — waiting can never satisfy it (found
+            # live: a pure-XLA MoE install floored the pool at
+            # 2*max_batch and an in1024 request pended forever). Fail it
+            # now with a clear error instead of deadlocking the queue.
+            logger.error(
+                "request %s needs %d pages but the pool has %d total; "
+                "failing (raise kv pool / reduce prompt or max_length)",
+                req.uuid[:8], need_pages, self.allocator.num_pages)
+            if self.prefix_cache is not None:
+                self.prefix_cache.release_nodes(req.prefix_nodes)
+                req.prefix_nodes = []
+            self.pending.popleft()
+            self.stat.pendings -= 1
+            req.status = GenerateRequestStatus.InternalError
+            q = self.queues.get(req.uuid)
+            if q is not None:
+                q.set_status(GenerateRequestStatus.InternalError)
+            return None
         if need_pages > 0 and not self.allocator.reserve(req.uuid, need_pages):
             # a finished in-flight request may free pages; then
             # pressure-release unreferenced prefix-cache pages, then retry

@@ -240,3 +240,31 @@ def test_graceful_stop_drains_running_rejects_new():
             eng.start_request("gs", p1, gen(p1, 4))
     finally:
         eng.release_model("gs")
+
+
+def test_infeasible_request_fails_instead_of_deadlocking():
+    """A request whose prompt needs more pages than the ENTIRE pool must
+    fail with InternalError, not pend forever (round-5 on-chip finding:
+    a floored pool + in1024 prompt deadlocked the admission queue)."""
+    import numpy as np
+    import tests.hf_util as hf_util
+    from dashinfer_tpu import Engine, GenerationConfig, RuntimeConfigBuilder
+    from dashinfer_tpu.loader import build_from_torch_model
+
+    hf = hf_util.tiny_qwen2_config()
+    cfg, params = build_from_torch_model(hf_util.make_torch_model(hf),
+                                         hf.to_dict(), "float32")
+    # pool of 3 pages x 16 tokens = 48 cached tokens max; 64-token prompt
+    # can never fit
+    rt = (RuntimeConfigBuilder("inf").max_length(96).max_batch(2)
+          .kv_cache_page_size(16).kv_cache_num_pages(3).dtype("float32")
+          .update({"min_prefill_bucket": 16}).build())
+    eng = Engine().install_model("inf", rt, params=params, model_config=cfg)
+    eng.start_model("inf")
+    prompt = np.random.RandomState(0).randint(1, hf.vocab_size,
+                                              size=64).tolist()
+    _, h, q = eng.start_request("inf", prompt, GenerationConfig(
+        max_length=80, do_sample=False, top_k=1, eos_token_id=-1))
+    eng.sync_request("inf", h, timeout_s=120)
+    assert q.GenerateStatus().name == "InternalError"
+    eng.release_model("inf")
